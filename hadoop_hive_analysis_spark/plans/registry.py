@@ -1,0 +1,74 @@
+"""Query registry — single source of truth for the driver contract.
+
+Every implemented operator surfaces here as a named query with (a) a
+DataFrame callable ``(spark, sf_dir) -> DataFrame`` and (b) where SQL-
+expressible, an oracle SQL string DuckDB runs on the same parquet tables.
+``__spark_entry__.py`` is a thin re-export of this module.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import testdata_queries as tq
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: QueryFn
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    survey_ids: str  # SURVEY.md §2 operator IDs this query covers
+
+
+def _build() -> dict[str, QuerySpec]:
+    q: dict[str, QuerySpec] = {}
+
+    # --- Reference parity pack (DataFrame form) ---
+    q["q1a_top_suppliers_by_revenue"] = QuerySpec(
+        tq.q1a_top_suppliers_by_revenue,
+        tq.SQL["q1a_top_suppliers_by_revenue"],
+        "S1 P1 P5 P6 P8 A1 A3 T1 T2 T4 F2",
+    )
+    q["q1b_top_parts_by_quantity"] = QuerySpec(
+        tq.q1b_top_parts_by_quantity,
+        tq.SQL["q1b_top_parts_by_quantity"],
+        "S1 P2 P5 P6 A2 A3 T1 T2 T4",
+    )
+    q["q1c_top_dates_by_revenue"] = QuerySpec(
+        tq.q1c_top_dates_by_revenue,
+        tq.SQL["q1c_top_dates_by_revenue"],
+        "S1 P3 P5 P6 A1 A3 T1 T2",
+    )
+    q["q2_supplier_revenue_rightouter"] = QuerySpec(
+        tq.q2_supplier_revenue_rightouter,
+        tq.SQL["q2_supplier_revenue_rightouter"],
+        "S1 S2 S3 P4 P5 P6 A1 J1 F1 T3",
+    )
+
+    # --- SQL duals: same SQL text through Spark SQL (entry point 2) ---
+    for name in list(tq.SQL):
+        q[f"{name}_sql"] = QuerySpec(
+            tq.make_sql_runner(name), tq.SQL[name], "S7 + dual of " + name
+        )
+
+    # --- Extension packs (registered by their modules) ---
+    from . import extensions
+
+    q.update(extensions.build())
+    return q
+
+
+QUERIES: dict[str, QuerySpec] = _build()
+
+
+def query_map() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in QUERIES.items()}
+
+
+def oracle_sql_map() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in QUERIES.items() if spec.oracle}
