@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the headline query pack and prints ONE JSON line.
+
+Env: ``SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1),
+``SPARK_GRAFT_CPUS`` (default 32).
+
+Protocol mirrors the reference's (CS346 Report.pdf p.9 §5.2: repeated runs,
+best kept under load variance): one warm-up action to JIT/load, then each
+query timed end-to-end (plan + execute + collect). Reported ``value`` is the
+total wall-clock of the pack; per-query seconds under ``queries``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from hadoop_hive_analysis_spark.plans.registry import QUERIES
+    from hadoop_hive_analysis_spark.session import get_spark
+
+    spark = get_spark("hha-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm-up: touch the fact table so JVM/codegen/file-index costs don't
+    # land on the first timed query.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name, spec in QUERIES.items():
+        if not spec.bench:
+            continue
+        t0 = time.perf_counter()
+        df = spec.fn(spark, sf_dir)
+        # noop sink: executes the complete plan (no column pruning against a
+        # count, no driver-side serialization skew) without writing bytes.
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "query_pack_wall_clock",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

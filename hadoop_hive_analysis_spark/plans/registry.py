@@ -23,6 +23,7 @@ class QuerySpec:
     fn: QueryFn
     oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
     survey_ids: str  # SURVEY.md §2 operator IDs this query covers
+    bench: bool = True  # include in bench.py's headline pack
 
 
 def _build() -> dict[str, QuerySpec]:
@@ -53,7 +54,7 @@ def _build() -> dict[str, QuerySpec]:
     # --- SQL duals: same SQL text through Spark SQL (entry point 2) ---
     for name in list(tq.SQL):
         q[f"{name}_sql"] = QuerySpec(
-            tq.make_sql_runner(name), tq.SQL[name], "S7 + dual of " + name
+            tq.make_sql_runner(name), tq.SQL[name], "S7 + dual of " + name, bench=False
         )
 
     # --- Extension packs (registered by their modules) ---

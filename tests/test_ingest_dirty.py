@@ -1,0 +1,125 @@
+"""Ingest-semantics parity: the reference's three invalid-record classes
+(CS346 Report.pdf p.2 Fig. 2 — empty attribute, unparsable numeric, missing
+delimiters) must be dropped by PERMISSIVE parse + IS NOT NULL, with no
+custom code (SURVEY.md §2.2 P7), and valid rows must aggregate exactly."""
+
+from __future__ import annotations
+
+import os
+from decimal import Decimal
+
+import pytest
+
+from hadoop_hive_analysis_spark.plans.reference_queries import (
+    q1a_sql,
+    q1a_top_stores_by_profit,
+    q2_store_profit_employees,
+)
+from hadoop_hive_analysis_spark.sources.csv import read_store, read_store_sales
+from hadoop_hive_analysis_spark.sources.sinks import write_tab_text
+
+
+def _sales_line(date_sk, store_sk, profit, item_sk=1, qty=2):
+    """One 23-field pipe row; only the queried positions carry real values."""
+    f = [""] * 23
+    f[0] = str(date_sk)
+    f[2] = str(item_sk)
+    f[7] = str(store_sk)
+    f[10] = str(qty)
+    f[22] = str(profit)
+    return "|".join(f)
+
+
+def _store_line(store_sk, n_employees):
+    f = [""] * 29
+    f[0] = str(store_sk)
+    f[6] = str(n_employees) if n_employees is not None else ""
+    return "|".join(f)
+
+
+@pytest.fixture(scope="module")
+def fixture_paths(tmp_path_factory):
+    d = tmp_path_factory.mktemp("dirty")
+    good = [
+        _sales_line(2451000, 1, "10.50"),
+        _sales_line(2451001, 1, "5.25"),
+        _sales_line(2451002, 2, "-3.00"),
+        _sales_line(2451003, 3, "100.00"),
+        _sales_line(2449999, 1, "999.99"),  # outside date range → filtered
+        _sales_line(2453000, 2, "999.99"),  # outside date range → filtered
+    ]
+    dirty = [
+        _sales_line(2451000, "", "7.77"),  # class 1: empty key attribute
+        _sales_line(2451000, 1, "abc"),  # class 2: unparsable numeric
+        "2451000|x|y",  # class 3: missing delimiters / short row
+        _sales_line("zzz", 1, "1.00"),  # unparsable date → NULL → range-dropped
+    ]
+    (d / "store_sales.dat").write_text("\n".join(good + dirty) + "\n")
+    stores = [
+        _store_line(1, 11),
+        _store_line(2, 22),
+        _store_line(3, None),  # NULL employees → excluded from Q2 output
+        _store_line(4, 44),  # no sales → COALESCE(profit, 0) path
+    ]
+    (d / "store.dat").write_text("\n".join(stores) + "\n")
+    return str(d / "store_sales.dat"), str(d / "store.dat")
+
+
+def test_dirty_rows_become_nulls_not_errors(spark, fixture_paths):
+    sales_path, _ = fixture_paths
+    df = read_store_sales(spark, sales_path)
+    assert df.count() == 10  # nothing crashes; all physical lines surface
+    bad_key = df.filter("ss_store_sk IS NULL").count()
+    assert bad_key == 2  # empty attribute + short row
+    assert df.filter("ss_net_profit IS NULL").count() >= 2
+
+
+def test_q1a_native_drops_dirty_and_sums_exactly(spark, fixture_paths):
+    sales_path, _ = fixture_paths
+    df = read_store_sales(spark, sales_path)
+    out = q1a_top_stores_by_profit(df, 10, 2450000, 2452000)
+    got = {r.ss_store_sk: r.net_profit for r in out.collect()}
+    assert got == {
+        1: Decimal("15.75"),
+        2: Decimal("-3.00"),
+        3: Decimal("100.00"),
+    }
+    # ordering: desc by profit
+    assert [r.ss_store_sk for r in out.collect()] == [3, 1, 2]
+
+
+def test_q1a_sql_dual_matches_dataframe(spark, fixture_paths):
+    sales_path, _ = fixture_paths
+    df = read_store_sales(spark, sales_path)
+    df.createOrReplaceTempView("store_sales")
+    via_sql = spark.sql(q1a_sql(10, 2450000, 2452000)).collect()
+    via_df = q1a_top_stores_by_profit(df, 10, 2450000, 2452000).collect()
+    assert [tuple(r) for r in via_sql] == [tuple(r) for r in via_df]
+
+
+def test_q2_native_rightouter_coalesce_and_null_exclusion(spark, fixture_paths):
+    sales_path, store_path = fixture_paths
+    sales = read_store_sales(spark, sales_path)
+    store = read_store(spark, store_path)
+    out = q2_store_profit_employees(sales, store, 10, 2450000, 2452000)
+    rows = [(r.s_store_sk, r.net_profit, r.s_number_employees) for r in out.collect()]
+    assert rows == [
+        (1, Decimal("15.75"), 11),
+        (2, Decimal("-3.00"), 22),
+        # store 3 excluded: NULL employees (reference :152,:185)
+        (4, Decimal("0.00"), 44),  # no sales → COALESCE → 0
+    ]
+
+
+def test_tab_text_sink_roundtrip(spark, fixture_paths, tmp_path):
+    sales_path, _ = fixture_paths
+    df = read_store_sales(spark, sales_path)
+    out = q1a_top_stores_by_profit(df, 10, 2450000, 2452000)
+    dest = str(tmp_path / "out")
+    write_tab_text(out, dest)
+    lines = []
+    for fn in os.listdir(dest):
+        if fn.startswith("part-"):
+            with open(os.path.join(dest, fn)) as fh:
+                lines += [l.rstrip("\n") for l in fh if l.strip()]
+    assert sorted(lines) == sorted(["3\t100.00", "1\t15.75", "2\t-3.00"])
