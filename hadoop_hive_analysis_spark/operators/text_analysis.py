@@ -1,0 +1,177 @@
+"""Text analysis over the ``documents`` table — training-data-pipeline ops.
+
+Four oracle-checked operators: token stats, quality scoring, heuristic
+language ID, and document fingerprinting. All pure JVM-side column
+expressions (whole-stage codegen end-to-end): at 100 TB each is an
+embarrassingly-parallel map over the corpus + at most one aggregation —
+no shuffle except where grouping is the semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h31, h31_sql, h64, h64_sql
+from ..functions.text import (
+    LANG_MARKERS,
+    marker_score,
+    marker_score_sql,
+    tokens,
+    with_shingles,
+)
+from ..sources.catalog import load_table
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics (token counting op).
+
+    n_tokens (whitespace), n_distinct tokens, byte/char lengths, mean token
+    length — the standard size/quality signals a data pipeline filters on.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens("text")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_m"),
+        F.size(t).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_distinct"),
+        (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / F.size(t)
+        ).alias("mean_tok_len"),
+    )
+
+
+TEXT_TOKEN_STATS_SQL = r"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_m,
+           CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS BIGINT)
+               AS n_distinct,
+           length(replace(text, ' ', ''))
+               / len(string_split_regex(text, '\s+')) AS mean_tok_len
+    FROM documents
+"""
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score: length saturation + lexical diversity +
+    whitespace sanity, each an exact-integer-derived double (bit-identical
+    across engines). ``keep`` is the pipeline's filter decision."""
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens("text")
+    diversity = F.size(F.array_distinct(t)) / F.size(t)
+    len_score = F.least(F.lit(1.0), F.size(t) / F.lit(100.0))
+    ws_ratio = (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))) / F.length("text")
+    score = F.lit(0.5) * len_score + F.lit(0.3) * diversity + F.lit(0.2) * (F.lit(1.0) - ws_ratio)
+    return d.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_tokens"),
+        score.alias("quality"),
+        (score >= F.lit(0.5)).alias("keep"),
+    )
+
+
+TEXT_QUALITY_SQL = r"""
+    WITH t AS (
+        SELECT doc_id, text, string_split_regex(text, '\s+') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           0.5 * least(1.0, len(toks) / 100.0)
+             + 0.3 * (len(list_distinct(toks)) / len(toks))
+             + 0.2 * (1.0 - (length(text) - length(replace(text, ' ', '')))
+                            / length(text)) AS quality,
+           (0.5 * least(1.0, len(toks) / 100.0)
+             + 0.3 * (len(list_distinct(toks)) / len(toks))
+             + 0.2 * (1.0 - (length(text) - length(replace(text, ' ', '')))
+                            / length(text))) >= 0.5 AS keep
+    FROM t
+"""
+
+_LANGS = list(LANG_MARKERS)  # fixed precedence order for ties
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic n-gram/stopword language ID: score each candidate language
+    by padded-marker occurrence counts; argmax with fixed tie order."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        *[marker_score("text", lg).alias(f"s_{lg}") for lg in _LANGS],
+    )
+    best = F.greatest(*[F.col(f"s_{lg}") for lg in _LANGS])
+    guess = F.lit(_LANGS[0])
+    # reverse precedence so earlier langs win ties via later overwrite
+    for lg in reversed(_LANGS):
+        guess = F.when(F.col(f"s_{lg}") == best, F.lit(lg)).otherwise(guess)
+    return scored.select(
+        "doc_id",
+        guess.alias("lang_guess"),
+        best.cast("long").alias("marker_hits"),
+        (guess == F.col("lang")).alias("agrees_with_label"),
+    )
+
+
+def _lang_id_sql() -> str:
+    scores = ", ".join(
+        f"({marker_score_sql('text', lg)}) AS s_{lg}" for lg in _LANGS
+    )
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in _LANGS) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN s_{lg} = {best} THEN '{lg}'" for lg in _LANGS
+    ) + " END"
+    return f"""
+        WITH scored AS (SELECT doc_id, lang, {scores} FROM documents)
+        SELECT doc_id,
+               {case} AS lang_guess,
+               CAST({best} AS BIGINT) AS marker_hits,
+               ({case} = lang) AS agrees_with_label
+        FROM scored
+    """
+
+
+TEXT_LANG_ID_SQL = _lang_id_sql()
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: exact-dup digest (md5), 60-bit content hash,
+    and a min-shingle-hash (the 1-permutation MinHash / winnowing signal).
+    Docs shorter than 3 tokens get min_shingle_hash NULL via left join."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.md5("text").alias("md5_hex"),
+        h64("text").alias("content_h60"),
+    )
+    mins = (
+        with_shingles(d.select("doc_id", "text"), "text", 3)
+        .groupBy("doc_id")
+        .agg(F.min(h31(F.col("shingle"))).alias("min_shingle_hash"))
+    )
+    return base.join(mins, "doc_id", "left").select(
+        "doc_id", "md5_hex", "content_h60", "min_shingle_hash"
+    )
+
+
+DOC_FINGERPRINT_SQL = rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+        FROM toks WHERE len(t) >= 3
+    ),
+    mins AS (
+        SELECT doc_id, min({h31_sql('shingle')}) AS min_shingle_hash
+        FROM sh GROUP BY doc_id
+    )
+    SELECT d.doc_id, md5(d.text) AS md5_hex,
+           {h64_sql('d.text')} AS content_h60,
+           m.min_shingle_hash
+    FROM documents d LEFT JOIN mins m ON d.doc_id = m.doc_id
+"""

@@ -1,4 +1,6 @@
-"""Extension query registry — filled in as extension operator modules land.
+"""Extension query registry — the training-data-pipeline surface beyond
+reference parity: text analysis, dedup, similarity, events, relational
+extensions, multimodal plumbing.
 
 Kept separate from :mod:`.registry` so the reference-parity pack never
 depends on extension imports.
@@ -9,4 +11,49 @@ from __future__ import annotations
 
 def build() -> dict:
     """Return {name: QuerySpec} for all implemented extension operators."""
-    return {}
+    from ..operators import dedup, text_analysis
+    from .registry import QuerySpec
+
+    q: dict[str, QuerySpec] = {}
+
+    # --- Text analysis (documents) ---
+    q["text_token_stats"] = QuerySpec(
+        text_analysis.text_token_stats,
+        text_analysis.TEXT_TOKEN_STATS_SQL,
+        "ext: token counting",
+    )
+    q["text_quality_score"] = QuerySpec(
+        text_analysis.text_quality_score,
+        text_analysis.TEXT_QUALITY_SQL,
+        "ext: quality scoring",
+    )
+    q["text_lang_id"] = QuerySpec(
+        text_analysis.text_lang_id,
+        text_analysis.TEXT_LANG_ID_SQL,
+        "ext: language ID (n-gram heuristic)",
+    )
+    q["doc_fingerprint"] = QuerySpec(
+        text_analysis.doc_fingerprint,
+        text_analysis.DOC_FINGERPRINT_SQL,
+        "ext: document fingerprinting",
+    )
+
+    # --- Dedup (documents) ---
+    q["dedup_exact"] = QuerySpec(
+        dedup.dedup_exact, dedup.DEDUP_EXACT_SQL, "ext: exact dedup"
+    )
+    q["dedup_ngram_jaccard"] = QuerySpec(
+        dedup.dedup_ngram_jaccard,
+        dedup.DEDUP_NGRAM_JACCARD_SQL,
+        "ext: n-gram Jaccard near-dup",
+    )
+    q["dedup_minhash_lsh"] = QuerySpec(
+        dedup.dedup_minhash_lsh,
+        dedup.DEDUP_MINHASH_LSH_SQL,
+        "ext: MinHash+LSH near-dup",
+    )
+    q["dedup_simhash"] = QuerySpec(
+        dedup.dedup_simhash, dedup.DEDUP_SIMHASH_SQL, "ext: SimHash near-dup"
+    )
+
+    return q
