@@ -1,0 +1,193 @@
+"""Event-stream operators over the ``events`` table (batch form).
+
+The same logical operations the reference lacks entirely (SURVEY.md §2.6
+"absent in the reference"): tumbling-window aggregation, sessionization,
+and as-of joins. Batch implementations here are oracle-checked; the
+streaming twins (readStream + watermark) live in
+:mod:`..streaming.events` and are tested for batch-equivalence.
+
+Determinism:
+* window starts are exchanged as EPOCH SECONDS (bigint) — no cross-engine
+  timestamp-type/timezone coupling;
+* value sums run through DECIMAL(12,2) (the fixtures are 2-decimal money)
+  then cast to double;
+* orderings carry event_id tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+
+WINDOW_SEC = 300
+SESSION_GAP_SEC = 1800
+
+_VAL_DEC = "CAST(value AS DECIMAL(12,2))"
+
+
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling windows per event_type: count + exact value sum.
+
+    Uses the REAL Spark ``window()`` operator (same plan Structured
+    Streaming uses), then projects the start to epoch seconds for the
+    oracle. One shuffle on (window, type); map-side partial aggs apply.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    agg = (
+        ev.groupBy(
+            F.window("ts", f"{WINDOW_SEC} seconds").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.expr(_VAL_DEC)).alias("sum_value_dec"),
+        )
+    )
+    return agg.select(
+        F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+        "event_type",
+        "n_events",
+        F.col("sum_value_dec").cast("double").alias("sum_value"),
+    )
+
+
+EVENTS_TUMBLING_SQL = f"""
+    SELECT (CAST(floor(epoch(ts)) AS BIGINT) // {WINDOW_SEC}) * {WINDOW_SEC}
+               AS window_start_epoch,
+           event_type,
+           count(*) AS n_events,
+           CAST(SUM({_VAL_DEC}) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via window functions.
+
+    Classic linear formulation: flag session starts with lag(), number
+    sessions with a running sum — one shuffle on user_id, no self-join.
+    The same semantics stream via ``applyInPandasWithState`` /
+    ``session_window`` in the streaming module.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(order)
+            > SESSION_GAP_SEC,
+            1,
+        )
+        .otherwise(0)
+        .cast("long"),
+    ).withColumn(
+        "is_new",
+        F.when(F.lag("ts").over(order).isNull(), F.lit(1)).otherwise(F.col("is_new")),
+    )
+    sessions = flagged.withColumn(
+        "session_no",
+        F.sum("is_new").over(
+            order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        sessions.groupBy("user_id", "session_no")
+        .agg(
+            F.min(F.col("ts").cast("long")).alias("session_start_epoch"),
+            F.count("*").alias("n_events"),
+            F.sum(F.expr(_VAL_DEC)).cast("double").alias("sum_value"),
+        )
+        .select("user_id", "session_no", "session_start_epoch", "n_events", "sum_value")
+    )
+
+
+EVENTS_SESSIONIZE_SQL = f"""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                    WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                         - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)
+                         > {SESSION_GAP_SEC} THEN 1
+                    ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM flagged
+    )
+    SELECT user_id, session_no,
+           min(CAST(floor(epoch(ts)) AS BIGINT)) AS session_start_epoch,
+           count(*) AS n_events,
+           CAST(SUM({_VAL_DEC}) AS DOUBLE) AS sum_value
+    FROM numbered
+    GROUP BY 1, 2
+"""
+
+
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the latest click at-or-before
+    it by the same user.
+
+    Spark lacks a native as-of join; the scalable composition is the
+    union-and-carry-forward pattern: union both sides tagged, sort within
+    user, carry the last click forward with last(ignorenulls) — ONE
+    shuffle on user_id, linear work, no range-join blow-up. (The naive
+    inequality join is quadratic per user; MERGE_ASOF-style
+    applyInPandas is the other scale option.)
+
+    DuckDB oracle: native ``ASOF JOIN``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("ets"),
+        F.struct(F.col("ts"), F.col("event_id")).alias("click_info"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("ets"),
+        F.lit(None)
+        .cast("struct<ts:timestamp,event_id:bigint>")
+        .alias("click_info"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    # Clicks sort before purchases at identical ts (tag 0 < 1): "at-or-before".
+    tagged = clicks.withColumn("tag", F.lit(0)).unionByName(
+        purchases.withColumn("tag", F.lit(1))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ets", "tag", "purchase_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.withColumn(
+        "last_click", F.last("click_info", ignorenulls=True).over(w)
+    )
+    return (
+        carried.filter(F.col("purchase_id").isNotNull() & F.col("last_click").isNotNull())
+        .select(
+            F.col("purchase_id"),
+            "user_id",
+            F.col("ets").cast("long").alias("purchase_epoch"),
+            F.col("last_click.event_id").alias("click_id"),
+            F.col("last_click.ts").cast("long").alias("click_epoch"),
+        )
+    )
+
+
+EVENTS_ASOF_SQL = """
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_epoch,
+           c.event_id AS click_id,
+           CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+"""

@@ -1,0 +1,271 @@
+"""Similarity search over the ``embeddings`` table (array<float>, 64-dim).
+
+Three operators:
+
+* ``ann_bruteforce_topk`` — exact top-K by QUANTIZED inner product.
+  Embeddings are quantized to integers (round(x·1000)) so every dot
+  product is exact int64 arithmetic — bit-identical across engines and
+  summation orders, which makes scores (not just ranks) oracle-hashable.
+  Physical shape: broadcast the query set, one pass over the corpus,
+  per-partition heap top-K (window rank) — at 100 TB this is the
+  standard "scoring scan": no corpus shuffle, no quadratic blow-up.
+* ``ann_lsh_topk`` — the scale path: random-hyperplane LSH (8 planes,
+  signs derived from the portable hash, quantized dots → exact signs),
+  bucket-equality candidate join, top-K within bucket. Sub-linear
+  candidate sets; recall traded for 256× less scoring.
+* ``ann_cosine_topk_float`` — the float path (true cosine, JVM-side
+  sequential fold). No oracle entry: cross-engine float low-bit drift
+  makes value-hashing meaningless; the driver records a rows-only check.
+
+Query set: ``vec_id < 10``; K = 5; self-matches excluded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+
+N_QUERIES = 10
+TOP_K = 5
+N_PLANES = 8
+DIM = 64
+
+_QUANT = "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))"
+_QUANT_SQL = (
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))"
+)
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", F.expr(_QUANT).alias("q"))
+
+
+def _int_dot(a: str, b: str):
+    """Exact int64 inner product of two bigint arrays (sequential fold —
+    order is irrelevant for exact integers, so any engine agrees)."""
+    return F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+
+
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-K neighbors by quantized inner product (MIPS baseline)."""
+    corpus = _quantized(spark, sf_dir)
+    queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    pairs = corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _int_dot("qq", "q").alias("dot_q"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_q").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "dot_q")
+    )
+
+
+ANN_BRUTEFORCE_SQL = f"""
+    WITH q AS (
+        SELECT vec_id, {_QUANT_SQL} AS qv FROM embeddings
+    ),
+    scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CAST(list_dot_product(list_transform(a.qv, x -> CAST(x AS DOUBLE)),
+                                     list_transform(b.qv, x -> CAST(x AS DOUBLE)))
+                    AS BIGINT) AS dot_q
+        FROM q a JOIN q b ON a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
+    )
+    SELECT query_id, neighbor_id, rank, dot_q FROM (
+        SELECT query_id, neighbor_id, dot_q,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dot_q DESC, neighbor_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= {TOP_K}
+"""
+
+
+def _plane_sign_exprs() -> list[str]:
+    """Deterministic ±1 hyperplanes: component d of plane p is +1 iff the
+    portable 60-bit hash of 'p:d' is odd. Embedded as literal sign vectors
+    in both engines (computed here once, in Python, from the same md5)."""
+    import hashlib
+
+    planes = []
+    for p in range(N_PLANES):
+        signs = []
+        for d in range(DIM):
+            h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15], 16)
+            signs.append(1 if h & 1 else -1)
+        planes.append(signs)
+    return [
+        "("
+        + " + ".join(
+            f"{'' if s > 0 else '-'}q[{d}]" for d, s in enumerate(signs)
+        )
+        + ")"
+        for signs in planes
+    ]
+
+
+_PLANE_DOTS = _plane_sign_exprs()
+
+
+def _bucket_expr(arr: str) -> str:
+    """LSH bucket id = sign-bit pattern over the planes (exact int math)."""
+    bits = [
+        f"(CASE WHEN {dot.replace('q[', arr + '[')} > 0 THEN {1 << p} ELSE 0 END)"
+        for p, dot in enumerate(_PLANE_DOTS)
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-K: candidates share the 8-bit
+    hyperplane-sign bucket; exact quantized scoring within bucket."""
+    corpus = _quantized(spark, sf_dir).withColumn(
+        "bucket", F.expr(_bucket_expr("q")).cast("int")
+    )
+    queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cand = corpus.join(
+        F.broadcast(queries),
+        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _int_dot("qq", "q").alias("dot_q"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_q").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "dot_q")
+    )
+
+
+def _lsh_sql() -> str:
+    # DuckDB lists are 1-indexed: shift every q[d] reference.
+    def reindex(expr: str, arr: str) -> str:
+        out = expr
+        for d in range(DIM - 1, -1, -1):
+            out = out.replace(f"q[{d}]", f"{arr}[{d + 1}]")
+        return out
+
+    bits = [
+        f"(CASE WHEN {reindex(dot, 'qv')} > 0 THEN {1 << p} ELSE 0 END)"
+        for p, dot in enumerate(_PLANE_DOTS)
+    ]
+    bucket = "(" + " + ".join(bits) + ")"
+    return f"""
+        WITH q AS (
+            SELECT vec_id, {_QUANT_SQL} AS qv FROM embeddings
+        ),
+        bucketed AS (SELECT vec_id, qv, {bucket} AS bucket FROM q),
+        scored AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   CAST(list_dot_product(
+                        list_transform(a.qv, x -> CAST(x AS DOUBLE)),
+                        list_transform(b.qv, x -> CAST(x AS DOUBLE)))
+                        AS BIGINT) AS dot_q
+            FROM bucketed a
+            JOIN bucketed b ON a.vec_id < {N_QUERIES}
+                           AND b.bucket = a.bucket AND b.vec_id <> a.vec_id
+        )
+        SELECT query_id, neighbor_id, rank, dot_q FROM (
+            SELECT query_id, neighbor_id, dot_q,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY dot_q DESC, neighbor_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= {TOP_K}
+    """
+
+
+ANN_LSH_SQL = _lsh_sql()
+
+
+def ann_cosine_topk_float(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True-cosine top-K (float path, rows-only check).
+
+    JVM-side sequential fold for dot and norms; at 100 TB the same shape
+    holds — or swap the scoring expression for an Arrow-batched pandas_udf
+    (see tests for the equivalence check between the two).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    dot = "aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    nrm = "sqrt(aggregate({0}, 0D, (acc, x) -> acc + x * x))"
+    cos = f"({dot}) / ({nrm.format('qv')} * {nrm.format('v')})"
+    pairs = emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(cos).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def embedding_knn_pandas(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """Arrow-batched pandas/numpy variant of brute-force cosine top-K —
+    the vectorized scale path for when scoring outgrows codegen
+    expressions (e.g. 1024-dim vectors). Used by tests to cross-check
+    :func:`ann_cosine_topk_float`; not registry-exposed."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = emb.filter(F.col("vec_id") < N_QUERIES).collect()
+    qids = np.array([r.vec_id for r in qrows])
+    qmat = np.array([r.embedding for r in qrows], dtype=np.float64)
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    bq = spark.sparkContext.broadcast((qids, qmat))
+
+    def score(batches):
+        for pdf in batches:
+            ids, mat = bq.value
+            vmat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            vmat /= np.linalg.norm(vmat, axis=1, keepdims=True)
+            sims = vmat @ mat.T  # (batch, n_queries)
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids, len(pdf)),
+                    "neighbor_id": np.tile(pdf["vec_id"].values, len(ids)),
+                    "cosine": sims.T.ravel(),
+                }
+            )
+            yield out[out.query_id != out.neighbor_id]
+
+    scored = emb.mapInPandas(
+        score, "query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

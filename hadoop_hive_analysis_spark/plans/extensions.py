@@ -11,10 +11,44 @@ from __future__ import annotations
 
 def build() -> dict:
     """Return {name: QuerySpec} for all implemented extension operators."""
-    from ..operators import dedup, text_analysis
+    from ..operators import dedup, events, similarity, text_analysis
     from .registry import QuerySpec
 
     q: dict[str, QuerySpec] = {}
+
+    # --- Similarity search (embeddings) ---
+    q["ann_bruteforce_topk"] = QuerySpec(
+        similarity.ann_bruteforce_topk,
+        similarity.ANN_BRUTEFORCE_SQL,
+        "ext: brute-force top-K similarity (quantized MIPS)",
+    )
+    q["ann_lsh_topk"] = QuerySpec(
+        similarity.ann_lsh_topk,
+        similarity.ANN_LSH_SQL,
+        "ext: hyperplane-LSH bucketed top-K",
+    )
+    q["ann_cosine_topk_float"] = QuerySpec(
+        similarity.ann_cosine_topk_float,
+        None,  # float path: cross-engine low-bit drift → rows-only check
+        "ext: true-cosine top-K (float path)",
+    )
+
+    # --- Event-stream ops, batch form (events) ---
+    q["events_tumbling_window"] = QuerySpec(
+        events.events_tumbling_window,
+        events.EVENTS_TUMBLING_SQL,
+        "ext: tumbling-window aggregation",
+    )
+    q["events_sessionize"] = QuerySpec(
+        events.events_sessionize,
+        events.EVENTS_SESSIONIZE_SQL,
+        "ext: gap sessionization",
+    )
+    q["events_asof_join"] = QuerySpec(
+        events.events_asof_join,
+        events.EVENTS_ASOF_SQL,
+        "ext: as-of join (union + carry-forward)",
+    )
 
     # --- Text analysis (documents) ---
     q["text_token_stats"] = QuerySpec(
