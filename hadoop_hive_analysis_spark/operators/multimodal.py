@@ -1,0 +1,128 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The pattern for image/audio/video at 100 TB: store the raw bytes as a
+``binary`` column (or a reference into object storage) beside typed
+metadata; run decode/feature-extraction as Arrow-batched ``mapInPandas``
+so Python touches columnar batches, never rows.
+
+The container has no image/audio libraries, so the decode step is a
+STUB (clearly marked): it computes deterministic fake features from the
+payload bytes. The Spark-side plumbing — binary schema, batch iteration,
+UDF signature, output schema, partitioning — is real and tested; swapping
+the stub body for PIL/ffmpeg is a one-function change.
+
+``multimodal_meta`` (oracle-checked) is the pure-SQL metadata path;
+``multimodal_decode_stub`` (rows-only) is the mapInPandas path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h64, h64_sql
+from ..sources.catalog import load_table
+
+DECODE_SCHEMA = (
+    "doc_id long, n_bytes long, width int, height int, channels int, "
+    "mean_byte double"
+)
+
+
+def with_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the opaque binary column (UTF-8 bytes of the text stand in
+    for real media payloads; schema/partitioning identical)."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over the binary column, all JVM-side: byte length,
+    content digest, and hash-derived pseudo-dimensions (the shape a real
+    pipeline stores next to the payload for pruning before decode)."""
+    d = with_payload(load_table(spark, sf_dir, "documents"))
+    h = h64("text")
+    return d.select(
+        "doc_id",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+        (F.lit(64) + (h % 896)).cast("int").alias("pseudo_width"),
+        # shiftright, not division: float division of a 60-bit int loses
+        # mantissa bits and would diverge from the oracle's integer div
+        (F.lit(64) + (F.shiftright(h, 10) % 896)).cast("int").alias("pseudo_height"),
+    )
+
+
+MULTIMODAL_META_SQL = f"""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS payload_md5,  -- md5 over the same UTF-8 bytes
+           CAST(64 + ({h64_sql('text')} % 896) AS INTEGER) AS pseudo_width,
+           CAST(64 + (({h64_sql('text')} >> 10) % 896) AS INTEGER)
+               AS pseudo_height
+    FROM documents
+"""
+
+
+def decode_image_batch(payload: bytes) -> tuple[int, int, int]:
+    """STUB — real deployment decodes with PIL/libvips here.
+
+    Raises NotImplementedError for actual decoding; callers in this repo
+    use :func:`_fake_decode` which derives deterministic pseudo-dimensions
+    from the bytes, keeping the full pipeline runnable and testable.
+    """
+    raise NotImplementedError(
+        "media decoding requires an image library not present in this "
+        "environment; see _fake_decode for the deterministic stand-in"
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
+    """Deterministic stand-in decoder (driver-side/tests only; the
+    executor-side copy lives inlined inside the mapInPandas closure)."""
+    width = 64 + (len(payload) * 31) % 896
+    height = 64 + (len(payload) * 17) % 896
+    channels = 3
+    mean_byte = (sum(payload) / len(payload)) if payload else 0.0
+    return width, height, channels, mean_byte
+
+
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode/feature-extract over binary payloads.
+
+    ``mapInPandas``: each Python invocation receives a columnar batch;
+    per-batch vectorized work, output schema declared up front. At 100 TB
+    this parallelizes per input split with zero driver involvement;
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds batch memory
+    against large payloads.
+    """
+    import pandas as pd
+
+    d = with_payload(load_table(spark, sf_dir, "documents")).select("doc_id", "payload")
+
+    # The closure must be SELF-CONTAINED (no references to this package):
+    # cloudpickle ships module-level functions by reference, and executor
+    # Python workers do not have the engine package on their import path
+    # when the driver process was launched from elsewhere.
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def fake_decode(payload: bytes) -> tuple[int, int, int, float]:
+            width = 64 + (len(payload) * 31) % 896
+            height = 64 + (len(payload) * 17) % 896
+            mean_byte = (sum(payload) / len(payload)) if payload else 0.0
+            return width, height, 3, mean_byte
+
+        for pdf in batches:
+            feats = [fake_decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "channels": [f[2] for f in feats],
+                    "mean_byte": [f[3] for f in feats],
+                }
+            )
+
+    return d.mapInPandas(decode, DECODE_SCHEMA)

@@ -11,10 +11,49 @@ from __future__ import annotations
 
 def build() -> dict:
     """Return {name: QuerySpec} for all implemented extension operators."""
-    from ..operators import dedup, events, similarity, text_analysis
+    from ..operators import dedup, events, multimodal, similarity, text_analysis
+    from . import relational_ext as rx
     from .registry import QuerySpec
 
     q: dict[str, QuerySpec] = {}
+
+    # --- Relational surface beyond the reference ---
+    q["window_rank_orders"] = QuerySpec(
+        rx.window_rank_orders, rx.WINDOW_RANK_SQL, "ext: ranking window fn"
+    )
+    q["revenue_by_region"] = QuerySpec(
+        rx.revenue_by_region, rx.REVENUE_BY_REGION_SQL, "ext: 5-table star join"
+    )
+    q["rollup_lineitem"] = QuerySpec(
+        rx.rollup_lineitem, rx.ROLLUP_LINEITEM_SQL, "ext: ROLLUP grouping sets"
+    )
+    q["cube_orders"] = QuerySpec(
+        rx.cube_orders, rx.CUBE_ORDERS_SQL, "ext: CUBE grouping sets"
+    )
+    q["semi_join_customers"] = QuerySpec(
+        rx.semi_join_customers, rx.SEMI_JOIN_SQL, "ext: left-semi join"
+    )
+    q["anti_join_customers"] = QuerySpec(
+        rx.anti_join_customers, rx.ANTI_JOIN_SQL, "ext: left-anti join"
+    )
+    q["setop_nations"] = QuerySpec(
+        rx.setop_nations, rx.SETOP_NATIONS_SQL, "ext: INTERSECT/EXCEPT set ops"
+    )
+    q["grouped_stats_orders"] = QuerySpec(
+        rx.grouped_stats_orders, rx.GROUPED_STATS_SQL, "ext: multi-agg stats (A4-A6)"
+    )
+
+    # --- Multimodal plumbing ---
+    q["multimodal_meta"] = QuerySpec(
+        multimodal.multimodal_meta,
+        multimodal.MULTIMODAL_META_SQL,
+        "ext: binary payload metadata",
+    )
+    q["multimodal_decode_stub"] = QuerySpec(
+        multimodal.multimodal_decode_stub,
+        None,  # mapInPandas decode path — no SQL equivalent
+        "ext: Arrow-batched decode/feature extraction (stubbed decoder)",
+    )
 
     # --- Similarity search (embeddings) ---
     q["ann_bruteforce_topk"] = QuerySpec(
