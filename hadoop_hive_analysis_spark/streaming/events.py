@@ -1,0 +1,160 @@
+"""Structured Streaming twins of the batch event operators.
+
+``readStream`` over the events parquet → watermarked windowed aggregation /
+session windows / custom stateful processing → any sink. Tests drive these
+with ``Trigger.AvailableNow`` into a memory sink and assert equality with
+the batch results — the Kappa-architecture guarantee (one logical plan,
+two execution modes).
+
+Scale notes:
+* watermarks bound state: 10-minute lateness → state per (window, type)
+  only until watermark passes the window end — state size is O(active
+  windows × types), independent of stream length;
+* ``session_window`` is Spark's native gap-session operator (the batch
+  module's lag/cumsum formulation is its shuffle-equivalent);
+* ``applyInPandasWithState`` shows the arbitrary-stateful path (running
+  per-user counters) — the hook for custom operators that windowing
+  can't express. Its closure is self-contained (executor workers do not
+  import this package).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+WATERMARK = "10 minutes"
+WINDOW = "5 minutes"
+SESSION_GAP = "30 minutes"
+
+# Streaming readers require an explicit schema. events.parquet stores ts as
+# TIMESTAMP(NANOS) which Spark reads only as raw long (nanosAsLong), so the
+# stream schema declares LongType and the reader converts to microseconds.
+_EVENTS_RAW = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (one file = one microbatch
+    under AvailableNow; on a cluster this is a directory being appended
+    to, or swap for Kafka with the same downstream plan)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # File-source streams take a DIRECTORY; glob-filter to the events table.
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def streaming_tumbling_counts(events: DataFrame) -> DataFrame:
+    """Watermarked 5-minute tumbling counts per event type — the streaming
+    twin of ``operators.events.events_tumbling_window``."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", WINDOW).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.expr("CAST(value AS DECIMAL(12,2))"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_session_aggregates(events: DataFrame) -> DataFrame:
+    """Native gap-session windows (30-min inactivity) per user."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.session_window("ts", SESSION_GAP).alias("sw"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.expr("CAST(value AS DECIMAL(12,2))"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("sw.start")).alias("session_start_epoch"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_user_running_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: running
+    event count + value total per user, emitted on every update."""
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def update(key, pdf_iter, state):
+        # Self-contained closure: plain pandas + GroupState API only.
+        import pandas as pd
+
+        n, total = state.get() if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(
+    sdf: DataFrame,
+    query_name: str,
+    checkpoint_dir: str,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Drain the whole source as a finite stream into a memory sink and
+    return the materialized result (test/batch-replay harness).
+
+    ``output_mode``: "complete" for windowed aggregations (append would
+    withhold windows the watermark has not passed when the finite stream
+    ends); "update" for applyInPandasWithState.
+    """
+    spark = sdf.sparkSession
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -1,0 +1,71 @@
+"""Streaming ↔ batch equivalence: the Kappa guarantee.
+
+Each streaming twin, drained with Trigger.AvailableNow, must reproduce its
+batch operator's results exactly.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hadoop_hive_analysis_spark.operators.events import (
+    events_sessionize,
+    events_tumbling_window,
+)
+from hadoop_hive_analysis_spark.sources.catalog import load_table
+from hadoop_hive_analysis_spark.streaming import (
+    read_events_stream,
+    run_available_now,
+    streaming_session_aggregates,
+    streaming_tumbling_counts,
+    streaming_user_running_counts,
+)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir, tmp_path):
+    stream = read_events_stream(spark, sf_dir)
+    got = run_available_now(
+        streaming_tumbling_counts(stream), "t_tumbling", str(tmp_path / "ck1")
+    )
+    want = events_tumbling_window(spark, sf_dir)
+    cols = ["window_start_epoch", "event_type", "n_events", "sum_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_streaming_sessions_equal_batch(spark, sf_dir, tmp_path):
+    stream = read_events_stream(spark, sf_dir)
+    got = run_available_now(
+        streaming_session_aggregates(stream), "t_sessions", str(tmp_path / "ck2")
+    )
+    want = events_sessionize(spark, sf_dir)
+    cols = ["user_id", "session_start_epoch", "n_events", "sum_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stateful_running_counts_match_groupby(spark, sf_dir, tmp_path):
+    stream = read_events_stream(spark, sf_dir)
+    got = run_available_now(
+        streaming_user_running_counts(stream),
+        "t_state",
+        str(tmp_path / "ck3"),
+        output_mode="update",
+    )
+    # final state per user (last emitted row) == plain batch groupBy count
+    import pyspark.sql.functions as F
+
+    final = (
+        got.groupBy("user_id").agg(F.max("n_events").alias("n_events")).collect()
+    )
+    want = {
+        r.user_id: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got_map = {r.user_id: r.n_events for r in final}
+    assert got_map == want
