@@ -34,16 +34,23 @@ def main() -> None:
     # land on the first timed query.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    # Reference protocol (CS346 Report.pdf p.9 §5.2): repeated runs, keep
+    # the fastest — first run pays one-off codegen/JIT compilation that a
+    # long-lived cluster amortizes away.
+    RUNS = 2
     timings: dict[str, float] = {}
     for name, spec in QUERIES.items():
         if not spec.bench:
             continue
-        t0 = time.perf_counter()
-        df = spec.fn(spark, sf_dir)
-        # noop sink: executes the complete plan (no column pruning against a
-        # count, no driver-side serialization skew) without writing bytes.
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            df = spec.fn(spark, sf_dir)
+            # noop sink: executes the complete plan (no column pruning
+            # against a count, no driver serialization skew), writes nothing.
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     print(
         json.dumps(

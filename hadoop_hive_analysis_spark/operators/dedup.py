@@ -177,10 +177,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    verified = dedup_ngram_jaccard(spark, sf_dir).select(
-        "doc_a", "doc_b", "jaccard"
+    # Verify ONLY the LSH candidates — the whole point of banding. The
+    # exact-Jaccard join runs per-candidate, not all-shared-shingle-pairs:
+    # at 100 TB the candidate set is tiny relative to the posting-list
+    # cross product, so this is the scale-defining difference.
+    sh = _doc_shingles(spark, sf_dir)
+    card = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b2"), F.col("shingle").alias("sh_b"))
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, (F.col("doc_b") == F.col("doc_b2")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("ix"))
     )
-    return cand.join(verified, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
+    ca = card.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = card.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn("jaccard", F.col("ix") / (F.col("na") + F.col("nb") - F.col("ix")))
+        .filter(F.col("jaccard") >= F.lit(JACCARD_THRESHOLD))
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 def _minhash_sql_cols() -> str:
@@ -216,19 +235,17 @@ DEDUP_MINHASH_LSH_SQL = f"""
     ),
     card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
     inter AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ix
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        SELECT c.doc_a, c.doc_b, count(*) AS ix
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
         GROUP BY 1, 2
-    ),
-    verified AS (
-        SELECT doc_a, doc_b, ix / (ca.n + cb.n - ix) AS jaccard
-        FROM inter
-        JOIN card ca ON ca.doc_id = doc_a
-        JOIN card cb ON cb.doc_id = doc_b
-        WHERE ix / (ca.n + cb.n - ix) >= {JACCARD_THRESHOLD}
     )
-    SELECT c.doc_a, c.doc_b, v.jaccard
-    FROM cand c JOIN verified v ON c.doc_a = v.doc_a AND c.doc_b = v.doc_b
+    SELECT doc_a, doc_b, ix / (ca.n + cb.n - ix) AS jaccard
+    FROM inter
+    JOIN card ca ON ca.doc_id = doc_a
+    JOIN card cb ON cb.doc_id = doc_b
+    WHERE ix / (ca.n + cb.n - ix) >= {JACCARD_THRESHOLD}
 """
 
 
