@@ -1,0 +1,90 @@
+"""Physical-plan audits: the scale properties SURVEY.md §4 promises must be
+visible in the executed plan, not just intended.
+
+Each assertion pins a property that matters at 100 TB: filters/projections
+reaching the scan, partial aggregation, TakeOrderedAndProject for top-K,
+broadcast joins for dimensions, and the absence of cartesian products in
+LSH candidate generation.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hadoop_hive_analysis_spark.plans.registry import QUERIES
+
+
+def final_plan(df) -> str:
+    # Execute first: with AQE the pre-execution plan is provisional.
+    df.write.format("noop").mode("overwrite").save()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    cache: dict[str, str] = {}
+
+    def get(name: str) -> str:
+        if name not in cache:
+            cache[name] = final_plan(QUERIES[name].fn(spark, sf_dir))
+        return cache[name]
+
+    return get
+
+
+def test_q1a_scan_pushdown_and_pruning(plans):
+    p = plans("q1a_top_suppliers_by_revenue")
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in p
+    # column pruning: the 11-column lineitem scan reads exactly 4 columns
+    assert "ReadSchema: struct<l_suppkey:bigint,l_extendedprice:double" in p
+    assert "l_orderkey" not in p.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_q1a_partial_final_aggregation(plans):
+    # the reference's hand-registered combiner == Spark's partial HashAggregate
+    p = plans("q1a_top_suppliers_by_revenue")
+    assert p.count("HashAggregate") >= 2
+
+
+def test_q1a_takeordered_replaces_two_mr_jobs(plans):
+    assert "TakeOrderedAndProject" in plans("q1a_top_suppliers_by_revenue")
+
+
+def test_q2_broadcasts_aggregated_side(plans):
+    p = plans("q2_supplier_revenue_rightouter")
+    assert "BroadcastHashJoin" in p
+    assert "BuildLeft" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_star_join_broadcasts_every_dimension(plans):
+    p = plans("revenue_by_region")
+    # orders/customer/nation/region joins must all be broadcast at this
+    # scale; the only allowed shuffle is the aggregation itself
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in p
+
+
+def test_lsh_candidate_join_is_not_cartesian(plans):
+    for name in ("dedup_minhash_lsh", "dedup_simhash"):
+        p = plans(name)
+        assert "CartesianProduct" not in p, name
+
+
+def test_ann_broadcasts_query_set(plans):
+    p = plans("ann_bruteforce_topk")
+    assert "Broadcast" in p
+
+
+def test_window_rank_uses_group_limit_pushdown(plans):
+    # Spark ≥3.5 plans rank()<=k as WindowGroupLimit (per-partition heap
+    # before the full window sort) — the per-group top-K scale property.
+    assert "WindowGroupLimit" in plans("window_rank_orders")
+
+
+def test_semi_anti_plan_no_aggregation_dedup(plans):
+    # semi/anti joins must not plan as join+distinct
+    p = plans("semi_join_customers")
+    assert "LeftSemi" in p
+    p = plans("anti_join_customers")
+    assert "LeftAnti" in p
