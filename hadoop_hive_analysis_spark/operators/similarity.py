@@ -269,3 +269,64 @@ def embedding_knn_pandas(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> Da
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+COSINE_DEDUP_NUM = 2  # threshold 0.4 = NUM/DEN
+COSINE_DEDUP_DEN = 5
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: quantized cosine ≥ 0.4, in EXACT integer
+    arithmetic — ``dot > 0 ∧ den²·dot² ≥ num²·‖a‖²·‖b‖²`` avoids any float
+    sqrt/division, so the pair set is bit-identical across engines.
+
+    Scale note: this brute-force form exists as the correctness baseline;
+    the production path pre-buckets with the hyperplane LSH of
+    :func:`ann_lsh_topk` and applies the same exact predicate within
+    buckets (composition shown in the pipeline plan).
+    """
+    q = _quantized(spark, sf_dir)
+    a = q.select(F.col("vec_id").alias("va"), F.col("q").alias("qa"))
+    b = q.select(F.col("vec_id").alias("vb"), F.col("q").alias("qb"))
+    pairs = a.join(b, F.col("va") < F.col("vb"))
+    dot = _int_dot("qa", "qb")
+    na2 = _int_dot("qa", "qa")
+    nb2 = _int_dot("qb", "qb")
+    scored = pairs.select(
+        "va",
+        "vb",
+        dot.alias("dot_q"),
+        na2.alias("na2"),
+        nb2.alias("nb2"),
+    )
+    num2 = COSINE_DEDUP_NUM * COSINE_DEDUP_NUM
+    den2 = COSINE_DEDUP_DEN * COSINE_DEDUP_DEN
+    kept = scored.filter(
+        (F.col("dot_q") > 0)
+        & (
+            F.lit(den2) * F.col("dot_q") * F.col("dot_q")
+            >= F.lit(num2) * F.col("na2") * F.col("nb2")
+        )
+    )
+    return kept.select("va", "vb", "dot_q")
+
+
+DEDUP_EMBEDDING_COSINE_SQL = f"""
+    WITH q AS (
+        SELECT vec_id, list_transform({_QUANT_SQL},
+                                      y -> CAST(y AS DOUBLE)) AS qv
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot_q,
+               CAST(list_dot_product(a.qv, a.qv) AS BIGINT) AS na2,
+               CAST(list_dot_product(b.qv, b.qv) AS BIGINT) AS nb2
+        FROM q a JOIN q b ON a.vec_id < b.vec_id
+    )
+    SELECT va, vb, dot_q
+    FROM scored
+    WHERE dot_q > 0
+      AND {COSINE_DEDUP_DEN * COSINE_DEDUP_DEN} * dot_q * dot_q
+          >= {COSINE_DEDUP_NUM * COSINE_DEDUP_NUM} * na2 * nb2
+"""

@@ -43,6 +43,21 @@ def build() -> dict:
         rx.grouped_stats_orders, rx.GROUPED_STATS_SQL, "ext: multi-agg stats (A4-A6)"
     )
 
+    q["dedup_embedding_cosine"] = QuerySpec(
+        similarity.dedup_embedding_cosine,
+        similarity.DEDUP_EMBEDDING_COSINE_SQL,
+        "ext: embedding-cosine near-dup (exact integer predicate)",
+    )
+
+    # --- Pipeline composition ---
+    from . import pipeline
+
+    q["corpus_clean"] = QuerySpec(
+        pipeline.corpus_clean,
+        pipeline.CORPUS_CLEAN_SQL,
+        "ext: composed cleaning pipeline (quality → dedup → near-dup drop)",
+    )
+
     # --- Multimodal plumbing ---
     q["multimodal_meta"] = QuerySpec(
         multimodal.multimodal_meta,

@@ -1,0 +1,69 @@
+"""End-to-end training-data pipeline: the extension operators composed.
+
+``corpus_clean`` is the shape a 100 TB pre-training data job takes:
+
+    quality filter → language filter → exact dedup → near-dup removal
+    → surviving documents with their stats
+
+Each stage is one of the engine's audited operators; the composition is
+still ONE Catalyst plan (no materialization between stages), and the
+whole thing remains oracle-checkable because every stage is.
+
+Scale shape: the quality/language stages are pure maps (pushed into the
+scan); exact dedup is one digest shuffle; near-dup removal reuses the
+LSH-verified pair set (sub-quadratic) and drops the higher doc_id of each
+pair — the standard "keep first" policy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    DEDUP_MINHASH_LSH_SQL,
+    dedup_exact,
+    dedup_minhash_lsh,
+)
+from ..operators.text_analysis import (
+    TEXT_QUALITY_SQL,
+    text_quality_score,
+)
+
+
+def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surviving doc_ids after quality gate + exact dedup + near-dup drop."""
+    quality = text_quality_score(spark, sf_dir).filter(F.col("keep"))
+
+    canonical = dedup_exact(spark, sf_dir).select(
+        F.col("canonical_id").alias("doc_id")
+    )
+
+    near_dup_losers = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+
+    return (
+        quality.join(canonical, "doc_id", "left_semi")
+        .join(near_dup_losers, "doc_id", "left_anti")
+        .select("doc_id", "n_tokens", "quality")
+    )
+
+
+CORPUS_CLEAN_SQL = f"""
+    WITH quality AS (
+        SELECT doc_id, n_tokens, quality FROM ({TEXT_QUALITY_SQL}) WHERE keep
+    ),
+    canonical AS (
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    near_dup_losers AS (
+        SELECT DISTINCT doc_b AS doc_id FROM ({DEDUP_MINHASH_LSH_SQL})
+    )
+    SELECT q.doc_id, q.n_tokens, q.quality
+    FROM quality q
+    WHERE EXISTS (SELECT 1 FROM canonical c WHERE c.doc_id = q.doc_id)
+      AND NOT EXISTS (SELECT 1 FROM near_dup_losers l WHERE l.doc_id = q.doc_id)
+"""
