@@ -1,0 +1,50 @@
+"""Source/sink coverage: compressed tab-text sink (SURVEY §2.1 S6),
+partitioned parquet sink, and catalog registration (S7)."""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+from pyspark.sql import functions as F
+
+from hadoop_hive_analysis_spark.sources.catalog import load_table, register_views
+from hadoop_hive_analysis_spark.sources.sinks import write_parquet, write_tab_text
+
+
+def test_gzip_sink_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    dest = str(tmp_path / "gz")
+    write_tab_text(df, dest, compression="gzip")
+    lines = []
+    for fn in os.listdir(dest):
+        if fn.startswith("part-"):
+            assert fn.endswith(".gz")
+            with gzip.open(os.path.join(dest, fn), "rt") as fh:
+                lines += [l.rstrip("\n") for l in fh if l.strip()]
+    assert sorted(lines) == ["1\ta", "2\tb"]
+
+
+def test_partitioned_parquet_sink_prunes(spark, sf_dir, tmp_path):
+    """Partitioned layout → date-range scans touch only matching dirs —
+    the 100 TB layout for the fact table."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate")
+    )
+    dest = str(tmp_path / "part")
+    write_parquet(li, dest, partition_by=["ship_year"])
+    years = {d for d in os.listdir(dest) if d.startswith("ship_year=")}
+    assert len(years) >= 3
+    back = spark.read.parquet(dest).filter(F.col("ship_year") == 1996)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(ship_year" in plan
+    assert back.count() == li.filter(F.year("l_shipdate") == 1996).count()
+
+
+def test_register_views_exposes_all_tables(spark, sf_dir):
+    register_views(spark, sf_dir)
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        assert spark.sql(f"SELECT count(*) AS n FROM {t}").collect()[0].n > 0
