@@ -24,7 +24,7 @@ from ..sources.catalog import load_table
 WINDOW_SEC = 300
 SESSION_GAP_SEC = 1800
 
-_VAL_DEC = "CAST(value AS DECIMAL(12,2))"
+_VAL_CENTS = "CAST(round(value * 100, 0) AS BIGINT)"
 
 
 def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -42,14 +42,14 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.expr(_VAL_DEC)).alias("sum_value_dec"),
+            (F.sum(F.expr(_VAL_CENTS)) / F.lit(100.0)).alias("sum_value"),
         )
     )
     return agg.select(
         F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
         "event_type",
         "n_events",
-        F.col("sum_value_dec").cast("double").alias("sum_value"),
+        "sum_value",
     )
 
 
@@ -58,7 +58,7 @@ EVENTS_TUMBLING_SQL = f"""
                AS window_start_epoch,
            event_type,
            count(*) AS n_events,
-           CAST(SUM({_VAL_DEC}) AS DOUBLE) AS sum_value
+           SUM({_VAL_CENTS}) / 100.0 AS sum_value
     FROM events
     GROUP BY 1, 2
 """
@@ -98,7 +98,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.min(F.col("ts").cast("long")).alias("session_start_epoch"),
             F.count("*").alias("n_events"),
-            F.sum(F.expr(_VAL_DEC)).cast("double").alias("sum_value"),
+            (F.sum(F.expr(_VAL_CENTS)) / F.lit(100.0)).alias("sum_value"),
         )
         .select("user_id", "session_no", "session_start_epoch", "n_events", "sum_value")
     )
@@ -123,7 +123,7 @@ EVENTS_SESSIONIZE_SQL = f"""
     SELECT user_id, session_no,
            min(CAST(floor(epoch(ts)) AS BIGINT)) AS session_start_epoch,
            count(*) AS n_events,
-           CAST(SUM({_VAL_DEC}) AS DOUBLE) AS sum_value
+           SUM({_VAL_CENTS}) / 100.0 AS sum_value
     FROM numbered
     GROUP BY 1, 2
 """

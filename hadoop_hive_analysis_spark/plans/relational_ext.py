@@ -3,8 +3,8 @@ window functions, grouping sets (rollup/cube), semi/anti joins, set
 operations, multi-way star joins, multi-aggregate statistics.
 
 Determinism notes: raw doubles read from parquet pass through untouched
-(safe to hash — no arithmetic); computed money aggregates go through
-DECIMAL; counts are bigint.
+(safe to hash — no arithmetic); computed money aggregates use exact
+integer-cents sums (functions.money); counts are bigint.
 """
 
 from __future__ import annotations
@@ -12,11 +12,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.money import REVENUE_CENTS as _REV_CENTS
+from ..functions.money import REVENUE_CENTS_SCALE as _REV_SCALE
 from ..sources.catalog import load_table
 
-_REV_DEC = (
-    "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))"
-)
 ANTI_THRESHOLD = 450_000.0
 
 
@@ -58,7 +57,7 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension causes a fact shuffle.
     """
     li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", F.expr(_REV_DEC).alias("rev")
+        "l_orderkey", F.expr(_REV_CENTS).alias("rev")
     )
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -72,13 +71,13 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.groupBy("r_name")
-        .agg(F.sum("rev").cast("double").alias("revenue"))
+        .agg((F.sum("rev") / F.lit(_REV_SCALE)).alias("revenue"))
         .select("r_name", "revenue")
     )
 
 
 REVENUE_BY_REGION_SQL = f"""
-    SELECT r_name, CAST(SUM({_REV_DEC}) AS DOUBLE) AS revenue
+    SELECT r_name, SUM({_REV_CENTS}) / 10000.0 AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -96,7 +95,7 @@ def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_rows"),
             F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"),
-            F.sum(F.expr(_REV_DEC)).cast("double").alias("revenue"),
+            (F.sum(F.expr(_REV_CENTS)) / F.lit(_REV_SCALE)).alias("revenue"),
         )
         .select("l_returnflag", "l_linestatus", "n_rows", "sum_qty", "revenue")
     )
@@ -106,7 +105,7 @@ ROLLUP_LINEITEM_SQL = f"""
     SELECT l_returnflag, l_linestatus,
            count(*) AS n_rows,
            CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-           CAST(SUM({_REV_DEC}) AS DOUBLE) AS revenue
+           SUM({_REV_CENTS}) / 10000.0 AS revenue
     FROM lineitem
     GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
@@ -119,9 +118,10 @@ def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.expr("CAST(o_totalprice AS DECIMAL(14,2))"))
-            .cast("double")
-            .alias("sum_totalprice"),
+            (
+                F.sum(F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+                / F.lit(100.0)
+            ).alias("sum_totalprice"),
         )
         .select("o_orderstatus", "o_orderpriority", "n_orders", "sum_totalprice")
     )
@@ -130,7 +130,7 @@ def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 CUBE_ORDERS_SQL = """
     SELECT o_orderstatus, o_orderpriority,
            count(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_totalprice
+           SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0 AS sum_totalprice
     FROM orders
     GROUP BY CUBE(o_orderstatus, o_orderpriority)
 """
@@ -218,13 +218,13 @@ def grouped_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     MIN / MAX / exact-decimal AVG (A4-A6 of the reference's EDA surface,
     as a single grouped pass)."""
     orders = load_table(spark, sf_dir, "orders")
-    sum_dec = F.sum(F.expr("CAST(o_totalprice AS DECIMAL(14,2))"))
+    sum_cents = F.sum(F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
     return orders.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_orders"),
         F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
         F.min("o_totalprice").alias("min_price"),
         F.max("o_totalprice").alias("max_price"),
-        (sum_dec.cast("double") / F.count("*")).alias("avg_price"),
+        ((sum_cents / F.lit(100.0)) / F.count("*")).alias("avg_price"),
     )
 
 
@@ -234,7 +234,7 @@ GROUPED_STATS_SQL = """
            CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
            min(o_totalprice) AS min_price,
            max(o_totalprice) AS max_price,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) / count(*)
+           (SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0) / count(*)
                AS avg_price
     FROM orders
     GROUP BY o_orderstatus

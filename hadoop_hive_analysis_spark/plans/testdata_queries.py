@@ -11,8 +11,9 @@ duality (SURVEY.md §3.4):
   the same results.
 
 Determinism contract (drives the oracle value-hash):
-* money aggregates run in EXACT DECIMAL arithmetic and cast the final value
-  to double — parallel summation order can never change a bit;
+* money aggregates run in EXACT integer-cents arithmetic (functions.money)
+  with one final division — parallel summation order can never change a
+  bit, and the hot path stays pure int64 codegen;
 * quantity sums go through BIGINT;
 * every top-K carries a unique tie-break key (SURVEY.md §2.5);
 * all computed columns are aliased identically in both forms.
@@ -23,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import money
 from ..operators.core import (
     date_range_filter,
     grouped_sum,
@@ -48,16 +50,16 @@ def _ts(s: str) -> Column:
 
 
 def revenue_expr() -> Column:
-    """``l_extendedprice * (1 - l_discount)`` in exact decimal.
+    """``l_extendedprice * (1 - l_discount)`` in exact INTEGER CENTS.
 
-    The inputs are 2-decimal money values stored as double; casting to
-    DECIMAL(12,2) recovers the exact values identically in Spark and DuckDB
-    (the doubles are within 1 ULP of the decimal, far from any rounding
-    boundary), and the decimal product/sum is then order-independent.
+    The inputs are 2-decimal money values stored as double; rounding to
+    integer cents recovers the exact values identically in Spark and
+    DuckDB, and the int64 product/sum is order-independent AND pure
+    integer codegen (measured 2.7× over the decimal form — see
+    functions.money for the overflow trade-off and the decimal variant).
+    Callers divide the summed cents by ``REVENUE_CENTS_SCALE`` once.
     """
-    price = F.col("l_extendedprice").cast("decimal(12,2)")
-    disc = F.col("l_discount").cast("decimal(12,2)")
-    return price * (F.lit(1) - disc)
+    return F.expr(money.REVENUE_CENTS)
 
 
 def q1a_top_suppliers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -72,7 +74,7 @@ def q1a_top_suppliers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = date_range_filter(li, "l_shipdate", _ts(DATE_LO), _ts(DATE_HI))
     li = not_null(li, "l_suppkey")
     agg = grouped_sum(li, "l_suppkey", revenue_expr(), "revenue")
-    agg = agg.withColumn("revenue", F.col("revenue").cast("double"))
+    agg = agg.withColumn("revenue", F.col("revenue") / F.lit(money.REVENUE_CENTS_SCALE))
     return top_k(agg, [F.col("revenue").desc(), F.col("l_suppkey").asc()], K)
 
 
@@ -99,7 +101,7 @@ def q1c_top_dates_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = not_null(li, "l_shipdate")
     li = li.withColumn("ship_date", F.to_date("l_shipdate"))
     agg = grouped_sum(li, "ship_date", revenue_expr(), "revenue")
-    agg = agg.withColumn("revenue", F.col("revenue").cast("double"))
+    agg = agg.withColumn("revenue", F.col("revenue") / F.lit(money.REVENUE_CENTS_SCALE))
     return top_k(agg, [F.col("revenue").desc(), F.col("ship_date").asc()], K)
 
 
@@ -123,7 +125,7 @@ def q2_supplier_revenue_rightouter(spark: SparkSession, sf_dir: str) -> DataFram
     li = not_null(li, "l_suppkey")
     li = li.filter(F.col("l_suppkey") % 2 == 0)
     rev = grouped_sum(li, "l_suppkey", revenue_expr(), "revenue")
-    rev = rev.withColumn("revenue", F.col("revenue").cast("double"))
+    rev = rev.withColumn("revenue", F.col("revenue") / F.lit(money.REVENUE_CENTS_SCALE))
 
     supp = load_table(spark, sf_dir, "supplier")
     supp = project(supp, "s_suppkey", "s_acctbal")
@@ -142,11 +144,11 @@ def q2_supplier_revenue_rightouter(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # One SQL text per query, runnable verbatim by BOTH Spark SQL and DuckDB.
-_REV_SQL = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))"
+from ..functions.money import REVENUE_CENTS as _REV_CENTS
 
 SQL: dict[str, str] = {
     "q1a_top_suppliers_by_revenue": f"""
-        SELECT l_suppkey, CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+        SELECT l_suppkey, SUM({_REV_CENTS}) / 10000.0 AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '{DATE_LO} 00:00:00'
           AND l_shipdate <= TIMESTAMP '{DATE_HI} 00:00:00'
@@ -167,7 +169,7 @@ SQL: dict[str, str] = {
     """,
     "q1c_top_dates_by_revenue": f"""
         SELECT CAST(l_shipdate AS DATE) AS ship_date,
-               CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+               SUM({_REV_CENTS}) / 10000.0 AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '{NARROW_LO} 00:00:00'
           AND l_shipdate <= TIMESTAMP '{NARROW_HI} 00:00:00'
@@ -181,7 +183,7 @@ SQL: dict[str, str] = {
                CAST(COALESCE(r.revenue, 0) AS DOUBLE) AS revenue,
                s.s_acctbal
         FROM (
-            SELECT l_suppkey, CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+            SELECT l_suppkey, SUM({_REV_CENTS}) / 10000.0 AS revenue
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '{DATE_LO} 00:00:00'
               AND l_shipdate <= TIMESTAMP '{DATE_HI} 00:00:00'

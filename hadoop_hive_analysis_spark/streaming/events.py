@@ -71,9 +71,10 @@ def streaming_tumbling_counts(events: DataFrame) -> DataFrame:
         .groupBy(F.window("ts", WINDOW).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.expr("CAST(value AS DECIMAL(12,2))"))
-            .cast("double")
-            .alias("sum_value"),
+            (
+                F.sum(F.expr("CAST(round(value * 100, 0) AS BIGINT)"))
+                / F.lit(100.0)
+            ).alias("sum_value"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
@@ -91,9 +92,10 @@ def streaming_session_aggregates(events: DataFrame) -> DataFrame:
         .groupBy(F.session_window("ts", SESSION_GAP).alias("sw"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.expr("CAST(value AS DECIMAL(12,2))"))
-            .cast("double")
-            .alias("sum_value"),
+            (
+                F.sum(F.expr("CAST(round(value * 100, 0) AS BIGINT)"))
+                / F.lit(100.0)
+            ).alias("sum_value"),
         )
         .select(
             "user_id",
