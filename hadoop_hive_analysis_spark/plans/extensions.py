@@ -58,6 +58,25 @@ def build() -> dict:
         "ext: composed cleaning pipeline (quality → dedup → near-dup drop)",
     )
 
+    # --- Skew handling + sketches ---
+    from ..operators import sketches, skew
+
+    q["events_value_by_user_salted"] = QuerySpec(
+        skew.events_value_by_user_salted,
+        skew.EVENTS_SALTED_SQL,
+        "ext: salted two-phase aggregation == plain GROUP BY",
+    )
+    q["eda_sketch_profile"] = QuerySpec(
+        sketches.eda_sketch_profile,
+        None,  # HLL/quantile estimates are engine-specific
+        "ext: one-pass sketch EDA (A4-A6 at scale)",
+    )
+    q["daily_distinct_users_hll"] = QuerySpec(
+        sketches.daily_distinct_users_hll,
+        None,
+        "ext: re-aggregatable HLL distinct rollup",
+    )
+
     # --- Multimodal plumbing ---
     q["multimodal_meta"] = QuerySpec(
         multimodal.multimodal_meta,
