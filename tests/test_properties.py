@@ -1,0 +1,158 @@
+"""Property-based differential tests (hypothesis): random inputs, engine
+results checked against pure-Python reference implementations — the
+randomized extension of the reference's Hadoop-vs-Hive cross-checking.
+
+Example counts are small (each example runs Spark jobs) but the inputs
+cover the awkward space: NULL keys, negative/tied values, empty groups,
+single-row groups, duplicate timestamps.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from hadoop_hive_analysis_spark.operators.core import grouped_sum, not_null, top_k
+
+_SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=5)),  # key
+        st.integers(min_value=-1000, max_value=1000),  # measure (cents)
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+@given(rows=rows_strategy, k=st.integers(min_value=1, max_value=6))
+@settings(**_SETTINGS)
+def test_grouped_sum_topk_matches_python(spark, rows, k):
+    schema = StructType(
+        [StructField("key", IntegerType()), StructField("m", LongType())]
+    )
+    df = spark.createDataFrame([(a, int(b)) for a, b in rows], schema)
+    out = top_k(
+        grouped_sum(not_null(df, "key"), "key", "m", "total"),
+        [F.col("total").desc(), F.col("key").asc()],
+        k,
+    ).collect()
+
+    sums: dict[int, int] = defaultdict(int)
+    for key, m in rows:
+        if key is not None:
+            sums[key] += m
+    want = sorted(sums.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    assert [(r.key, r.total) for r in out] == want
+
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # user
+        st.integers(min_value=0, max_value=50_000),  # epoch seconds
+    ),
+    min_size=1,
+    max_size=40,
+    unique=True,
+)
+
+
+@given(events=events_strategy)
+@settings(**_SETTINGS)
+def test_sessionize_matches_python(spark, events):
+    """The lag/cumsum sessionization must agree with the obvious
+    sequential-scan definition for any event set."""
+    from pyspark.sql import Window
+
+    gap = 1800
+    schema = StructType(
+        [StructField("user_id", IntegerType()), StructField("epoch", LongType())]
+    )
+    df = spark.createDataFrame([(u, int(t)) for u, t in events], schema)
+    order = Window.partitionBy("user_id").orderBy("epoch")
+    flagged = df.withColumn(
+        "is_new",
+        F.when(
+            (F.col("epoch") - F.lag("epoch").over(order) > gap)
+            | F.lag("epoch").over(order).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    got = (
+        flagged.withColumn(
+            "session_no",
+            F.sum("is_new").over(
+                order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_no")
+        .agg(F.min("epoch").alias("start"), F.count("*").alias("n"))
+        .collect()
+    )
+    got_sessions = sorted((r.user_id, r.start, r.n) for r in got)
+
+    # reference: sequential scan per user
+    want_sessions = []
+    by_user: dict[int, list[int]] = defaultdict(list)
+    for u, t in events:
+        by_user[u].append(t)
+    for u, ts in by_user.items():
+        ts.sort()
+        start, n, prev = ts[0], 0, None
+        for t in ts:
+            if prev is not None and t - prev > gap:
+                want_sessions.append((u, start, n))
+                start, n = t, 0
+            n += 1
+            prev = t
+        want_sessions.append((u, start, n))
+    assert got_sessions == sorted(want_sessions)
+
+
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=30), min_size=2, max_size=8
+    )
+)
+@settings(**_SETTINGS)
+def test_minhash_identical_sets_get_identical_signatures(spark, docs):
+    """Docs with identical shingle sets must receive identical MinHash
+    signatures (the guarantee LSH banding relies on)."""
+    from hadoop_hive_analysis_spark.functions.hashing import (
+        h31,
+        minhash_expr,
+        minhash_params,
+    )
+    from hadoop_hive_analysis_spark.functions.text import with_shingles
+
+    data = [(i, t) for i, t in enumerate(docs)] + [
+        (100 + i, t) for i, t in enumerate(docs)  # exact duplicates
+    ]
+    df = spark.createDataFrame(data, ["doc_id", "text"])
+    sh = with_shingles(df, "text", 2).select("doc_id", "shingle")
+    sh = sh.withColumn("h31", h31(F.col("shingle")))
+    params = minhash_params(4)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(minhash_expr(F.col("h31"), a, b)).alias(f"mh_{j}")
+            for j, (a, b) in enumerate(params)
+        ]
+    )
+    rows = {r.doc_id: (r.mh_0, r.mh_1, r.mh_2, r.mh_3) for r in sig.collect()}
+    for i, t in enumerate(docs):
+        if i in rows or (100 + i) in rows:
+            assert rows.get(i) == rows.get(100 + i), (i, t)
