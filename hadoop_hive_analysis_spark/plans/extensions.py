@@ -43,6 +43,24 @@ def build() -> dict:
         rx.grouped_stats_orders, rx.GROUPED_STATS_SQL, "ext: multi-agg stats (A4-A6)"
     )
 
+    # SQL duals for the relational extensions whose text is portable
+    # (parses in Spark SQL and DuckDB alike) — entry point 2 coverage.
+    from .testdata_queries import make_raw_sql_runner
+
+    for name, sql in [
+        ("window_rank_orders", rx.WINDOW_RANK_SQL),
+        ("revenue_by_region", rx.REVENUE_BY_REGION_SQL),
+        ("rollup_lineitem", rx.ROLLUP_LINEITEM_SQL),
+        ("cube_orders", rx.CUBE_ORDERS_SQL),
+        ("semi_join_customers", rx.SEMI_JOIN_SQL),
+        ("anti_join_customers", rx.ANTI_JOIN_SQL),
+        ("setop_nations", rx.SETOP_NATIONS_SQL),
+        ("grouped_stats_orders", rx.GROUPED_STATS_SQL),
+    ]:
+        q[f"{name}_sql"] = QuerySpec(
+            make_raw_sql_runner(name, sql), sql, f"S7 + dual of {name}", bench=False
+        )
+
     q["dedup_embedding_cosine"] = QuerySpec(
         similarity.dedup_embedding_cosine,
         similarity.DEDUP_EMBEDDING_COSINE_SQL,

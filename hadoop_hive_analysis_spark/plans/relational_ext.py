@@ -234,8 +234,8 @@ GROUPED_STATS_SQL = """
            CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
            min(o_totalprice) AS min_price,
            max(o_totalprice) AS max_price,
-           (SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0) / count(*)
-               AS avg_price
+           CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0
+                AS DOUBLE) / count(*) AS avg_price
     FROM orders
     GROUP BY o_orderstatus
 """

@@ -199,6 +199,18 @@ SQL: dict[str, str] = {
 }
 
 
+def make_raw_sql_runner(name: str, sql: str):
+    """SQL dual from an explicit portable SQL text (extension queries)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(sql)
+
+    run.__name__ = f"{name}_sql"
+    run.__doc__ = f"Spark-SQL dual of {name} (same text as the DuckDB oracle)."
+    return run
+
+
 def make_sql_runner(name: str):
     """Build the ``*_sql`` dual: run the SAME text through Spark SQL.
 
