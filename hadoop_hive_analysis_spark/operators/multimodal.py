@@ -126,3 +126,44 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return d.mapInPandas(decode, DECODE_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = "doc_id long, frame_idx int, frame_md5 string"
+N_FRAMES_SAMPLED = 4
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing for video-like payloads (stubbed decoder).
+
+    Treats the payload as a virtual frame sequence (1 frame per 64 bytes),
+    samples N evenly-spaced frame indices, and emits a digest per sampled
+    frame — the exact shape a video pipeline needs (decode → sample →
+    per-frame features), with the codec stub swapped for ffmpeg in a real
+    deployment. One row per (doc, sampled frame); schema declared up
+    front; closure self-contained.
+    """
+    import pandas as pd
+
+    d = with_payload(load_table(spark, sf_dir, "documents")).select("doc_id", "payload")
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        def frames(payload: bytes):
+            n_frames = max(1, len(payload) // 64)
+            step = max(1, n_frames // N_FRAMES_SAMPLED)
+            idxs = list(range(0, n_frames, step))[:N_FRAMES_SAMPLED]
+            for i in idxs:
+                chunk = payload[i * 64 : (i + 1) * 64]
+                yield i, hashlib.md5(chunk).hexdigest()
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_md5": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for i, digest in frames(payload):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_md5"].append(digest)
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(sample, FRAME_SAMPLE_SCHEMA)

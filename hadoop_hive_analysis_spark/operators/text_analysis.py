@@ -31,11 +31,18 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     t = tokens("text")
+    # BPE-style pre-tokenizer classes (letters | digits | other-symbol runs)
+    # — the regex is deliberately flavor-neutral (identical under Java
+    # regex and RE2) so both engines count the same tokens.
+    bpe_pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
     return d.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars_m"),
         F.size(t).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(t)).cast("long").alias("n_distinct"),
+        F.expr(f"size(regexp_extract_all(text, '{bpe_pat}', 0))")
+        .cast("long")
+        .alias("n_bpe_ish"),
         (
             F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / F.size(t)
         ).alias("mean_tok_len"),
@@ -48,6 +55,8 @@ TEXT_TOKEN_STATS_SQL = r"""
            CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
            CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS BIGINT)
                AS n_distinct,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+               AS BIGINT) AS n_bpe_ish,
            length(replace(text, ' ', ''))
                / len(string_split_regex(text, '\s+')) AS mean_tok_len
     FROM documents

@@ -106,6 +106,11 @@ def build() -> dict:
         None,  # mapInPandas decode path — no SQL equivalent
         "ext: Arrow-batched decode/feature extraction (stubbed decoder)",
     )
+    q["multimodal_frame_sample"] = QuerySpec(
+        multimodal.multimodal_frame_sample,
+        None,
+        "ext: frame sampling over video-like payloads (stubbed codec)",
+    )
 
     # --- Similarity search (embeddings) ---
     q["ann_bruteforce_topk"] = QuerySpec(
