@@ -142,42 +142,24 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     DuckDB oracle: native ``ASOF JOIN``.
     """
+    from .asof import asof_join
+
     ev = load_table(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id",
-        F.col("ts").alias("ets"),
-        F.struct(F.col("ts"), F.col("event_id")).alias("click_info"),
-        F.lit(None).cast("long").alias("purchase_id"),
-    )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        F.col("ts").alias("ets"),
-        F.lit(None)
-        .cast("struct<ts:timestamp,event_id:bigint>")
-        .alias("click_info"),
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        purchases, clicks, on="ts", by="user_id", right_cols=["event_id", "ts"]
+    )
+    return joined.select(
         F.col("event_id").alias("purchase_id"),
-    )
-    # Clicks sort before purchases at identical ts (tag 0 < 1): "at-or-before".
-    tagged = clicks.withColumn("tag", F.lit(0)).unionByName(
-        purchases.withColumn("tag", F.lit(1))
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ets", "tag", "purchase_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = tagged.withColumn(
-        "last_click", F.last("click_info", ignorenulls=True).over(w)
-    )
-    return (
-        carried.filter(F.col("purchase_id").isNotNull() & F.col("last_click").isNotNull())
-        .select(
-            F.col("purchase_id"),
-            "user_id",
-            F.col("ets").cast("long").alias("purchase_epoch"),
-            F.col("last_click.event_id").alias("click_id"),
-            F.col("last_click.ts").cast("long").alias("click_epoch"),
-        )
+        "user_id",
+        F.col("ts").cast("long").alias("purchase_epoch"),
+        F.col("event_id_right").alias("click_id"),
+        F.col("ts_right").cast("long").alias("click_epoch"),
     )
 
 

