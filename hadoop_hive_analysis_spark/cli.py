@@ -48,6 +48,9 @@ def main(argv: list[str] | None = None) -> int:
     runp.add_argument("query")
     runp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     runp.add_argument("--show", type=int, default=20)
+    runp.add_argument(
+        "--explain", action="store_true", help="print the formatted physical plan"
+    )
 
     sub.add_parser("list", help="list registry queries")
 
@@ -69,7 +72,10 @@ def main(argv: list[str] | None = None) -> int:
             if args.query not in QUERIES:
                 print(f"unknown query {args.query!r}; see `list`", file=sys.stderr)
                 return 2
-            QUERIES[args.query].fn(spark, args.sf_dir).show(args.show, truncate=False)
+            df = QUERIES[args.query].fn(spark, args.sf_dir)
+            if args.explain:
+                df.explain("formatted")
+            df.show(args.show, truncate=False)
             return 0
 
         from .plans import reference_queries as rq

@@ -2,8 +2,16 @@
 
 ``core`` re-expresses every relational operator of the reference
 (SURVEY.md §2) as composable DataFrame functions; the sibling modules add
-the large-scale pipeline surface (dedup, similarity, text, sessionization,
-as-of joins, multimodal plumbing) beyond reference parity.
+the large-scale pipeline surface beyond reference parity:
+
+* ``dedup`` — exact / n-gram Jaccard / MinHash+LSH / SimHash
+* ``similarity`` — brute-force & LSH ANN, embedding-cosine near-dup
+* ``text_analysis`` — token stats, quality, language ID, fingerprints
+* ``events`` — tumbling windows, sessionization, as-of join (batch)
+* ``asof`` — generic as-of join (columnar + pandas merge_asof forms)
+* ``skew`` — salted two-phase aggregation
+* ``sketches`` — approx/HLL profiling (EDA at scale)
+* ``multimodal`` — binary payload columns, Arrow-batched decode stubs
 """
 
 from .core import (
