@@ -54,6 +54,21 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("list", help="list registry queries")
 
+    ing = sub.add_parser(
+        "ingest",
+        help="convert pipe-delimited store_sales/store .dat to parquet "
+        "(the migration on-ramp from the reference's HDFS text layout)",
+    )
+    ing.add_argument("table", choices=["store_sales", "store"])
+    ing.add_argument("--input", required=True)
+    ing.add_argument("--output", required=True)
+    ing.add_argument(
+        "--partition-by-date",
+        action="store_true",
+        help="partition store_sales by ss_sold_date_sk (enables partition "
+        "pruning for the date-bounded query pack)",
+    )
+
     args = ap.parse_args(argv)
 
     if args.cmd == "list":
@@ -81,6 +96,21 @@ def main(argv: list[str] | None = None) -> int:
         from .plans import reference_queries as rq
         from .sources.csv import read_store, read_store_sales
         from .sources.sinks import write_parquet, write_tab_text
+
+        if args.cmd == "ingest":
+            df = (
+                read_store_sales(spark, args.input)
+                if args.table == "store_sales"
+                else read_store(spark, args.input)
+            )
+            part = (
+                ["ss_sold_date_sk"]
+                if (args.table == "store_sales" and args.partition_by_date)
+                else None
+            )
+            write_parquet(df, args.output, partition_by=part)
+            print(f"wrote {spark.read.parquet(args.output).count()} rows")
+            return 0
 
         sales = read_store_sales(spark, args.input)
         if args.cmd == "q1a":
