@@ -150,19 +150,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     join then removes any false positives.
     """
     sig = _minhash_signature(spark, sf_dir)
-    bands = []
+    # ONE signature pass: bands come from exploding an array of structs.
+    # A unionAll of per-band selects would re-execute the signature
+    # aggregation once per band (Catalyst does not dedupe common subplans).
     n_bands = NUM_HASHES // BAND_SIZE
+    band_structs = []
     for band in range(n_bands):
         members = [F.col(f"mh_{band * BAND_SIZE + r}") for r in range(BAND_SIZE)]
         key = F.concat_ws(",", *[m.cast("string") for m in members])
-        bands.append(
-            sig.select(
-                "doc_id", F.lit(band).alias("band"), key.alias("band_sig")
-            )
-        )
-    banded = bands[0]
-    for b in bands[1:]:
-        banded = banded.unionAll(b)
+        band_structs.append(F.struct(F.lit(band).alias("band"), key.alias("band_sig")))
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("b")
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.band_sig").alias("band_sig"))
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -285,17 +284,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (doc_a, doc_b, hamming).
     """
     sig = _simhash_df(spark, sf_dir)
-    chunks = []
-    for c in range(4):
-        chunk = F.shiftright(F.col("simhash"), c * 8).bitwiseAND(F.lit(255))
-        chunks.append(
-            sig.select(
-                "doc_id", "simhash", F.lit(c).alias("chunk"), chunk.alias("ckey")
-            )
+    # Single signature pass (explode band structs — see dedup_minhash_lsh).
+    chunk_structs = [
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.shiftright(F.col("simhash"), c * 8).bitwiseAND(F.lit(255)).alias("ckey"),
         )
-    banded = chunks[0]
-    for c in chunks[1:]:
-        banded = banded.unionAll(c)
+        for c in range(4)
+    ]
+    banded = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*chunk_structs)).alias("b")
+    ).select(
+        "doc_id", "simhash", F.col("b.chunk").alias("chunk"), F.col("b.ckey").alias("ckey")
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
