@@ -118,7 +118,9 @@ def q2_store_profit_employees(
 def q1a_sql(k: int, date_lo: int, date_hi: int, table: str = "store_sales") -> str:
     """SQL dual of q1a — the engine's second entry point (SURVEY.md §3.4),
     mirroring the reference's Hadoop/Hive duality with zero duplicated
-    logic differences: Catalyst compiles both to the same plan."""
+    logic differences: Catalyst compiles both to the same plan. The SQL
+    text matches the HiveQL of Software Documentation.pdf p.1 modulo the
+    deterministic tie-break."""
     return f"""
         SELECT ss_store_sk, SUM(ss_net_profit) AS net_profit
         FROM {table}
@@ -126,5 +128,57 @@ def q1a_sql(k: int, date_lo: int, date_hi: int, table: str = "store_sales") -> s
           AND ss_store_sk IS NOT NULL AND ss_net_profit IS NOT NULL
         GROUP BY ss_store_sk
         ORDER BY net_profit DESC, ss_store_sk ASC
+        LIMIT {k}
+    """
+
+
+def q1b_sql(k: int, date_lo: int, date_hi: int, table: str = "store_sales") -> str:
+    """SQL dual of q1b (HiveQL at Software Documentation.pdf p.2)."""
+    return f"""
+        SELECT ss_item_sk, SUM(ss_quantity) AS total_quantity
+        FROM {table}
+        WHERE ss_sold_date_sk >= {date_lo} AND ss_sold_date_sk <= {date_hi}
+          AND ss_item_sk IS NOT NULL
+        GROUP BY ss_item_sk
+        ORDER BY total_quantity DESC, ss_item_sk ASC
+        LIMIT {k}
+    """
+
+
+def q1c_sql(k: int, date_lo: int, date_hi: int, table: str = "store_sales") -> str:
+    """SQL dual of q1c (HiveQL at Software Documentation.pdf p.3)."""
+    return f"""
+        SELECT ss_sold_date_sk, SUM(ss_net_profit) AS net_profit
+        FROM {table}
+        WHERE ss_sold_date_sk >= {date_lo} AND ss_sold_date_sk <= {date_hi}
+          AND ss_sold_date_sk IS NOT NULL
+        GROUP BY ss_sold_date_sk
+        ORDER BY net_profit DESC, ss_sold_date_sk ASC
+        LIMIT {k}
+    """
+
+
+def q2_sql(
+    k: int,
+    date_lo: int,
+    date_hi: int,
+    sales_table: str = "store_sales",
+    store_table: str = "store",
+) -> str:
+    """SQL dual of q2 — subquery + RIGHT OUTER JOIN + COALESCE, key-asc
+    LIMIT (HiveQL at Software Documentation.pdf p.5)."""
+    return f"""
+        SELECT b.s_store_sk, COALESCE(a.net_profit, 0) AS net_profit,
+               b.s_number_employees
+        FROM (
+            SELECT ss_store_sk, SUM(ss_net_profit) AS net_profit
+            FROM {sales_table}
+            WHERE ss_sold_date_sk >= {date_lo} AND ss_sold_date_sk <= {date_hi}
+              AND ss_store_sk IS NOT NULL
+            GROUP BY ss_store_sk
+        ) a
+        RIGHT OUTER JOIN {store_table} b ON a.ss_store_sk = b.s_store_sk
+        WHERE b.s_number_employees IS NOT NULL
+        ORDER BY b.s_store_sk ASC
         LIMIT {k}
     """

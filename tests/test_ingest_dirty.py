@@ -123,3 +123,30 @@ def test_tab_text_sink_roundtrip(spark, fixture_paths, tmp_path):
             with open(os.path.join(dest, fn)) as fh:
                 lines += [l.rstrip("\n") for l in fh if l.strip()]
     assert sorted(lines) == sorted(["3\t100.00", "1\t15.75", "2\t-3.00"])
+
+
+def test_all_native_sql_duals_match_dataframe(spark, fixture_paths):
+    """Complete §3.4 duality on the native schema: all four reference
+    queries produce identical results through SQL and DataFrame forms."""
+    from hadoop_hive_analysis_spark.plans.reference_queries import (
+        q1b_sql,
+        q1b_top_items_by_quantity,
+        q1c_sql,
+        q1c_top_dates_by_profit,
+        q2_sql,
+    )
+
+    sales_path, store_path = fixture_paths
+    sales = read_store_sales(spark, sales_path)
+    store = read_store(spark, store_path)
+    sales.createOrReplaceTempView("store_sales")
+    store.createOrReplaceTempView("store")
+
+    for sql, df in [
+        (q1b_sql(10, 2450000, 2452000), q1b_top_items_by_quantity(sales, 10, 2450000, 2452000)),
+        (q1c_sql(10, 2450000, 2452000), q1c_top_dates_by_profit(sales, 10, 2450000, 2452000)),
+        (q2_sql(10, 2450000, 2452000), q2_store_profit_employees(sales, store, 10, 2450000, 2452000)),
+    ]:
+        got_sql = [tuple(r) for r in spark.sql(sql).collect()]
+        got_df = [tuple(r) for r in df.collect()]
+        assert got_sql == got_df, sql

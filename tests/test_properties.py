@@ -156,3 +156,55 @@ def test_minhash_identical_sets_get_identical_signatures(spark, docs):
     for i, t in enumerate(docs):
         if i in rows or (100 + i) in rows:
             assert rows.get(i) == rows.get(100 + i), (i, t)
+
+
+asof_strategy = st.tuples(
+    st.lists(  # left: (id, user, t)
+        st.tuples(st.integers(0, 2), st.integers(0, 10_000)),
+        min_size=1,
+        max_size=25,
+    ),
+    st.lists(  # right: (id, user, t)
+        st.tuples(st.integers(0, 2), st.integers(0, 10_000)),
+        min_size=1,
+        max_size=25,
+    ),
+)
+
+
+@given(data=asof_strategy)
+@settings(**_SETTINGS)
+def test_asof_join_matches_python_bisect(spark, data):
+    """The union-and-carry-forward as-of join must agree with the obvious
+    bisect definition for any input, including ties at identical
+    timestamps ("at-or-before" keeps the equal-time right row)."""
+    import bisect
+
+    from hadoop_hive_analysis_spark.operators.asof import asof_join
+
+    lrows, rrows = data
+    # unique timestamps per (user, side-slot) are NOT required; dedupe
+    # exact (user, t) duplicates on the right to keep the match unique.
+    rrows = list({(u, t) for u, t in rrows})
+    left = spark.createDataFrame(
+        [(i, u, t) for i, (u, t) in enumerate(lrows)], ["lid", "user_id", "t"]
+    )
+    right = spark.createDataFrame(
+        [(1000 + i, u, t) for i, (u, t) in enumerate(rrows)],
+        ["rid", "user_id", "t"],
+    )
+    out = asof_join(left, right, on="t", by="user_id", right_cols=["rid", "t"])
+    got = sorted((r.lid, r.rid) for r in out.collect())
+
+    by_user = {}
+    for i, (u, t) in enumerate(rrows):
+        by_user.setdefault(u, []).append((t, 1000 + i))
+    for u in by_user:
+        by_user[u].sort()
+    want = []
+    for i, (u, t) in enumerate(lrows):
+        cands = by_user.get(u, [])
+        pos = bisect.bisect_right([c[0] for c in cands], t)
+        if pos:
+            want.append((i, cands[pos - 1][1]))
+    assert got == sorted(want)
