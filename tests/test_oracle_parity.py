@@ -34,3 +34,18 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_staged_pipeline_equals_fused(spark, sf_dir, tmp_path):
+    """Materialize-and-reuse staging must not change results."""
+    from hadoop_hive_analysis_spark.plans.pipeline import (
+        corpus_clean,
+        corpus_clean_staged,
+    )
+
+    fused = sorted(tuple(r) for r in corpus_clean(spark, sf_dir).collect())
+    staged = sorted(
+        tuple(r)
+        for r in corpus_clean_staged(spark, sf_dir, str(tmp_path / "stage")).collect()
+    )
+    assert fused == staged
