@@ -1,0 +1,122 @@
+"""Hierarchical time rollups, pivot, and semi-structured extraction.
+
+``events_hierarchical_rollup`` is the continuous-aggregate /
+hypertable-rollup pattern: a fine-grained (hourly) aggregate is computed
+once and the coarse (daily) answer RE-AGGREGATES the hourly partials
+instead of rescanning raw events — valid because count/sum are
+associative. At 100 TB the hourly table is materialized incrementally
+(see streaming foreachBatch) and every coarser rollup reads it, never the
+raw stream. The oracle computes daily directly from raw rows, proving the
+two routes agree exactly.
+
+``events_pivot_by_type`` re-shapes long→wide with the native pivot
+operator (one aggregation pass); the oracle uses portable conditional
+aggregation.
+
+``events_props_extract`` parses the semi-structured ``props`` JSON column
+JVM-side (``get_json_object``) — the schema-on-use path for ragged
+payload columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+
+_VAL_CENTS = "CAST(round(value * 100, 0) AS BIGINT)"
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily totals computed FROM hourly partials (associative rollup)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.withColumn("hour", F.date_trunc("hour", "ts"))
+        .groupBy("hour", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.expr(_VAL_CENTS)).alias("cents"),
+        )
+    )
+    daily = (
+        hourly.withColumn("day", F.to_date("hour"))
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            (F.sum("cents") / F.lit(100.0)).alias("sum_value"),
+        )
+    )
+    return daily.select("day", "event_type", "n_events", "sum_value")
+
+
+EVENTS_HIERARCHICAL_ROLLUP_SQL = f"""
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           count(*) AS n_events,
+           SUM({_VAL_CENTS}) / 100.0 AS sum_value
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
+def events_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-user table: one count column per event type (native
+    ``pivot`` with explicit value list — never let pivot discover values
+    at scale, that is a full extra pass)."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+    )
+    return wide.select(
+        "user_id", *[F.col(t).cast("long").alias(f"n_{t}") for t in EVENT_TYPES]
+    )
+
+
+EVENTS_PIVOT_SQL = f"""
+    SELECT user_id,
+           {", ".join(
+               f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}"
+               for t in EVENT_TYPES
+           )}
+    FROM events
+    GROUP BY user_id
+"""
+
+
+def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the ``props`` JSON column and
+    aggregate on the extracted field — all JVM-side (`get_json_object`),
+    no Python."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_with_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+EVENTS_PROPS_SQL = """
+    SELECT event_type,
+           count(*) AS n_with_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           min(k) AS min_k,
+           max(k) AS max_k
+    FROM (
+        SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        FROM events
+    )
+    WHERE k IS NOT NULL
+    GROUP BY event_type
+"""

@@ -76,6 +76,25 @@ def build() -> dict:
         "ext: composed cleaning pipeline (quality → dedup → near-dup drop)",
     )
 
+    # --- Rollups / pivot / semi-structured ---
+    from ..operators import rollups
+
+    q["events_hierarchical_rollup"] = QuerySpec(
+        rollups.events_hierarchical_rollup,
+        rollups.EVENTS_HIERARCHICAL_ROLLUP_SQL,
+        "ext: continuous-aggregate rollup (daily from hourly partials)",
+    )
+    q["events_pivot_by_type"] = QuerySpec(
+        rollups.events_pivot_by_type,
+        rollups.EVENTS_PIVOT_SQL,
+        "ext: pivot long→wide",
+    )
+    q["events_props_extract"] = QuerySpec(
+        rollups.events_props_extract,
+        rollups.EVENTS_PROPS_SQL,
+        "ext: JSON property extraction (schema-on-use)",
+    )
+
     # --- Skew handling + sketches ---
     from ..operators import sketches, skew
 
