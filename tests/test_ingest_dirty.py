@@ -150,3 +150,30 @@ def test_all_native_sql_duals_match_dataframe(spark, fixture_paths):
         got_sql = [tuple(r) for r in spark.sql(sql).collect()]
         got_df = [tuple(r) for r in df.collect()]
         assert got_sql == got_df, sql
+
+
+def test_observation_metrics_ride_the_query_job(spark, fixture_paths):
+    """Dirty-row taxonomy counts come out of the SAME action that runs
+    the query — Observation, not a second scan."""
+    from hadoop_hive_analysis_spark.sources.metrics import (
+        ingest_quality_report,
+        with_ingest_observation,
+    )
+
+    sales_path, _ = fixture_paths
+    df = read_store_sales(spark, sales_path)
+    observed, obs = with_ingest_observation(
+        df, ["ss_store_sk", "ss_net_profit", "ss_sold_date_sk"]
+    )
+    out = q1a_top_stores_by_profit(observed, 10, 2450000, 2452000)
+    assert out.count() == 3  # the action the metrics ride on
+    m = obs.get
+    assert m["n_rows"] == 10
+    assert m["null_ss_store_sk"] == 2  # empty attr + short row
+    assert m["null_ss_net_profit"] >= 2  # unparsable numeric + short row
+    assert m["null_ss_sold_date_sk"] == 1  # unparsable date
+
+    report = ingest_quality_report(
+        df, ["ss_store_sk", "ss_net_profit"]
+    ).collect()[0]
+    assert report.n_rows == 10 and report.null_ss_store_sk == 2
