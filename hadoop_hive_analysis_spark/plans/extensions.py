@@ -76,6 +76,21 @@ def build() -> dict:
         "ext: composed cleaning pipeline (quality → dedup → near-dup drop)",
     )
 
+    # --- TPC-H-style analytical queries ---
+    from . import tpch_style as th
+
+    q["pricing_summary"] = QuerySpec(
+        th.pricing_summary, th.PRICING_SUMMARY_SQL, "ext: TPC-H Q1-style report"
+    )
+    q["shipping_priority"] = QuerySpec(
+        th.shipping_priority, th.SHIPPING_PRIORITY_SQL, "ext: TPC-H Q3-style top-K join"
+    )
+    q["orders_above_customer_avg"] = QuerySpec(
+        th.orders_above_customer_avg,
+        th.ORDERS_ABOVE_AVG_SQL,
+        "ext: correlated-subquery shape (exact-integer predicate)",
+    )
+
     # --- Rollups / pivot / semi-structured ---
     from ..operators import rollups
 
