@@ -90,6 +90,9 @@ def build() -> dict:
         th.ORDERS_ABOVE_AVG_SQL,
         "ext: correlated-subquery shape (exact-integer predicate)",
     )
+    q["brand_revenue"] = QuerySpec(
+        th.brand_revenue, th.BRAND_REVENUE_SQL, "ext: star drill-down on part dim"
+    )
 
     # --- Rollups / pivot / semi-structured ---
     from ..operators import rollups

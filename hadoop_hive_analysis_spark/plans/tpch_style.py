@@ -167,3 +167,31 @@ ORDERS_ABOVE_AVG_SQL = """
           > 3 * (SELECT SUM(CAST(round(i.o_totalprice * 100, 0) AS BIGINT))
                  FROM orders i WHERE i.o_custkey = o.o_custkey)
 """
+
+
+def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by part brand: fact joined to the ``part`` dimension
+    (broadcast), grouped on a dimension attribute — the classic
+    star-schema drill-down; completes testdata table coverage."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.expr(f"{_PRICE_C} * (100 - {_DISC_C})").alias("rev_c")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            (F.sum("rev_c") / F.lit(10_000.0)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select("p_brand", "revenue", "n_lines")
+    )
+
+
+BRAND_REVENUE_SQL = f"""
+    SELECT p_brand,
+           SUM({_PRICE_C} * (100 - {_DISC_C})) / 10000.0 AS revenue,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+"""

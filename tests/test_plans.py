@@ -88,3 +88,21 @@ def test_semi_anti_plan_no_aggregation_dedup(plans):
     assert "LeftSemi" in p
     p = plans("anti_join_customers")
     assert "LeftAnti" in p
+
+
+def test_pricing_summary_partial_aggregation(plans):
+    p = plans("pricing_summary")
+    assert p.count("HashAggregate") >= 2
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+
+
+def test_shipping_priority_broadcasts_and_takeordered(plans):
+    p = plans("shipping_priority")
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_brand_revenue_broadcasts_dimension(plans):
+    p = plans("brand_revenue")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
