@@ -1,0 +1,93 @@
+"""Connected components over near-duplicate pairs → dedup clusters.
+
+The last stage of a dedup pipeline: near-dup PAIRS (from MinHash-LSH)
+must become CLUSTERS (transitive closure) so each group keeps exactly one
+canonical document — pairs alone would keep B when A~B and B~C but A≁C
+dropped the wrong docs.
+
+Implementation: iterative min-label propagation, Spark-style —
+a driver loop over DataFrame steps where each iteration is one join +
+aggregation, and convergence is detected from an AGGREGATED count (never
+collecting the data). Iterations are O(graph diameter); near-dup graphs
+are unions of small cliques, so 2-3 iterations in practice. At larger
+diameters the same loop structure hosts the large-star/small-star
+optimization (alternating star contractions halve the diameter per
+round); checkpointing every few iterations truncates lineage.
+
+Oracle: DuckDB ``WITH RECURSIVE`` transitive closure + min-reachable —
+the declarative twin of the same fixpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import DEDUP_MINHASH_LSH_SQL, dedup_minhash_lsh
+
+MAX_ITERATIONS = 20
+
+
+def connected_components(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Min-label propagation over undirected edges → (node, component).
+
+    ``component`` is the smallest node id reachable from ``node``.
+    """
+    sym = edges.select(F.col(src).alias("eu"), F.col(dst).alias("ev"))
+    sym = sym.union(edges.select(F.col(dst).alias("eu"), F.col(src).alias("ev")))
+    labels = sym.select(F.col("eu").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+
+    for _ in range(MAX_ITERATIONS):
+        neighbor_min = (
+            sym.join(labels, F.col("ev") == F.col("node"))
+            .groupBy(F.col("eu").alias("nm_node"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        updated = labels.join(
+            neighbor_min, F.col("node") == F.col("nm_node"), "left"
+        ).select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nmin", "label")).alias("new_label"),
+            F.col("label").alias("old_label"),
+        )
+        # Convergence from an aggregated scalar — no data to the driver.
+        changed = updated.filter(F.col("new_label") < F.col("old_label")).count()
+        labels = updated.select("node", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: MinHash-LSH pairs → components → per-doc
+    (doc_id, cluster_id, is_canonical). Canonical = min doc in cluster."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+    )
+
+
+DEDUP_CLUSTERS_SQL = f"""
+    WITH RECURSIVE pairs AS ({DEDUP_MINHASH_LSH_SQL}),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION
+        SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT u AS doc_id,
+           min(v) AS cluster_id,
+           (u = min(v)) AS is_canonical
+    FROM reach
+    GROUP BY u
+"""

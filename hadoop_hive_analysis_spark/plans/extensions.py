@@ -113,6 +113,16 @@ def build() -> dict:
         "ext: JSON property extraction (schema-on-use)",
     )
 
+    # --- Dedup clustering (iterative) ---
+    from ..operators import components
+
+    q["dedup_clusters"] = QuerySpec(
+        components.dedup_clusters,
+        components.DEDUP_CLUSTERS_SQL,
+        "ext: connected components over near-dup pairs (iterative min-label "
+        "propagation vs recursive-CTE oracle)",
+    )
+
     # --- Skew handling + sketches ---
     from ..operators import sketches, skew
 
