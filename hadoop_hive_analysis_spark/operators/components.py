@@ -33,8 +33,15 @@ def connected_components(edges: DataFrame, src: str, dst: str) -> DataFrame:
 
     ``component`` is the smallest node id reachable from ``node``.
     """
-    sym = edges.select(F.col(src).alias("eu"), F.col(dst).alias("ev"))
-    sym = sym.union(edges.select(F.col(dst).alias("eu"), F.col(src).alias("ev")))
+    # Materialize the edge list ONCE and truncate its lineage BEFORE the
+    # symmetrizing union (the union's two branches would otherwise each
+    # re-execute the upstream pipeline, and every iteration takes an
+    # action on top — measured 17 s vs ~2 s at sf0.1 over MinHash edges).
+    # Per-iteration label checkpoints stop the plan growing with the
+    # iteration count (the standard Spark iterative-algorithm pattern).
+    edges = edges.select(F.col(src).alias("eu"), F.col(dst).alias("ev"))
+    edges = edges.localCheckpoint(eager=True)
+    sym = edges.union(edges.select(F.col("ev").alias("eu"), F.col("eu").alias("ev")))
     labels = sym.select(F.col("eu").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
@@ -53,6 +60,7 @@ def connected_components(edges: DataFrame, src: str, dst: str) -> DataFrame:
             F.col("label").alias("old_label"),
         )
         # Convergence from an aggregated scalar — no data to the driver.
+        updated = updated.localCheckpoint(eager=True)
         changed = updated.filter(F.col("new_label") < F.col("old_label")).count()
         labels = updated.select("node", F.col("new_label").alias("label"))
         if changed == 0:
