@@ -145,15 +145,32 @@ def _lang_id_sql() -> str:
 TEXT_LANG_ID_SQL = _lang_id_sql()
 
 
+_ROLLING_HASH = (
+    "CASE WHEN length(text) > 0 THEN "
+    "aggregate(transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT)), 0L, "
+    "(acc, c) -> (acc * 257 + c) % 2147483647) ELSE 0 END"
+)
+
+_ROLLING_HASH_SQL = (
+    "CASE WHEN length(text) > 0 THEN "
+    "list_reduce(list_transform(range(1, length(text)+1), "
+    "i -> CAST(ascii(text[i]) AS BIGINT)), "
+    "(acc, c) -> (acc * 257 + c) % 2147483647) ELSE 0 END"
+)
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints: exact-dup digest (md5), 60-bit content hash,
-    and a min-shingle-hash (the 1-permutation MinHash / winnowing signal).
-    Docs shorter than 3 tokens get min_shingle_hash NULL via left join."""
+    a polynomial ROLLING hash (base-257 fold over codepoints, the
+    Rabin-Karp signal), and a min-shingle-hash (the 1-permutation MinHash
+    / winnowing signal). Docs shorter than 3 tokens get min_shingle_hash
+    NULL via left join."""
     d = load_table(spark, sf_dir, "documents")
     base = d.select(
         "doc_id",
         F.md5("text").alias("md5_hex"),
         h64("text").alias("content_h60"),
+        F.expr(_ROLLING_HASH).alias("rolling_h31"),
     )
     mins = (
         with_shingles(d.select("doc_id", "text"), "text", 3)
@@ -161,7 +178,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(h31(F.col("shingle"))).alias("min_shingle_hash"))
     )
     return base.join(mins, "doc_id", "left").select(
-        "doc_id", "md5_hex", "content_h60", "min_shingle_hash"
+        "doc_id", "md5_hex", "content_h60", "rolling_h31", "min_shingle_hash"
     )
 
 
@@ -181,6 +198,7 @@ DOC_FINGERPRINT_SQL = rf"""
     )
     SELECT d.doc_id, md5(d.text) AS md5_hex,
            {h64_sql('d.text')} AS content_h60,
+           {_ROLLING_HASH_SQL.replace('text', 'd.text')} AS rolling_h31,
            m.min_shingle_hash
     FROM documents d LEFT JOIN mins m ON d.doc_id = m.doc_id
 """

@@ -170,6 +170,11 @@ def build() -> dict:
         similarity.ANN_LSH_SQL,
         "ext: hyperplane-LSH bucketed top-K",
     )
+    q["ann_ivf_topk"] = QuerySpec(
+        similarity.ann_ivf_topk,
+        None,  # iterative k-means fit — not SQL-expressible
+        "ext: IVF-style ANN (integer k-means cells, 2-probe)",
+    )
     q["ann_cosine_topk_float"] = QuerySpec(
         similarity.ann_cosine_topk_float,
         None,  # float path: cross-engine low-bit drift → rows-only check
