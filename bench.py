@@ -39,30 +39,34 @@ def main() -> None:
     # long-lived cluster amortizes away.
     RUNS = 2
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, spec in QUERIES.items():
         if not spec.bench:
             continue
         best = float("inf")
-        for _ in range(RUNS):
-            t0 = time.perf_counter()
-            df = spec.fn(spark, sf_dir)
-            # noop sink: executes the complete plan (no column pruning
-            # against a count, no driver serialization skew), writes nothing.
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+        try:
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                df = spec.fn(spark, sf_dir)
+                # noop sink: executes the complete plan (no column pruning
+                # against a count, no driver serialization skew), writes
+                # nothing.
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 4)
+        except Exception as exc:  # one broken query must not void the run
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
-    print(
-        json.dumps(
-            {
-                "metric": "query_pack_wall_clock",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "query_pack_wall_clock",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 
