@@ -93,6 +93,9 @@ def build() -> dict:
     q["brand_revenue"] = QuerySpec(
         th.brand_revenue, th.BRAND_REVENUE_SQL, "ext: star drill-down on part dim"
     )
+    q["forecast_revenue"] = QuerySpec(
+        th.forecast_revenue, th.FORECAST_REVENUE_SQL, "ext: TPC-H Q6-style filter-sum"
+    )
 
     # --- Rollups / pivot / semi-structured ---
     from ..operators import rollups

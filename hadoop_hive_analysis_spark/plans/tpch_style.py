@@ -195,3 +195,35 @@ BRAND_REVENUE_SQL = f"""
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY p_brand
 """
+
+
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 analog: revenue delta from discounted small-quantity lines
+    — a pure filter-and-sum whose every predicate pushes to the scan
+    (the canonical pushdown showcase: no join, no wide shuffle, one
+    scalar out)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        (
+            F.sum(F.expr(f"{_PRICE_C} * {_DISC_C}")) / F.lit(10_000.0)
+        ).alias("revenue_delta"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+FORECAST_REVENUE_SQL = f"""
+    SELECT SUM({_PRICE_C} * {_DISC_C}) / 10000.0 AS revenue_delta,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+"""
