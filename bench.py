@@ -66,8 +66,35 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    # BASELINE.md comparables: the reference reports CPU-s and MB-s; Spark's
+    # analogs (executor CPU time + peak JVM memory) come from the UI REST
+    # API. Best-effort — absent UI must not break the benchmark line.
+    try:
+        out.update(_executor_metrics(spark))
+    except Exception:
+        pass
     print(json.dumps(out))
     spark.stop()
+
+
+def _executor_metrics(spark) -> dict:
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    with urllib.request.urlopen(f"{base}/api/v1/applications/{app_id}/stages", timeout=10) as r:
+        stages = json.loads(r.read())
+    cpu_ns = sum(s.get("executorCpuTime", 0) for s in stages)
+    with urllib.request.urlopen(f"{base}/api/v1/applications/{app_id}/executors", timeout=10) as r:
+        execs = json.loads(r.read())
+    peak = 0
+    for ex in execs:
+        pm = ex.get("peakMemoryMetrics") or {}
+        peak = max(peak, pm.get("JVMHeapMemory", 0) + pm.get("JVMOffHeapMemory", 0))
+    return {
+        "cpu_s": round(cpu_ns / 1e9, 2),
+        "peak_jvm_mem_mb": round(peak / 1e6, 1),
+    }
 
 
 if __name__ == "__main__":
