@@ -96,6 +96,11 @@ def build() -> dict:
     q["forecast_revenue"] = QuerySpec(
         th.forecast_revenue, th.FORECAST_REVENUE_SQL, "ext: TPC-H Q6-style filter-sum"
     )
+    q["order_priority_late_ship"] = QuerySpec(
+        th.order_priority_late_ship,
+        th.ORDER_PRIORITY_LATE_SQL,
+        "ext: TPC-H Q4-style correlated EXISTS (semi-join plan)",
+    )
 
     # --- Rollups / pivot / semi-structured ---
     from ..operators import rollups

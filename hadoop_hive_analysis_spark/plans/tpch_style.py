@@ -227,3 +227,36 @@ FORECAST_REVENUE_SQL = f"""
       AND l_discount >= 0.05 AND l_discount <= 0.07
       AND l_quantity < 24
 """
+
+
+def order_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 analog: orders per priority having ≥1 line shipped more
+    than 90 days after the order date — correlated-EXISTS shape, planned
+    as a left-semi join (no row duplication, no distinct)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late_orders"))
+        .select("o_orderpriority", "n_late_orders")
+    )
+
+
+ORDER_PRIORITY_LATE_SQL = """
+    SELECT o_orderpriority, count(*) AS n_late_orders
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    )
+    GROUP BY o_orderpriority
+"""
