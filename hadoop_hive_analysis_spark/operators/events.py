@@ -58,7 +58,7 @@ EVENTS_TUMBLING_SQL = f"""
                AS window_start_epoch,
            event_type,
            count(*) AS n_events,
-           SUM({_VAL_CENTS}) / 100.0 AS sum_value
+           CAST(SUM({_VAL_CENTS}) / 100.0 AS DOUBLE) AS sum_value
     FROM events
     GROUP BY 1, 2
 """
@@ -116,14 +116,15 @@ EVENTS_SESSIONIZE_SQL = f"""
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     numbered AS (
-        SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_no
+        SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                      AS session_no
         FROM flagged
     )
-    SELECT user_id, session_no,
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
            min(CAST(floor(epoch(ts)) AS BIGINT)) AS session_start_epoch,
            count(*) AS n_events,
-           SUM({_VAL_CENTS}) / 100.0 AS sum_value
+           CAST(SUM({_VAL_CENTS}) / 100.0 AS DOUBLE) AS sum_value
     FROM numbered
     GROUP BY 1, 2
 """

@@ -18,7 +18,7 @@ with the sketches' error bounds.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
@@ -26,7 +26,13 @@ from ..sources.catalog import load_table
 
 def eda_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass sketch profile of lineitem: the reference's §3 EDA table,
-    scale-ready. Output: one row per profiled dimension."""
+    scale-ready.
+
+    Output schema is all-scalar by contract: the driver's canonicalizer
+    hashes values column-wise and array cells don't hash, so the single
+    quantile sketch is computed once (one ``approx_percentile(…, array)``
+    aggregate) and its elements projected to three scalar columns.
+    """
     li = load_table(spark, sf_dir, "lineitem")
     agg = li.agg(
         F.count("*").alias("n_rows"),
@@ -36,27 +42,83 @@ def eda_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_shipdate").alias("min_shipdate"),
         F.max("l_shipdate").alias("max_shipdate"),
         F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99))").alias(
-            "price_p50_p95_p99"
+            "pcts"
         ),
     )
-    return agg
+    return agg.select(
+        "n_rows",
+        "apx_parts",
+        "apx_suppliers",
+        "apx_orders",
+        "min_shipdate",
+        "max_shipdate",
+        F.col("pcts")[0].alias("price_p50"),
+        F.col("pcts")[1].alias("price_p95"),
+        F.col("pcts")[2].alias("price_p99"),
+    )
+
+
+# HLL++ default lgConfigK=12 → relative std error ≈ 1.04/sqrt(4096) ≈ 1.6%;
+# 5% is a ≈3σ acceptance bound, and small daily cardinalities sit in the
+# sketch's exact sparse mode anyway.
+HLL_REL_BOUND = 0.05
 
 
 def daily_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Re-aggregatable distinct counting: per-day HLL sketches of event
     users, then a union-merge for the period total WITHOUT rescanning —
     the pattern for incremental 100 TB rollups (store the binary sketch
-    per partition, merge at query time)."""
-    ev = load_table(spark, sf_dir, "events")
-    daily = (
-        ev.withColumn("day", F.to_date("ts"))
-        .groupBy("day")
-        .agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    per partition, merge at query time).
+
+    Driver-checkable contract: HLL estimates are engine-specific, so the
+    hashed output carries the EXACT distinct count plus a boolean that the
+    sketch estimate lands within ``HLL_REL_BOUND`` of it — the oracle
+    asserts TRUE, so a drifting sketch fails the hash, not just a test.
+    (The exact count exists only to judge the sketch; a production rollup
+    would store/merge the sketches alone.)
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+
+    def within(est: Column, exact: Column) -> Column:
+        return F.abs(est.cast("double") - exact) <= exact * F.lit(HLL_REL_BOUND)
+
+    daily = ev.groupBy("day").agg(
+        F.hll_sketch_agg("user_id").alias("sketch"),
+        F.countDistinct("user_id").cast("bigint").alias("n_exact_users"),
     )
     per_day = daily.select(
-        "day", F.hll_sketch_estimate("sketch").alias("apx_users")
+        "day",
+        "n_exact_users",
+        within(F.hll_sketch_estimate("sketch"), F.col("n_exact_users")).alias(
+            "hll_within_bound"
+        ),
     )
-    total = daily.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("apx_users")
-    ).select(F.lit(None).cast("date").alias("day"), "apx_users")
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("apx_total")
+    )
+    total = (
+        ev.agg(F.countDistinct("user_id").cast("bigint").alias("n_exact_users"))
+        .crossJoin(merged)
+        .select(
+            F.lit(None).cast("date").alias("day"),
+            "n_exact_users",
+            within(F.col("apx_total"), F.col("n_exact_users")).alias(
+                "hll_within_bound"
+            ),
+        )
+    )
     return per_day.unionByName(total)
+
+
+DAILY_DISTINCT_USERS_HLL_SQL = """
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact_users,
+           TRUE AS hll_within_bound
+    FROM events
+    GROUP BY 1
+    UNION ALL
+    SELECT CAST(NULL AS DATE) AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact_users,
+           TRUE AS hll_within_bound
+    FROM events
+"""

@@ -4,6 +4,11 @@ extensions, multimodal plumbing.
 
 Kept separate from :mod:`.registry` so the reference-parity pack never
 depends on extension imports.
+
+Ordering is part of the driver contract: the driver scores a bounded
+prefix of the registry, so ORACLE-CHECKED queries register first (the
+dedup/text pack — the engine's headline surface — leading), rows-only
+checks trail, and the ``*_sql`` duals are pytest-only (``driver=False``).
 """
 
 from __future__ import annotations
@@ -16,6 +21,70 @@ def build() -> dict:
     from .registry import QuerySpec
 
     q: dict[str, QuerySpec] = {}
+
+    # --- Text analysis (documents) ---
+    q["text_token_stats"] = QuerySpec(
+        text_analysis.text_token_stats,
+        text_analysis.TEXT_TOKEN_STATS_SQL,
+        "ext: token counting",
+    )
+    q["text_quality_score"] = QuerySpec(
+        text_analysis.text_quality_score,
+        text_analysis.TEXT_QUALITY_SQL,
+        "ext: quality scoring",
+    )
+    q["text_lang_id"] = QuerySpec(
+        text_analysis.text_lang_id,
+        text_analysis.TEXT_LANG_ID_SQL,
+        "ext: language ID (n-gram heuristic)",
+    )
+    q["doc_fingerprint"] = QuerySpec(
+        text_analysis.doc_fingerprint,
+        text_analysis.DOC_FINGERPRINT_SQL,
+        "ext: document fingerprinting",
+    )
+
+    # --- Dedup (documents) ---
+    q["dedup_exact"] = QuerySpec(
+        dedup.dedup_exact, dedup.DEDUP_EXACT_SQL, "ext: exact dedup"
+    )
+    q["dedup_ngram_jaccard"] = QuerySpec(
+        dedup.dedup_ngram_jaccard,
+        dedup.DEDUP_NGRAM_JACCARD_SQL,
+        "ext: n-gram Jaccard near-dup",
+    )
+    q["dedup_minhash_lsh"] = QuerySpec(
+        dedup.dedup_minhash_lsh,
+        dedup.DEDUP_MINHASH_LSH_SQL,
+        "ext: MinHash+LSH near-dup",
+    )
+    q["dedup_simhash"] = QuerySpec(
+        dedup.dedup_simhash, dedup.DEDUP_SIMHASH_SQL, "ext: SimHash near-dup"
+    )
+    q["dedup_embedding_cosine"] = QuerySpec(
+        similarity.dedup_embedding_cosine,
+        similarity.DEDUP_EMBEDDING_COSINE_SQL,
+        "ext: embedding-cosine near-dup (exact integer predicate)",
+    )
+
+    # --- Dedup clustering (iterative) ---
+    from ..operators import components
+
+    q["dedup_clusters"] = QuerySpec(
+        components.dedup_clusters,
+        components.DEDUP_CLUSTERS_SQL,
+        "ext: connected components over near-dup pairs (iterative min-label "
+        "propagation vs recursive-CTE oracle)",
+    )
+
+    # --- Pipeline composition ---
+    from . import pipeline
+
+    q["corpus_clean"] = QuerySpec(
+        pipeline.corpus_clean,
+        pipeline.CORPUS_CLEAN_SQL,
+        "ext: composed cleaning pipeline (quality → dedup → near-dup drop)",
+    )
 
     # --- Relational surface beyond the reference ---
     q["window_rank_orders"] = QuerySpec(
@@ -41,39 +110,6 @@ def build() -> dict:
     )
     q["grouped_stats_orders"] = QuerySpec(
         rx.grouped_stats_orders, rx.GROUPED_STATS_SQL, "ext: multi-agg stats (A4-A6)"
-    )
-
-    # SQL duals for the relational extensions whose text is portable
-    # (parses in Spark SQL and DuckDB alike) — entry point 2 coverage.
-    from .testdata_queries import make_raw_sql_runner
-
-    for name, sql in [
-        ("window_rank_orders", rx.WINDOW_RANK_SQL),
-        ("revenue_by_region", rx.REVENUE_BY_REGION_SQL),
-        ("rollup_lineitem", rx.ROLLUP_LINEITEM_SQL),
-        ("cube_orders", rx.CUBE_ORDERS_SQL),
-        ("semi_join_customers", rx.SEMI_JOIN_SQL),
-        ("anti_join_customers", rx.ANTI_JOIN_SQL),
-        ("setop_nations", rx.SETOP_NATIONS_SQL),
-        ("grouped_stats_orders", rx.GROUPED_STATS_SQL),
-    ]:
-        q[f"{name}_sql"] = QuerySpec(
-            make_raw_sql_runner(name, sql), sql, f"S7 + dual of {name}", bench=False
-        )
-
-    q["dedup_embedding_cosine"] = QuerySpec(
-        similarity.dedup_embedding_cosine,
-        similarity.DEDUP_EMBEDDING_COSINE_SQL,
-        "ext: embedding-cosine near-dup (exact integer predicate)",
-    )
-
-    # --- Pipeline composition ---
-    from . import pipeline
-
-    q["corpus_clean"] = QuerySpec(
-        pipeline.corpus_clean,
-        pipeline.CORPUS_CLEAN_SQL,
-        "ext: composed cleaning pipeline (quality → dedup → near-dup drop)",
     )
 
     # --- TPC-H-style analytical queries ---
@@ -121,16 +157,6 @@ def build() -> dict:
         "ext: JSON property extraction (schema-on-use)",
     )
 
-    # --- Dedup clustering (iterative) ---
-    from ..operators import components
-
-    q["dedup_clusters"] = QuerySpec(
-        components.dedup_clusters,
-        components.DEDUP_CLUSTERS_SQL,
-        "ext: connected components over near-dup pairs (iterative min-label "
-        "propagation vs recursive-CTE oracle)",
-    )
-
     # --- Skew handling + sketches ---
     from ..operators import sketches, skew
 
@@ -139,15 +165,11 @@ def build() -> dict:
         skew.EVENTS_SALTED_SQL,
         "ext: salted two-phase aggregation == plain GROUP BY",
     )
-    q["eda_sketch_profile"] = QuerySpec(
-        sketches.eda_sketch_profile,
-        None,  # HLL/quantile estimates are engine-specific
-        "ext: one-pass sketch EDA (A4-A6 at scale)",
-    )
     q["daily_distinct_users_hll"] = QuerySpec(
         sketches.daily_distinct_users_hll,
-        None,
-        "ext: re-aggregatable HLL distinct rollup",
+        sketches.DAILY_DISTINCT_USERS_HLL_SQL,
+        "ext: re-aggregatable HLL distinct rollup (exact count hashed + "
+        "in-query error-bound assertion on the sketch)",
     )
 
     # --- Multimodal plumbing ---
@@ -155,16 +177,6 @@ def build() -> dict:
         multimodal.multimodal_meta,
         multimodal.MULTIMODAL_META_SQL,
         "ext: binary payload metadata",
-    )
-    q["multimodal_decode_stub"] = QuerySpec(
-        multimodal.multimodal_decode_stub,
-        None,  # mapInPandas decode path — no SQL equivalent
-        "ext: Arrow-batched decode/feature extraction (stubbed decoder)",
-    )
-    q["multimodal_frame_sample"] = QuerySpec(
-        multimodal.multimodal_frame_sample,
-        None,
-        "ext: frame sampling over video-like payloads (stubbed codec)",
     )
 
     # --- Similarity search (embeddings) ---
@@ -177,16 +189,6 @@ def build() -> dict:
         similarity.ann_lsh_topk,
         similarity.ANN_LSH_SQL,
         "ext: hyperplane-LSH bucketed top-K",
-    )
-    q["ann_ivf_topk"] = QuerySpec(
-        similarity.ann_ivf_topk,
-        None,  # iterative k-means fit — not SQL-expressible
-        "ext: IVF-style ANN (integer k-means cells, 2-probe)",
-    )
-    q["ann_cosine_topk_float"] = QuerySpec(
-        similarity.ann_cosine_topk_float,
-        None,  # float path: cross-engine low-bit drift → rows-only check
-        "ext: true-cosine top-K (float path)",
     )
 
     # --- Event-stream ops, batch form (events) ---
@@ -206,44 +208,55 @@ def build() -> dict:
         "ext: as-of join (union + carry-forward)",
     )
 
-    # --- Text analysis (documents) ---
-    q["text_token_stats"] = QuerySpec(
-        text_analysis.text_token_stats,
-        text_analysis.TEXT_TOKEN_STATS_SQL,
-        "ext: token counting",
+    # --- Rows-only checks (engine-specific estimates / float drift /
+    # mapInPandas paths with no SQL twin) trail the oracle pack ---
+    q["eda_sketch_profile"] = QuerySpec(
+        sketches.eda_sketch_profile,
+        None,  # HLL/quantile estimates are engine-specific
+        "ext: one-pass sketch EDA (A4-A6 at scale)",
     )
-    q["text_quality_score"] = QuerySpec(
-        text_analysis.text_quality_score,
-        text_analysis.TEXT_QUALITY_SQL,
-        "ext: quality scoring",
+    q["ann_ivf_topk"] = QuerySpec(
+        similarity.ann_ivf_topk,
+        None,  # iterative k-means fit — not SQL-expressible
+        "ext: IVF-style ANN (integer k-means cells, 2-probe)",
     )
-    q["text_lang_id"] = QuerySpec(
-        text_analysis.text_lang_id,
-        text_analysis.TEXT_LANG_ID_SQL,
-        "ext: language ID (n-gram heuristic)",
+    q["ann_cosine_topk_float"] = QuerySpec(
+        similarity.ann_cosine_topk_float,
+        None,  # float path: cross-engine low-bit drift → rows-only check
+        "ext: true-cosine top-K (float path)",
     )
-    q["doc_fingerprint"] = QuerySpec(
-        text_analysis.doc_fingerprint,
-        text_analysis.DOC_FINGERPRINT_SQL,
-        "ext: document fingerprinting",
+    q["multimodal_decode_stub"] = QuerySpec(
+        multimodal.multimodal_decode_stub,
+        None,  # mapInPandas decode path — no SQL equivalent
+        "ext: Arrow-batched decode/feature extraction (stubbed decoder)",
+    )
+    q["multimodal_frame_sample"] = QuerySpec(
+        multimodal.multimodal_frame_sample,
+        None,
+        "ext: frame sampling over video-like payloads (stubbed codec)",
     )
 
-    # --- Dedup (documents) ---
-    q["dedup_exact"] = QuerySpec(
-        dedup.dedup_exact, dedup.DEDUP_EXACT_SQL, "ext: exact dedup"
-    )
-    q["dedup_ngram_jaccard"] = QuerySpec(
-        dedup.dedup_ngram_jaccard,
-        dedup.DEDUP_NGRAM_JACCARD_SQL,
-        "ext: n-gram Jaccard near-dup",
-    )
-    q["dedup_minhash_lsh"] = QuerySpec(
-        dedup.dedup_minhash_lsh,
-        dedup.DEDUP_MINHASH_LSH_SQL,
-        "ext: MinHash+LSH near-dup",
-    )
-    q["dedup_simhash"] = QuerySpec(
-        dedup.dedup_simhash, dedup.DEDUP_SIMHASH_SQL, "ext: SimHash near-dup"
-    )
+    # --- SQL duals for the relational extensions (portable text; parses in
+    # Spark SQL and DuckDB alike). pytest-only: the oracle already runs
+    # this exact text, so a driver slot would duplicate the signal. ---
+    from .testdata_queries import make_raw_sql_runner
+
+    for name, sql in [
+        ("window_rank_orders", rx.WINDOW_RANK_SQL),
+        ("revenue_by_region", rx.REVENUE_BY_REGION_SQL),
+        ("rollup_lineitem", rx.ROLLUP_LINEITEM_SQL),
+        ("cube_orders", rx.CUBE_ORDERS_SQL),
+        ("semi_join_customers", rx.SEMI_JOIN_SQL),
+        ("anti_join_customers", rx.ANTI_JOIN_SQL),
+        ("setop_nations", rx.SETOP_NATIONS_SQL),
+        ("grouped_stats_orders", rx.GROUPED_STATS_SQL),
+    ]:
+        q[f"{name}_sql"] = QuerySpec(
+            make_raw_sql_runner(name, sql),
+            sql,
+            f"S7 + dual of {name}",
+            bench=False,
+            driver=False,
+        )
 
     return q

@@ -77,7 +77,7 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REVENUE_BY_REGION_SQL = f"""
-    SELECT r_name, SUM({_REV_CENTS}) / 10000.0 AS revenue
+    SELECT r_name, CAST(SUM({_REV_CENTS}) / 10000.0 AS DOUBLE) AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -105,7 +105,7 @@ ROLLUP_LINEITEM_SQL = f"""
     SELECT l_returnflag, l_linestatus,
            count(*) AS n_rows,
            CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-           SUM({_REV_CENTS}) / 10000.0 AS revenue
+           CAST(SUM({_REV_CENTS}) / 10000.0 AS DOUBLE) AS revenue
     FROM lineitem
     GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
@@ -130,7 +130,8 @@ def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 CUBE_ORDERS_SQL = """
     SELECT o_orderstatus, o_orderpriority,
            count(*) AS n_orders,
-           SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0 AS sum_totalprice
+           CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0 AS DOUBLE)
+               AS sum_totalprice
     FROM orders
     GROUP BY CUBE(o_orderstatus, o_orderpriority)
 """

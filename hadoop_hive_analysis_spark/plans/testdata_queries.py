@@ -148,7 +148,7 @@ from ..functions.money import REVENUE_CENTS as _REV_CENTS
 
 SQL: dict[str, str] = {
     "q1a_top_suppliers_by_revenue": f"""
-        SELECT l_suppkey, SUM({_REV_CENTS}) / 10000.0 AS revenue
+        SELECT l_suppkey, CAST(SUM({_REV_CENTS}) / 10000.0 AS DOUBLE) AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '{DATE_LO} 00:00:00'
           AND l_shipdate <= TIMESTAMP '{DATE_HI} 00:00:00'
@@ -169,7 +169,7 @@ SQL: dict[str, str] = {
     """,
     "q1c_top_dates_by_revenue": f"""
         SELECT CAST(l_shipdate AS DATE) AS ship_date,
-               SUM({_REV_CENTS}) / 10000.0 AS revenue
+               CAST(SUM({_REV_CENTS}) / 10000.0 AS DOUBLE) AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '{NARROW_LO} 00:00:00'
           AND l_shipdate <= TIMESTAMP '{NARROW_HI} 00:00:00'
@@ -183,7 +183,7 @@ SQL: dict[str, str] = {
                CAST(COALESCE(r.revenue, 0) AS DOUBLE) AS revenue,
                s.s_acctbal
         FROM (
-            SELECT l_suppkey, SUM({_REV_CENTS}) / 10000.0 AS revenue
+            SELECT l_suppkey, CAST(SUM({_REV_CENTS}) / 10000.0 AS DOUBLE) AS revenue
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '{DATE_LO} 00:00:00'
               AND l_shipdate <= TIMESTAMP '{DATE_HI} 00:00:00'

@@ -17,17 +17,47 @@ import duckdb
 from hadoop_hive_analysis_spark.schemas import TESTDATA_TABLES
 
 
+# Types that the driver's pandas-based canonicalizer mangles: DuckDB
+# HUGEINT/DECIMAL land as float64/object and hash differently from Spark's
+# bigint/double even when numerically equal (found the hard way in round 1).
+# Every computed oracle column must carry an explicit CAST to a portable type.
+_BANNED_ORACLE_TYPES = ("HUGEINT", "DECIMAL", "UHUGEINT")
+
+
 def run_oracle(sql: str, sf_dir: str):
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
+    desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    types = {row[0]: row[1] for row in desc}
     cur = con.execute(sql)
     cols = [d[0] for d in cur.description]
     rows = cur.fetchall()
     con.close()
+    for name, typ in types.items():
+        for banned in _BANNED_ORACLE_TYPES:
+            assert banned not in typ.upper(), (
+                f"oracle column {name!r} has non-portable type {typ}: the "
+                f"driver hash distinguishes it from Spark's output — add an "
+                f"explicit CAST (determinism contract)"
+            )
     return cols, rows
+
+
+def lint_spark_schema(spark_df):
+    """Driver-contract lint: output schemas must be scalar + portable."""
+    from pyspark.sql import types as T
+
+    for f in spark_df.schema.fields:
+        assert not isinstance(
+            f.dataType, (T.ArrayType, T.MapType, T.StructType)
+        ), f"column {f.name!r}: nested type {f.dataType} — driver canon crashes"
+        assert not isinstance(f.dataType, T.DecimalType), (
+            f"column {f.name!r}: DecimalType {f.dataType} hashes differently "
+            f"from the oracle's double — cast to DOUBLE (determinism contract)"
+        )
 
 
 def _canon(v):
@@ -36,7 +66,7 @@ def _canon(v):
     if isinstance(v, bool):
         return ("b", v)
     if isinstance(v, Decimal):
-        v = float(v)
+        return ("dec", str(v))  # strict: a Decimal never equals a float
     if isinstance(v, float):
         if math.isnan(v):
             return ("f", "nan")
@@ -58,6 +88,7 @@ def canon_rows(cols, rows):
 
 
 def assert_matches_oracle(spark_df, sql: str, sf_dir: str, approx: bool = False):
+    lint_spark_schema(spark_df)
     o_cols, o_rows = run_oracle(sql, sf_dir)
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]

