@@ -11,11 +11,17 @@ Three operators:
   standard "scoring scan": no corpus shuffle, no quadratic blow-up.
 * ``ann_lsh_topk`` — the scale path: random-hyperplane LSH (8 planes,
   signs derived from the portable hash, quantized dots → exact signs),
-  radius-2 multi-probe bucket join, top-K within the probed candidates
+  radius-2 multi-probe as an exploded EQUI-join on bucket id
   (~14% of the corpus scored; probe radius = recall/cost dial).
-* ``ann_ivf_topk`` — IVF-style: deterministic integer k-means cells,
-  probe the nearest 2 lists (~1/8 of the corpus scored, measured recall
-  ≈0.87 vs the exact baseline); rows-only check (iterative fit).
+* ``ann_ivf_topk`` — IVF-style: deterministic integer k-means cells fit
+  on a bounded sample (driver memory is corpus-size independent),
+  executor-side cell assignment, probe the nearest 2 lists (~1/8 of the
+  corpus scored, measured recall ≈0.86 vs the exact baseline);
+  rows-only check (iterative fit).
+* ``dedup_embedding_lsh`` — banded-LSH near-dup pairs (8 bands × 4
+  planes), exact integer cosine predicate verified per band bucket;
+  the registered scale form of ``dedup_embedding_cosine`` (the
+  all-pairs exact baseline, pytest-only).
 * ``ann_cosine_topk_float`` — the float path (true cosine, JVM-side
   sequential fold). No oracle entry: cross-engine float low-bit drift
   makes value-hashing meaningless; the driver records a rows-only check.
@@ -94,26 +100,31 @@ ANN_BRUTEFORCE_SQL = f"""
 """
 
 
-def _plane_sign_exprs() -> list[str]:
+def _plane_signs(n_planes: int = N_PLANES) -> list[list[int]]:
     """Deterministic ±1 hyperplanes: component d of plane p is +1 iff the
-    portable 60-bit hash of 'p:d' is odd. Embedded as literal sign vectors
-    in both engines (computed here once, in Python, from the same md5)."""
+    portable 60-bit hash of 'p:d' is odd. The same literal sign vectors
+    feed the Spark codegen exprs, the numpy banding kernel, and the DuckDB
+    oracle (computed here once, in Python, from the same md5)."""
     import hashlib
 
     planes = []
-    for p in range(N_PLANES):
+    for p in range(n_planes):
         signs = []
         for d in range(DIM):
             h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15], 16)
             signs.append(1 if h & 1 else -1)
         planes.append(signs)
+    return planes
+
+
+def _plane_sign_exprs(n_planes: int = N_PLANES) -> list[str]:
     return [
         "("
         + " + ".join(
             f"{'' if s > 0 else '-'}q[{d}]" for d, s in enumerate(signs)
         )
         + ")"
-        for signs in planes
+        for signs in _plane_signs(n_planes)
     ]
 
 
@@ -130,6 +141,11 @@ def _bucket_expr(arr: str) -> str:
 
 
 MULTIPROBE_RADIUS = 2  # also probe buckets within this sign-bit hamming
+# Every bucket id within hamming ≤ MULTIPROBE_RADIUS of the query bucket is
+# query_bucket XOR one of these masks (popcount ≤ 2 over 8 bits → 37 masks).
+_PROBE_MASKS = [
+    m for m in range(1 << N_PLANES) if bin(m).count("1") <= MULTIPROBE_RADIUS
+]
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -138,7 +154,16 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket. Single-bucket probing recalls ~8% on near-orthogonal
     vectors (a neighbor at cos≈0.5 disagrees with ~1/3 of plane signs);
     radius-2 multi-probe scores 37/256 ≈ 14% of the corpus for several-x
-    the recall — the probe radius is the recall/cost dial."""
+    the recall — the probe radius is the recall/cost dial.
+
+    Physical shape: each query EXPLODES into its 37 probe bucket ids and
+    the candidate join is an EQUI-join on ``bucket`` (BroadcastHashJoin —
+    pinned by tests). A ``bit_count(xor) ≤ r`` join predicate would plan
+    as BroadcastNestedLoopJoin and enumerate every corpus×query pair,
+    which defeats the bucketing at scale; with the equi-join, work scales
+    with the occupancy of the probed buckets, not the corpus size. Each
+    candidate matches exactly one mask, so no pair is scored twice.
+    """
     corpus = _quantized(spark, sf_dir).withColumn(
         "bucket", F.expr(_bucket_expr("q")).cast("int")
     )
@@ -147,13 +172,13 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q").alias("qq"),
         F.col("bucket").alias("qbucket"),
     )
-    near_bucket = (
-        F.bit_count(F.col("bucket").bitwiseXOR(F.col("qbucket")))
-        <= MULTIPROBE_RADIUS
+    probes = queries.withColumn(
+        "mask", F.explode(F.array(*[F.lit(m) for m in _PROBE_MASKS]))
+    ).withColumn(
+        "probe_bucket", F.col("mask").bitwiseXOR(F.col("qbucket")).cast("int")
     )
-    cand = corpus.join(
-        F.broadcast(queries),
-        near_bucket & (F.col("vec_id") != F.col("query_id")),
+    cand = corpus.join(F.broadcast(probes), on=(F.col("bucket") == F.col("probe_bucket"))).filter(
+        F.col("vec_id") != F.col("query_id")
     )
     scored = cand.select(
         "query_id",
@@ -366,30 +391,189 @@ DEDUP_EMBEDDING_COSINE_SQL = f"""
 """
 
 
+# --- Banded-LSH embedding near-dup (the registered scale path) ---
+# 8 bands × 4 hyperplanes = 32 planes (the first 8 coincide with
+# ann_lsh_topk's). A pair is a CANDIDATE iff all 4 sign bits agree in at
+# least one band; candidates are verified with the same exact integer
+# predicate as dedup_embedding_cosine, so precision is 1.0 by construction
+# and only recall is approximate.
+#
+# Recall math (hyperplane sign agreement p = 1 − θ/π): at the registered
+# threshold cos ≥ 0.4 (θ≈1.16, p≈0.63) a pair matches a band with
+# p⁴≈0.16 → 1−(1−p⁴)⁸ ≈ 0.75 expected recall; the fixture's worst case —
+# its near-dups sit at cos 0.40–0.51, barely above the background's p99.9
+# of 0.38. At a production near-dup threshold (cos ≥ 0.9, p≈0.9) the same
+# banding recalls 1−(1−0.9⁴)⁸ ≈ 0.97. Tests pin the measured floor.
+N_BANDS = 8
+BAND_BITS = 4
+_BAND_PLANES = _plane_signs(N_BANDS * BAND_BITS)
+
+
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via banded hyperplane LSH — the registered
+    100 TB form of :func:`dedup_embedding_cosine` (which is the all-pairs
+    exact baseline, pytest-only).
+
+    Physical shape — bucketed, not all-pairs, no driver collect:
+
+    1. one Arrow-batched ``mapInPandas`` scan computes the 32 plane signs
+       per vector with a single numpy matmul and emits (vec_id, q,
+       band_key) — 8 rows per vector, one per band. (A codegen CASE
+       expression over 32×64 literal terms blows up janino compilation;
+       the matmul is both smaller and faster here.)
+    2. ``groupBy(band_key).applyInPandas`` shuffles each band bucket to
+       one task, which runs the exact int64 matmul predicate WITHIN the
+       bucket (quadratic only in bucket occupancy — the LSH contract;
+       a hot bucket is bounded by adding bands/bits, and the verify is a
+       vectorized Arrow batch, not per-pair lambdas);
+    3. ``distinct()`` collapses pairs that matched in several bands
+       (identical (va, vb, dot_q) rows).
+
+    The DuckDB oracle mirrors the banding exactly, so the pair set is
+    hash-checked; recall vs the exact baseline is pinned in tests.
+    """
+    corpus = _quantized(spark, sf_dir)
+    num2 = COSINE_DEDUP_NUM * COSINE_DEDUP_NUM
+    den2 = COSINE_DEDUP_DEN * COSINE_DEDUP_DEN
+    planes_payload = _BAND_PLANES  # plain nested list → self-contained closure
+    n_bands, band_bits = N_BANDS, BAND_BITS
+
+    def band_explode(batches):
+        import numpy as np
+        import pandas as pd
+
+        P = np.array(planes_payload, dtype=np.int64)  # (bands*bits, DIM)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf["q"]), dtype=np.int64)
+            bits = (mat @ P.T > 0).astype(np.int64)  # (n, bands*bits)
+            keys = np.zeros((len(mat), n_bands), dtype=np.int64)
+            for band in range(n_bands):
+                k = np.zeros(len(mat), dtype=np.int64)
+                for j in range(band_bits):
+                    k |= bits[:, band * band_bits + j] << j
+                keys[:, band] = band * (1 << band_bits) + k
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].repeat(n_bands).to_numpy(),
+                    "q": pdf["q"].repeat(n_bands).to_numpy(),
+                    "band_key": keys.ravel().astype("int32"),  # row-major matches repeat()
+                }
+            )
+
+    bands = corpus.mapInPandas(
+        band_explode, "vec_id long, q array<bigint>, band_key int"
+    )
+
+    def pairs_in_bucket(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["q"]), dtype=np.int64)
+        dots = mat @ mat.T  # exact int64
+        n2 = (mat * mat).sum(axis=1)
+        mask = (
+            (dots > 0)
+            & (den2 * dots * dots >= num2 * np.outer(n2, n2))
+            & (ids[:, None] < ids[None, :])
+        )
+        ai, bi = np.nonzero(mask)
+        return pd.DataFrame(
+            {"va": ids[ai], "vb": ids[bi], "dot_q": dots[ai, bi]}
+        )
+
+    return (
+        bands.groupBy("band_key")
+        .applyInPandas(pairs_in_bucket, "va long, vb long, dot_q long")
+        .distinct()
+    )
+
+
+def _dedup_embedding_lsh_sql() -> str:
+    # DuckDB lists are 1-indexed: shift every q[d] reference.
+    def reindex(expr: str) -> str:
+        out = expr
+        for d in range(DIM - 1, -1, -1):
+            out = out.replace(f"q[{d}]", f"qv[{d + 1}]")
+        return out
+
+    band_plane_dots = _plane_sign_exprs(N_BANDS * BAND_BITS)
+    keys = []
+    for band in range(N_BANDS):
+        bits = []
+        for j in range(BAND_BITS):
+            dot = reindex(band_plane_dots[band * BAND_BITS + j])
+            bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+        keys.append(f"({band * (1 << BAND_BITS)} + " + " + ".join(bits) + ")")
+    band_list = "[" + ", ".join(keys) + "]"
+    num2 = COSINE_DEDUP_NUM * COSINE_DEDUP_NUM
+    den2 = COSINE_DEDUP_DEN * COSINE_DEDUP_DEN
+    return f"""
+        WITH q AS (
+            SELECT vec_id, {_QUANT_SQL} AS qv FROM embeddings
+        ),
+        banded AS (
+            SELECT vec_id,
+                   list_transform(qv, y -> CAST(y AS DOUBLE)) AS qvd,
+                   unnest({band_list}) AS band_key
+            FROM q
+        ),
+        scored AS (
+            -- quantized dots are integer-valued and < 2^53, so the double
+            -- list_dot_product is exact; cast to BIGINT BEFORE the
+            -- predicate so the squared comparison runs in exact int64
+            SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb,
+                   CAST(list_dot_product(a.qvd, b.qvd) AS BIGINT) AS dot_q,
+                   CAST(list_dot_product(a.qvd, a.qvd) AS BIGINT) AS na2,
+                   CAST(list_dot_product(b.qvd, b.qvd) AS BIGINT) AS nb2
+            FROM banded a
+            JOIN banded b ON a.band_key = b.band_key AND a.vec_id < b.vec_id
+        )
+        SELECT va, vb, dot_q
+        FROM scored
+        WHERE dot_q > 0
+          AND {den2} * dot_q * dot_q >= {num2} * na2 * nb2
+    """
+
+
+DEDUP_EMBEDDING_LSH_SQL = _dedup_embedding_lsh_sql()
+
+
 N_CELLS = 16
 N_PROBE = 2
 KMEANS_ROUNDS = 2
+IVF_FIT_SAMPLE = 4096  # quantizer fits on this many vectors, not the corpus
 
 
 def _ivf_assignments(spark: SparkSession, sf_dir: str):
     """Deterministic integer k-means over quantized vectors.
 
     IVF's coarse quantizer, built reproducibly: centroids initialize
-    from the first N_CELLS vectors by vec_id, then KMEANS_ROUNDS Lloyd
+    from the first N_CELLS sample vectors, then KMEANS_ROUNDS Lloyd
     iterations in EXACT integer arithmetic (squared-L2 in int64,
-    centroid update by integer floor-division mean). The fit uses
-    driver-side numpy over the (small) quantized corpus sample — on a
-    real deployment the quantizer fits on a sample regardless of corpus
-    size; only the ASSIGNMENT pass below is corpus-scale.
+    centroid update by integer floor-division mean).
+
+    Scale contract (the round-1 version collected the whole corpus —
+    a driver OOM at 100 TB):
+
+    * the FIT touches only the first ``IVF_FIT_SAMPLE`` vectors by
+      vec_id — ``orderBy().limit()`` plans as TakeOrderedAndProject, a
+      per-partition top-N heap, so driver memory is bounded by the
+      sample regardless of corpus size;
+    * the corpus-scale ASSIGNMENT runs executor-side: the (tiny,
+      N_CELLS×DIM) centroid table ships inside an Arrow-batched
+      ``mapInPandas`` closure and each batch picks its argmin cell with
+      one numpy matmul-shaped pass. No full-corpus driver collect.
 
     Returns (corpus_with_cell DataFrame, centroids ndarray).
     """
     import numpy as np
 
     q = _quantized(spark, sf_dir)
-    rows = q.orderBy("vec_id").collect()
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    mat = np.array([r.q for r in rows], dtype=np.int64)
+    sample = q.orderBy("vec_id").limit(IVF_FIT_SAMPLE).collect()
+    mat = np.array([r.q for r in sample], dtype=np.int64)
     cent = mat[:N_CELLS].copy()
     for _ in range(KMEANS_ROUNDS):
         # squared L2 to each centroid, exact int64
@@ -399,14 +583,29 @@ def _ivf_assignments(spark: SparkSession, sf_dir: str):
             members = mat[assign == c]
             if len(members):
                 cent[c] = members.sum(axis=0) // len(members)
-    d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-    assign = d2.argmin(axis=1)
-    del ids
-    cell_df = spark.createDataFrame(
-        [(int(r.vec_id), int(a)) for r, a in zip(rows, assign)],
-        "vec_id long, cell int",
-    )
-    return q.join(cell_df, "vec_id"), cent
+
+    # Self-contained closure (plain nested list, stdlib+numpy imports only):
+    # executors can't import this package when the driver runs elsewhere.
+    cent_payload = [[int(x) for x in row] for row in cent]
+
+    def assign_cells(batches):
+        import numpy as np
+        import pandas as pd
+
+        c = np.array(cent_payload, dtype=np.int64)
+        for pdf in batches:
+            m = np.array(list(pdf["q"]), dtype=np.int64)
+            d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "q": pdf["q"],
+                    "cell": d2.argmin(axis=1).astype("int32"),
+                }
+            )
+
+    corpus = q.mapInPandas(assign_cells, "vec_id long, q array<bigint>, cell int")
+    return corpus, cent
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -61,10 +61,11 @@ def build() -> dict:
     q["dedup_simhash"] = QuerySpec(
         dedup.dedup_simhash, dedup.DEDUP_SIMHASH_SQL, "ext: SimHash near-dup"
     )
-    q["dedup_embedding_cosine"] = QuerySpec(
-        similarity.dedup_embedding_cosine,
-        similarity.DEDUP_EMBEDDING_COSINE_SQL,
-        "ext: embedding-cosine near-dup (exact integer predicate)",
+    q["dedup_embedding_lsh"] = QuerySpec(
+        similarity.dedup_embedding_lsh,
+        similarity.DEDUP_EMBEDDING_LSH_SQL,
+        "ext: embedding near-dup, banded-LSH bucketed (exact integer "
+        "predicate within bands; all-pairs baseline is pytest-only)",
     )
 
     # --- Dedup clustering (iterative) ---
@@ -240,6 +241,18 @@ def build() -> dict:
     # Spark SQL and DuckDB alike). pytest-only: the oracle already runs
     # this exact text, so a driver slot would duplicate the signal. ---
     from .testdata_queries import make_raw_sql_runner
+
+    # All-pairs exact near-dup: the correctness baseline for
+    # dedup_embedding_lsh's recall test. pytest-only — its broadcast
+    # all-pairs matmul (driver collect) is the shape the registered
+    # bucketed operator exists to replace at scale.
+    q["dedup_embedding_cosine"] = QuerySpec(
+        similarity.dedup_embedding_cosine,
+        similarity.DEDUP_EMBEDDING_COSINE_SQL,
+        "ext: embedding-cosine near-dup, all-pairs exact baseline",
+        bench=False,
+        driver=False,
+    )
 
     for name, sql in [
         ("window_rank_orders", rx.WINDOW_RANK_SQL),

@@ -8,6 +8,8 @@ from hadoop_hive_analysis_spark.operators.similarity import (
     ann_cosine_topk_float,
     ann_ivf_topk,
     ann_lsh_topk,
+    dedup_embedding_cosine,
+    dedup_embedding_lsh,
     embedding_knn_pandas,
 )
 
@@ -46,3 +48,48 @@ def test_approximate_variants_recall_floor(spark, sf_dir):
         hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
         total = sum(len(exact[q]) for q in exact)
         assert hits / total >= floor, (approx_fn.__name__, hits / total)
+
+
+def test_lsh_topk_plans_equi_join(spark, sf_dir):
+    """The multi-probe candidate join must be a hash equi-join on the
+    bucket column — a bit_count(xor)<=r predicate would plan as
+    BroadcastNestedLoopJoin and enumerate every corpus×query pair."""
+    plan = (
+        ann_lsh_topk(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_dedup_embedding_lsh_bucketed_recall(spark, sf_dir):
+    """Banded LSH near-dup: precision 1.0 by construction (exact integer
+    predicate within bands — every returned pair is in the all-pairs
+    set), recall bounded below. The fixture is LSH's worst case (its
+    near-dups sit at cos 0.40-0.51, near the background p99.9 of 0.38);
+    expected recall ≈1-(1-p^4)^8 ≈ 0.75 at cos 0.4."""
+    exact = {(r.va, r.vb): r.dot_q for r in dedup_embedding_cosine(spark, sf_dir).collect()}
+    got = {(r.va, r.vb): r.dot_q for r in dedup_embedding_lsh(spark, sf_dir).collect()}
+    assert set(got) <= set(exact)  # precision 1.0
+    assert all(exact[p] == d for p, d in got.items())  # identical exact dots
+    if exact:
+        assert len(got) / len(exact) >= 0.6, (len(got), len(exact))
+
+
+def test_dedup_embedding_lsh_plan_is_bucketed(spark, sf_dir):
+    """No all-pairs shape: the verify runs per band bucket
+    (FlatMapGroupsInPandas after a hash partition on band_key), never a
+    nested-loop or cartesian pair enumeration."""
+    plan = (
+        dedup_embedding_lsh(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "hashpartitioning(band_key" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
