@@ -41,6 +41,16 @@ NUM_HASHES = 16
 BAND_SIZE = 4  # → 4 bands
 SIMHASH_BITS = 32
 SIMHASH_RADIUS = 3
+# Stop-shingle cut for the exact-Jaccard path: shingles appearing in more
+# than this many documents are dropped from the pair universe BEFORE the
+# posting-list self-join. The join is quadratic in posting-list length, so
+# one hot shingle (boilerplate, license headers) otherwise dominates the
+# whole job at scale; capping df bounds every posting list's pair count at
+# df² ≤ 1024. Semantics delta (documented, mirrored in the oracle):
+# Jaccard is computed over the informative-shingle universe — a pair whose
+# overlap is pure boilerplate no longer counts as a near-dup, which is the
+# behavior a training-data pipeline wants anyway.
+STOP_SHINGLE_DF = 32
 
 _SHINGLE_SQL = r"""
     WITH toks AS (
@@ -87,13 +97,23 @@ DEDUP_EXACT_SQL = """
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by exact 3-gram Jaccard ≥ 0.8.
+    """Near-dup pairs by exact 3-gram Jaccard ≥ 0.8 over the
+    informative-shingle universe (document frequency ≤ STOP_SHINGLE_DF).
 
-    Candidate generation is an equi-join on shared shingles (shuffle on the
-    shingle hash — skew-prone on stop-shingles; AQE skew-join handles it,
-    and a production run would drop ultra-frequent shingles first).
+    Candidate generation is an equi-join on shared shingles. The df cut
+    happens FIRST (window count over the same shingle partitioning the
+    join shuffles on, so the exchange is reused): it bounds every posting
+    list, which bounds the join's per-key pair count — without it one hot
+    boilerplate shingle makes the job quadratic in corpus size. Doc
+    cardinalities are computed over the same filtered universe so the
+    Jaccard stays an exact set similarity (of informative shingles).
     """
+    from pyspark.sql import Window
+
     sh = _doc_shingles(spark, sf_dir)
+    sh = sh.withColumn(
+        "df", F.count("*").over(Window.partitionBy("shingle"))
+    ).filter(F.col("df") <= STOP_SHINGLE_DF).drop("df")
     card = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -115,10 +135,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_NGRAM_JACCARD_SQL = f"""
     {_SHINGLE_SQL},
-    card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    shf AS (
+        SELECT doc_id, shingle FROM (
+            SELECT doc_id, shingle,
+                   count(*) OVER (PARTITION BY shingle) AS df
+            FROM sh
+        ) WHERE df <= {STOP_SHINGLE_DF}
+    ),
+    card AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ix
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
     SELECT doc_a, doc_b, ix / (ca.n + cb.n - ix) AS jaccard
@@ -129,19 +156,10 @@ DEDUP_NGRAM_JACCARD_SQL = f"""
 """
 
 
-def _minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, hf_id, mh): min over shingles of each universal hash."""
-    sh = _doc_shingles(spark, sf_dir).withColumn("h31", h31(F.col("shingle")))
-    params = minhash_params(NUM_HASHES)
-    mh_cols = [
-        F.min(minhash_expr(F.col("h31"), a, b)).alias(f"mh_{j}")
-        for j, (a, b) in enumerate(params)
-    ]
-    return sh.groupBy("doc_id").agg(*mh_cols)
-
-
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs, verified with exact Jaccard.
+def minhash_pairs_from_shingles(sh: DataFrame) -> DataFrame:
+    """MinHash-LSH verified near-dup pairs from a prepared shingle frame
+    ``(doc_id, shingle, h31)`` — the shared core of the fused operator and
+    the staged pipeline (which feeds it a MATERIALIZED shingle table).
 
     Signature: one aggregation pass computing all 16 mins (no per-hash
     shuffle). Banding: 4 bands of 4 rows; candidates share ≥1 band
@@ -149,7 +167,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-(1-j⁴)⁴ ≈ 0.99996; for background (j<0.1) ≈ 4·10⁻⁴. The verify
     join then removes any false positives.
     """
-    sig = _minhash_signature(spark, sf_dir)
+    params = minhash_params(NUM_HASHES)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(minhash_expr(F.col("h31"), a, b)).alias(f"mh_{j}")
+            for j, (a, b) in enumerate(params)
+        ]
+    )
     # ONE signature pass: bands come from exploding an array of structs.
     # A unionAll of per-band selects would re-execute the signature
     # aggregation once per band (Catalyst does not dedupe common subplans).
@@ -180,7 +204,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact-Jaccard join runs per-candidate, not all-shared-shingle-pairs:
     # at 100 TB the candidate set is tiny relative to the posting-list
     # cross product, so this is the scale-defining difference.
-    sh = _doc_shingles(spark, sf_dir)
     card = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b2"), F.col("shingle").alias("sh_b"))
@@ -199,6 +222,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= F.lit(JACCARD_THRESHOLD))
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (see :func:`minhash_pairs_from_shingles`)."""
+    sh = _doc_shingles(spark, sf_dir).withColumn("h31", h31(F.col("shingle")))
+    return minhash_pairs_from_shingles(sh)
 
 
 def _minhash_sql_cols() -> str:

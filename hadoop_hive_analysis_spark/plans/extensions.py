@@ -86,6 +86,12 @@ def build() -> dict:
         pipeline.CORPUS_CLEAN_SQL,
         "ext: composed cleaning pipeline (quality → dedup → near-dup drop)",
     )
+    q["corpus_clean_staged"] = QuerySpec(
+        pipeline.corpus_clean_staged,
+        pipeline.CORPUS_CLEAN_SQL,  # identical semantics, staged execution
+        "ext: staged cleaning pipeline (shingle table materialized once, "
+        "reused by every dedup consumer — the 100 TB run shape)",
+    )
 
     # --- Relational surface beyond the reference ---
     q["window_rank_orders"] = QuerySpec(

@@ -69,27 +69,33 @@ CORPUS_CLEAN_SQL = f"""
 """
 
 
-def corpus_clean_staged(spark: SparkSession, sf_dir: str, workdir: str) -> DataFrame:
-    """Staged variant of :func:`corpus_clean`: materialize the shingle
-    table once as parquet and reuse it for both dedup stages.
+def corpus_clean_staged(
+    spark: SparkSession, sf_dir: str, workdir: str | None = None
+) -> DataFrame:
+    """Staged variant of :func:`corpus_clean`: materialize the hashed
+    shingle table once as parquet and feed the SAME MinHash-LSH core
+    (:func:`..operators.dedup.minhash_pairs_from_shingles`) from the
+    materialization instead of recomputing tokenize→shingle→hash per
+    consumer.
 
     At 100 TB this is how the pipeline actually runs — expensive derived
     tables (shingles, signatures) land in columnar storage and every
-    downstream stage scans the materialization instead of recomputing the
-    tokenize→shingle→hash chain per consumer. Results are identical to
-    the fused form (asserted in tests).
+    downstream stage scans them. Results are identical to the fused form
+    (asserted in tests, and both forms share the one DuckDB oracle).
+
+    ``workdir`` defaults to a fresh scratch directory (the registered
+    driver form); pass an explicit path to keep the materialization.
     """
     from ..functions.hashing import h31
     from ..functions.text import with_shingles
-    from ..operators.dedup import (
-        BAND_SIZE,
-        JACCARD_THRESHOLD,
-        NUM_HASHES,
-        minhash_expr,
-        minhash_params,
-    )
+    from ..operators.dedup import minhash_pairs_from_shingles
     from ..sources.catalog import load_table
     from ..sources.sinks import write_parquet
+
+    if workdir is None:
+        import tempfile
+
+        workdir = tempfile.mkdtemp(prefix="corpus_clean_staged_")
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     sh_path = f"{workdir}/shingles.parquet"
@@ -101,55 +107,11 @@ def corpus_clean_staged(spark: SparkSession, sf_dir: str, workdir: str) -> DataF
     )
     sh = spark.read.parquet(sh_path)
 
-    params = minhash_params(NUM_HASHES)
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(minhash_expr(F.col("h31"), a, b)).alias(f"mh_{j}")
-            for j, (a, b) in enumerate(params)
-        ]
-    )
-    n_bands = NUM_HASHES // BAND_SIZE
-    band_structs = []
-    for band in range(n_bands):
-        members = [F.col(f"mh_{band * BAND_SIZE + r}") for r in range(BAND_SIZE)]
-        key = F.concat_ws(",", *[m.cast("string") for m in members])
-        band_structs.append(F.struct(F.lit(band).alias("band"), key.alias("band_sig")))
-    banded = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("b")).select(
-        "doc_id", "b.band", "b.band_sig"
-    )
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    card = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b2"), F.col("shingle").alias("sh_b"))
-    inter = (
-        cand.join(sa, "doc_a")
-        .join(sb, (F.col("doc_b") == F.col("doc_b2")) & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("ix"))
-    )
-    ca = card.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    cb = card.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     losers = (
-        inter.join(ca, "doc_a")
-        .join(cb, "doc_b")
-        .filter(
-            F.col("ix") / (F.col("na") + F.col("nb") - F.col("ix"))
-            >= F.lit(JACCARD_THRESHOLD)
-        )
+        minhash_pairs_from_shingles(sh)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-
     quality = text_quality_score(spark, sf_dir).filter(F.col("keep"))
     canonical = dedup_exact(spark, sf_dir).select(
         F.col("canonical_id").alias("doc_id")

@@ -55,6 +55,16 @@ def _build() -> dict[str, QuerySpec]:
         "S1 S2 S3 P4 P5 P6 A1 J1 F1 T3",
     )
 
+    # S7 DDL twin: CREATE TABLE ... USING parquet LOCATION, then the q1a
+    # text against the catalog-qualified table. bench=False (duplicate
+    # compute of q1a; the point is the catalog entry surface).
+    q["q1a_via_ddl_catalog"] = QuerySpec(
+        tq.q1a_via_ddl_catalog,
+        tq.SQL["q1a_top_suppliers_by_revenue"],
+        "S7 (DDL external-table catalog)",
+        bench=False,
+    )
+
     # --- Extension packs (registered by their modules; oracle-checked
     # queries lead, rows-only checks trail, dedup/text pack first) ---
     from . import extensions

@@ -199,6 +199,26 @@ SQL: dict[str, str] = {
 }
 
 
+def q1a_via_ddl_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1a resolved through DDL-registered external tables — the catalog
+    twin of the temp-view entry point (SURVEY §2.1 S7; the reference's
+    ``CREATE EXTERNAL TABLE`` surface, Software Documentation.pdf p.6-7).
+
+    Same SQL text as ``q1a_top_suppliers_by_revenue``, but the table name
+    resolves against ``ext.lineitem`` created via
+    ``CREATE TABLE … USING parquet LOCATION`` — proving the DDL catalog
+    path yields bit-identical results to the DataFrame and temp-view
+    entry points (one shared DuckDB oracle).
+    """
+    from ..sources.catalog import EXT_DB, register_external_tables
+
+    register_external_tables(spark, sf_dir)
+    sql = SQL["q1a_top_suppliers_by_revenue"].replace(
+        "FROM lineitem", f"FROM {EXT_DB}.lineitem"
+    )
+    return spark.sql(sql)
+
+
 def make_raw_sql_runner(name: str, sql: str):
     """SQL dual from an explicit portable SQL text (extension queries)."""
 

@@ -56,3 +56,42 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+EXT_DB = "ext"
+
+
+def register_external_tables(spark: SparkSession, sf_dir: str) -> None:
+    """S7's DDL twin: ``CREATE TABLE … USING parquet LOCATION`` — the
+    Spark-native equivalent of the reference's ``CREATE EXTERNAL TABLE``
+    into the Hive metastore (Software Documentation.pdf p.6-7).
+
+    Tables land in their own database (``ext``) so qualified names never
+    collide with the temp views :func:`register_views` creates — temp
+    views shadow unqualified catalog names in Spark's resolution order.
+    On a bare session this uses the in-memory catalog; with
+    ``enableHiveSupport`` (or Unity/Glue via config) the identical DDL
+    persists in a real metastore.
+
+    ``events`` needs its TIMESTAMP(NANOS) column converted, which schema-
+    on-read DDL can't express — so the raw table registers as
+    ``ext.events_raw`` (``ts`` read as raw nanos) and a catalog VIEW
+    ``ext.events`` applies the same integer-division conversion
+    :func:`load_table` uses. Idempotent: re-registration replaces.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {EXT_DB}")
+    for name in TESTDATA_TABLES:
+        target = f"{EXT_DB}.{name}_raw" if name == "events" else f"{EXT_DB}.{name}"
+        spark.sql(f"DROP TABLE IF EXISTS {target}")
+        spark.sql(
+            f"CREATE TABLE {target} USING parquet "
+            f"LOCATION '{sf_dir}/{name}.parquet'"
+        )
+    spark.sql(f"DROP VIEW IF EXISTS {EXT_DB}.events")
+    spark.sql(
+        f"CREATE VIEW {EXT_DB}.events AS "
+        f"SELECT event_id, timestamp_micros(ts DIV 1000) AS ts, user_id, "
+        f"       event_type, value, props "
+        f"FROM {EXT_DB}.events_raw"
+    )

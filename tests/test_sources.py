@@ -48,3 +48,30 @@ def test_register_views_exposes_all_tables(spark, sf_dir):
         "documents embeddings".split()
     ):
         assert spark.sql(f"SELECT count(*) AS n FROM {t}").collect()[0].n > 0
+
+
+def test_ddl_catalog_tables_match_loader(spark, sf_dir):
+    """CREATE TABLE ... USING parquet LOCATION must expose the same data
+    as load_table — including the events nanos→micros view conversion."""
+    from hadoop_hive_analysis_spark.sources.catalog import (
+        EXT_DB,
+        register_external_tables,
+    )
+
+    register_external_tables(spark, sf_dir)
+    for t in ("lineitem", "supplier"):
+        assert (
+            spark.sql(f"SELECT count(*) AS n FROM {EXT_DB}.{t}").collect()[0].n
+            == load_table(spark, sf_dir, t).count()
+        )
+    via_view = spark.sql(
+        f"SELECT event_id, ts FROM {EXT_DB}.events ORDER BY event_id LIMIT 5"
+    ).collect()
+    via_loader = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts")
+        .orderBy("event_id")
+        .limit(5)
+        .collect()
+    )
+    assert via_view == via_loader
