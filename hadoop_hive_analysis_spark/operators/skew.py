@@ -55,6 +55,10 @@ def events_value_by_user_salted(spark, sf_dir: str) -> DataFrame:
 
     The fixture's user_id is not actually skewed — the point is the
     oracle-checked equivalence: salted two-phase == plain GROUP BY.
+    (For algebraic aggregates like SUM, Spark's map-side partial
+    aggregation already collapses a hot key to one row per map task, so
+    agg-skew rarely bites; see :func:`events_top3_by_hotkey_salted` for
+    the case with NO built-in mitigation.)
     """
     ev = load_table(spark, sf_dir, "events")
     out = salted_grouped_sum(
@@ -71,7 +75,67 @@ def events_value_by_user_salted(spark, sf_dir: str) -> DataFrame:
 
 EVENTS_SALTED_SQL = """
     SELECT user_id,
-           SUM(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value
+           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS DOUBLE)
+               AS sum_value
     FROM events
     GROUP BY user_id
+"""
+
+
+# Derived GENUINELY skewed key: ~90% of rows collapse onto key -1 (every
+# user whose id isn't a multiple of 10). Deterministic, oracle-mirrorable.
+_SKEW_KEY = "CASE WHEN user_id % 10 <> 0 THEN -1 ELSE user_id END"
+TOP_K_PER_KEY = 3
+
+
+def events_top3_by_hotkey_salted(spark, sf_dir: str) -> DataFrame:
+    """Top-3 events by value per SKEWED key, via salted two-phase top-K —
+    the skew case with NO built-in engine mitigation.
+
+    Why this operator exists: for algebraic aggregates (SUM/COUNT/MIN…)
+    map-side partial aggregation already collapses a hot key to one row
+    per map task, and AQE splits skewed JOIN partitions — but a window
+    function's ``partitionBy(key)`` MUST co-locate every row of the hot
+    key in one task: with 90% of rows on one key, one task sorts 90% of
+    the data while the rest idle. Salting restores parallelism because
+    top-K is re-aggregatable: the global top-3 is contained in the union
+    of per-salt top-3s.
+
+    Phase 1: rank within (key, salt) — the hot key's sort spreads over
+    N_SALTS tasks; keep each salt's top-3 (≤ n_salts×3 rows per key).
+    Phase 2: re-rank the survivors within key — trivially small.
+    Output is identical to the plain window form (the DuckDB oracle).
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr(_SKEW_KEY).alias("skew_key"), "event_id", "value"
+    )
+    salt = h64(F.col("event_id").cast("string")) % F.lit(N_SALTS)
+    salted = ev.withColumn("__salt", salt)
+    w1 = Window.partitionBy("skew_key", "__salt").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    survivors = (
+        salted.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= TOP_K_PER_KEY)
+        .drop("__r1", "__salt")
+    )
+    w2 = Window.partitionBy("skew_key").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        survivors.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= TOP_K_PER_KEY)
+        .select("skew_key", "event_id", "value", "rnk")
+    )
+
+
+EVENTS_TOP3_HOTKEY_SQL = f"""
+    SELECT skew_key, event_id, value, rnk FROM (
+        SELECT skew_key, event_id, value,
+               row_number() OVER (PARTITION BY skew_key
+                                  ORDER BY value DESC, event_id ASC) AS rnk
+        FROM (SELECT {_SKEW_KEY} AS skew_key, event_id, value FROM events)
+    ) WHERE rnk <= {TOP_K_PER_KEY}
 """

@@ -172,6 +172,12 @@ def build() -> dict:
         skew.EVENTS_SALTED_SQL,
         "ext: salted two-phase aggregation == plain GROUP BY",
     )
+    q["events_top3_by_hotkey_salted"] = QuerySpec(
+        skew.events_top3_by_hotkey_salted,
+        skew.EVENTS_TOP3_HOTKEY_SQL,
+        "ext: salted two-phase top-K on a 90%-hot key (window-skew case "
+        "with no built-in engine mitigation) == plain window rank",
+    )
     q["daily_distinct_users_hll"] = QuerySpec(
         sketches.daily_distinct_users_hll,
         sketches.DAILY_DISTINCT_USERS_HLL_SQL,

@@ -70,3 +70,35 @@ def test_salted_sum_equals_plain_groupby(spark, sf_dir):
         .collect()
     }
     assert salted == plain
+
+
+def test_hotkey_top3_skew_spreads(spark, sf_dir):
+    """The derived key is genuinely skewed (hot key holds ≥80% of rows)
+    and phase 1 spreads the hot key's sort over N_SALTS window partitions
+    (a plain window would funnel it to one task)."""
+    from hadoop_hive_analysis_spark.functions.hashing import h64
+    from hadoop_hive_analysis_spark.operators.skew import (
+        _SKEW_KEY,
+        N_SALTS,
+        events_top3_by_hotkey_salted,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr(_SKEW_KEY).alias("skew_key"), "event_id"
+    )
+    counts = {r.skew_key: r.n for r in ev.groupBy("skew_key").count().withColumnRenamed("count", "n").collect()}
+    total = sum(counts.values())
+    assert counts[-1] / total >= 0.8, counts[-1] / total
+    salts = (
+        ev.filter(F.col("skew_key") == -1)
+        .select((h64(F.col("event_id").cast("string")) % F.lit(N_SALTS)).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert salts == N_SALTS  # hot key spreads across every salt
+    # result sanity: every key has ≤3 ranked rows, ranks are 1..3
+    rows = events_top3_by_hotkey_salted(spark, sf_dir).collect()
+    per_key = {}
+    for r in rows:
+        per_key.setdefault(r.skew_key, []).append(r.rnk)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 3 for v in per_key.values())
