@@ -175,8 +175,16 @@ def build() -> dict:
     q["events_top3_by_hotkey_salted"] = QuerySpec(
         skew.events_top3_by_hotkey_salted,
         skew.EVENTS_TOP3_HOTKEY_SQL,
-        "ext: salted two-phase top-K on a 90%-hot key (window-skew case "
-        "with no built-in engine mitigation) == plain window rank",
+        "ext: salted two-phase top-K on a 90%-hot key == plain window "
+        "rank (Spark>=3.5's WindowGroupLimit already covers rank "
+        "filters; kept as the portable form)",
+    )
+    q["events_share_of_key_total"] = QuerySpec(
+        skew.events_share_of_key_total,
+        skew.EVENTS_SHARE_OF_KEY_SQL,
+        "ext: unbounded window agg on a 90%-hot key rewritten as "
+        "groupBy+broadcast join (4.8x vs plain window at 5M rows; the "
+        "window-skew case with no built-in mitigation)",
     )
     q["daily_distinct_users_hll"] = QuerySpec(
         sketches.daily_distinct_users_hll,

@@ -102,3 +102,19 @@ def test_hotkey_top3_skew_spreads(spark, sf_dir):
     for r in rows:
         per_key.setdefault(r.skew_key, []).append(r.rnk)
     assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 3 for v in per_key.values())
+
+
+def test_share_of_key_total_plan_avoids_window(spark, sf_dir):
+    """The unbounded-window rewrite must broadcast the per-key totals and
+    contain NO Window node — the fact rows never shuffle on the hot key."""
+    from hadoop_hive_analysis_spark.operators.skew import events_share_of_key_total
+
+    df = events_share_of_key_total(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+    # shares within each key sum to ~1 (exact integer cents / exact total)
+    sums = (
+        df.groupBy("skew_key").agg(F.sum("value_share").alias("s")).collect()
+    )
+    assert sums and all(abs(r.s - 1.0) < 1e-9 for r in sums)
