@@ -43,7 +43,7 @@ def test_approximate_variants_recall_floor(spark, sf_dir):
     subset but anything they do return must match brute force ranking
     within the probed candidates — here we assert a recall floor."""
     exact = _neighbors(ann_bruteforce_topk(spark, sf_dir))
-    for approx_fn, floor in ((ann_lsh_topk, 0.2), (ann_ivf_topk, 0.6)):
+    for approx_fn, floor in ((ann_lsh_topk, 0.35), (ann_ivf_topk, 0.6)):
         approx = _neighbors(approx_fn(spark, sf_dir))
         hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
         total = sum(len(exact[q]) for q in exact)
