@@ -77,6 +77,12 @@ def build() -> dict:
         "ext: connected components over near-dup pairs (iterative min-label "
         "propagation vs recursive-CTE oracle)",
     )
+    q["dedup_clusters_bigstar"] = QuerySpec(
+        components.dedup_clusters_bigstar,
+        components.DEDUP_CLUSTERS_SQL,  # same contract, different algorithm
+        "ext: same clusters via large-star/small-star alternation "
+        "(O(log n) rounds — diameter-safe where min-label is not)",
+    )
 
     # --- Pipeline composition ---
     from . import pipeline

@@ -1,0 +1,84 @@
+"""Connected-components algorithms versus an exact union-find ground
+truth, including the long-chain case where bounded min-label propagation
+cannot converge but large-star/small-star does."""
+
+from __future__ import annotations
+
+import random
+
+from hadoop_hive_analysis_spark.operators.components import (
+    MAX_ITERATIONS,
+    connected_components,
+    connected_components_bigstar,
+)
+
+
+def _union_find(nodes, edges):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # min-reachable id per node (the engines' component contract)
+    return {n: find(n) for n in nodes}
+
+
+def _truth_min_label(nodes, edges):
+    comp = _union_find(nodes, edges)
+    roots = {}
+    for n, c in comp.items():
+        roots.setdefault(c, []).append(n)
+    return {n: min(roots[c]) for n, c in comp.items()}
+
+
+def _run(spark, fn, edges):
+    df = spark.createDataFrame(edges, "u long, v long")
+    return {r.node: r.component for r in fn(df, "u", "v").collect()}
+
+
+def test_bigstar_matches_union_find_random_graph(spark):
+    rng = random.Random(7)
+    edges = list(
+        {
+            (a, b)
+            for a, b in (
+                sorted((rng.randrange(200), rng.randrange(200)))
+                for _ in range(150)
+            )
+            if a != b
+        }
+    )
+    nodes = {n for e in edges for n in e}
+    truth = _truth_min_label(nodes, edges)
+    assert _run(spark, connected_components_bigstar, edges) == truth
+
+
+def test_min_label_matches_union_find_on_small_diameter(spark):
+    # unions of small cliques — the near-dup-graph shape min-label targets
+    edges = []
+    for c in range(10):
+        base = c * 10
+        edges += [(base + i, base + j) for i in range(4) for j in range(i + 1, 4)]
+    nodes = {n for e in edges for n in e}
+    truth = _truth_min_label(nodes, edges)
+    assert _run(spark, connected_components, edges) == truth
+    assert _run(spark, connected_components_bigstar, edges) == truth
+
+
+def test_bigstar_converges_on_chain_where_min_label_cannot(spark):
+    """A path graph longer than MAX_ITERATIONS: min-label propagation
+    moves the minimum one hop per iteration, so it stops unconverged;
+    the star alternation halves chains per round and gets it right."""
+    n = 2 * MAX_ITERATIONS + 5
+    edges = [(i, i + 1) for i in range(n - 1)]
+    big = _run(spark, connected_components_bigstar, edges)
+    assert big == {i: 0 for i in range(n)}
+    bounded = _run(spark, connected_components, edges)
+    assert bounded != big  # documents WHY the bigstar variant exists
