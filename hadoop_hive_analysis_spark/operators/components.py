@@ -133,13 +133,16 @@ def connected_components_bigstar(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_cur = cur.count()
     for _ in range(MAX_ITERATIONS):
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
-        changed = (
-            nxt.exceptAll(cur).count() + cur.exceptAll(nxt).count()
-        )
-        cur = nxt
-        if changed == 0:
+        # Exact set equality in one anti-join: both sides are distinct, so
+        # equal counts + empty (nxt \ cur) ⇒ equal sets. Counts are free
+        # (frames are checkpointed).
+        n_nxt = nxt.count()
+        changed = (n_nxt != n_cur) or nxt.exceptAll(cur).count() > 0
+        cur, n_cur = nxt, n_nxt
+        if not changed:
             break
     # Fixpoint is a star forest: every edge is (node, root), node ≠ root.
     roots = cur.select(F.col("ev").alias("node")).distinct().withColumn(
