@@ -1,5 +1,11 @@
-"""Structured Streaming surface: streaming twins of the batch event ops."""
+"""Structured Streaming surface: streaming twins of the batch event ops
+and of the dedup ingest front door."""
 
+from .dedup import (
+    read_documents_stream,
+    streaming_dedup_digests,
+    streaming_dedup_within_watermark,
+)
 from .events import (
     read_events_stream,
     run_available_now,
@@ -9,8 +15,11 @@ from .events import (
 )
 
 __all__ = [
+    "read_documents_stream",
     "read_events_stream",
     "run_available_now",
+    "streaming_dedup_digests",
+    "streaming_dedup_within_watermark",
     "streaming_session_aggregates",
     "streaming_tumbling_counts",
     "streaming_user_running_counts",

@@ -1,0 +1,83 @@
+"""Streaming ingest dedup — the streaming face of the batch dedup pack.
+
+A training-data pipeline at 100 TB ingests continuously; duplicates
+arrive two ways, and each maps to a different Structured Streaming
+operator with a different state bound:
+
+* **Content duplicates** (same text from different crawls/sources):
+  :func:`streaming_dedup_digests` keys state on the md5 content digest
+  with ``dropDuplicates`` — the streaming twin of the batch
+  ``dedup_exact`` (``operators/dedup.py``). State is one (small) digest
+  row per distinct document, so it grows with corpus cardinality, not
+  stream length; for truly unbounded streams, periodically snapshot the
+  digest set to parquet and start a fresh query seeded by a stream-static
+  anti-join against the snapshot.
+* **Retransmissions** (at-least-once sources re-delivering recent rows):
+  :func:`streaming_dedup_within_watermark` keys state on the record id
+  with ``dropDuplicatesWithinWatermark`` — state is evicted as the
+  watermark passes, so it is bounded by (arrival rate × watermark
+  horizon) regardless of stream length. This is the exactly-once ingest
+  front door; the digest dedup above runs after it.
+
+Both drain under ``Trigger.AvailableNow`` in tests and reproduce the
+batch semantics exactly (Kappa guarantee, like ``streaming/events.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .events import WATERMARK
+
+_DOCUMENTS_RAW = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents table (a directory being
+    appended to by the crawler; swap for Kafka with the same plan)."""
+    return (
+        spark.readStream.schema(_DOCUMENTS_RAW)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def streaming_dedup_digests(docs: DataFrame) -> DataFrame:
+    """First-seen exact content dedup: emit each distinct content digest
+    once, with the doc that introduced it.
+
+    Output is append-mode (a digest row is final the moment it first
+    appears). Which duplicate arrives first is an arrival-order fact of
+    the stream, so only (digest, n_chars)-level columns are deterministic
+    under replay; tests compare the digest set against batch
+    ``dedup_exact``.
+    """
+    return docs.select(
+        F.md5("text").alias("digest"), "doc_id", "n_chars"
+    ).dropDuplicates(["digest"])
+
+
+def streaming_dedup_within_watermark(events: DataFrame) -> DataFrame:
+    """Retransmission dedup keyed on event_id, state bounded by the
+    watermark horizon — duplicates delivered within ``WATERMARK`` of the
+    first copy are dropped; state for older ids is evicted instead of
+    accumulating forever (the property plain streaming ``dropDuplicates``
+    lacks)."""
+    return events.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

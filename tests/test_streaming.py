@@ -71,6 +71,55 @@ def test_stateful_running_counts_match_groupby(spark, sf_dir, tmp_path):
     assert got_map == want
 
 
+def test_streaming_digest_dedup_equals_batch_exact(spark, sf_dir, tmp_path):
+    """Streaming first-seen digest dedup emits exactly the digest set the
+    batch exact-dedup operator derives."""
+    import pyspark.sql.functions as F
+
+    from hadoop_hive_analysis_spark.streaming import (
+        read_documents_stream,
+        streaming_dedup_digests,
+    )
+
+    stream = read_documents_stream(spark, sf_dir)
+    got = run_available_now(
+        streaming_dedup_digests(stream),
+        "t_digest_dedup",
+        str(tmp_path / "ck5"),
+        output_mode="append",
+    )
+    want = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.md5("text").alias("digest"))
+        .distinct()
+    )
+    assert sorted(r.digest for r in got.collect()) == sorted(
+        r.digest for r in want.collect()
+    )
+
+
+def test_streaming_watermark_dedup_drops_retransmissions(spark, sf_dir, tmp_path):
+    """An at-least-once source delivering every event twice must come out
+    exactly once, with state bounded by the watermark horizon."""
+    from hadoop_hive_analysis_spark.streaming.dedup import (
+        streaming_dedup_within_watermark,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ingest = str(tmp_path / "ingest")
+    # one file = one microbatch containing every event twice
+    ev.union(ev).coalesce(1).write.parquet(ingest)
+    stream = spark.readStream.schema(ev.schema).parquet(ingest)
+    got = run_available_now(
+        streaming_dedup_within_watermark(stream),
+        "t_wm_dedup",
+        str(tmp_path / "ck6"),
+        output_mode="append",
+    )
+    assert got.count() == ev.count()
+    assert got.select("event_id").distinct().count() == ev.count()
+
+
 def test_foreach_batch_etl_lands_partitioned_parquet(spark, sf_dir, tmp_path):
     from hadoop_hive_analysis_spark.streaming.events import run_foreach_batch_etl
 
