@@ -1,0 +1,224 @@
+"""Training-data pipeline text ops beyond per-doc analysis: benchmark
+contamination detection, sliding-window chunking, and PII redaction.
+
+All three are pytest-oracle-checked library operators (the driver's
+50-slot registry window is full; `tests/test_text_pipeline.py` runs the
+same strict DuckDB comparison the driver would).
+
+Scale shapes:
+* contamination — the benchmark shingle set is SMALL (eval suites are
+  KBs–MBs) and broadcast; the corpus side is one shingle scan + one
+  broadcast semi-join + one groupBy(doc) count: linear, no corpus×corpus
+  pair enumeration, unlike dedup.
+* chunking — pure per-row codegen explode: embarrassingly parallel,
+  output rows ≈ corpus_tokens / stride.
+* PII redaction — chained ``regexp_replace`` (codegen, no Python);
+  patterns chosen flavor-neutral (identical under Java regex and RE2)
+  so the DuckDB oracle computes byte-identical redactions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h64, h64_sql
+from ..functions.text import tokens, with_shingles
+from ..sources.catalog import load_table
+
+# ---------------------------------------------------------------- chunking
+
+CHUNK_SIZE = 64  # tokens per chunk
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding token-window chunks per document (context-window prep).
+
+    Chunk k covers tokens [1 + k·stride, 1 + k·stride + size) (1-indexed);
+    every token lands in ≥1 chunk, the final chunk may be short. Output is
+    (doc_id, chunk_no, n_chunk_tokens, chunk_h) with ``chunk_h`` the
+    portable 60-bit hash of the chunk text — scalar columns only, so the
+    result is oracle-hashable.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    starts = F.expr(f"sequence(1, size(toks), {CHUNK_STRIDE})")
+    exploded = d.select(
+        "doc_id", "toks", F.posexplode(starts).alias("chunk_no", "s")
+    )
+    chunk_txt = F.expr(f"concat_ws(' ', slice(toks, s, {CHUNK_SIZE}))")
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_no").cast("long").alias("chunk_no"),
+        F.expr(f"size(slice(toks, s, {CHUNK_SIZE}))")
+        .cast("long")
+        .alias("n_chunk_tokens"),
+        h64(chunk_txt).alias("chunk_h"),
+    )
+
+
+DOC_CHUNKS_SQL = rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, t,
+               unnest(range(1, len(t) + 1, {CHUNK_STRIDE})) AS s
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST((s - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_no,
+           CAST(len(list_slice(t, s, s + {CHUNK_SIZE} - 1)) AS BIGINT)
+               AS n_chunk_tokens,
+           {h64_sql(f"array_to_string(list_slice(t, s, s + {CHUNK_SIZE} - 1), ' ')")}
+               AS chunk_h
+    FROM starts
+"""
+
+# ----------------------------------------------------------- contamination
+
+BENCH_MOD = 20  # doc_id % 20 == 0 → ~5% of docs act as the benchmark set
+CONTAM_NUM = 1  # flag threshold 1/2 as an exact integer cross-multiply
+CONTAM_DEN = 2
+
+
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: fraction of each training doc's
+    distinct 3-gram shingles that appear anywhere in the benchmark set.
+
+    The benchmark side (here a deterministic ~5% doc_id slice standing in
+    for an eval suite) collapses to a DISTINCT shingle set and is
+    broadcast; the corpus side is scanned once. Docs with < 3 tokens have
+    no shingles and are excluded (mirrored in the oracle). ``flagged``
+    uses an exact integer cross-multiplied threshold (≥ 1/2).
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench_pred = F.col("doc_id") % BENCH_MOD == 0
+    corpus_sh = with_shingles(d.filter(~bench_pred), "text").select(
+        "doc_id", "shingle"
+    )
+    bench_sh = (
+        with_shingles(d.filter(bench_pred), "text")
+        .select("shingle")
+        .distinct()
+    )
+    totals = corpus_sh.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles")
+    )
+    hits = (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    joined = totals.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce("n_hit", F.lit(0)).alias("n_overlap"),
+    )
+    return joined.select(
+        "doc_id",
+        "n_shingles",
+        "n_overlap",
+        (F.col("n_overlap").cast("double") / F.col("n_shingles")).alias(
+            "contamination"
+        ),
+        (
+            F.col("n_overlap") * CONTAM_DEN
+            >= F.col("n_shingles") * CONTAM_NUM
+        ).alias("flagged"),
+    )
+
+
+CONTAMINATION_SQL = rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+        FROM toks WHERE len(t) >= 3
+    ),
+    bench AS (
+        SELECT DISTINCT shingle FROM sh WHERE doc_id % {BENCH_MOD} = 0
+    ),
+    corpus AS (
+        SELECT doc_id, shingle FROM sh WHERE doc_id % {BENCH_MOD} <> 0
+    ),
+    tot AS (
+        SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY doc_id
+    ),
+    hit AS (
+        SELECT c.doc_id, count(*) AS n_hit
+        FROM corpus c JOIN bench b USING (shingle)
+        GROUP BY c.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(t.n_shingles AS BIGINT) AS n_shingles,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_overlap,
+           CAST(coalesce(h.n_hit, 0) AS DOUBLE) / t.n_shingles
+               AS contamination,
+           (coalesce(h.n_hit, 0) * {CONTAM_DEN}
+               >= t.n_shingles * {CONTAM_NUM}) AS flagged
+    FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+"""
+
+# ------------------------------------------------------------ PII scrubbing
+
+# Flavor-neutral patterns: identical semantics under Java regex (Spark) and
+# RE2 (DuckDB). Order matters: emails before phones (a phone pattern would
+# otherwise eat the digits of user123@…), IPs before phones likewise.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "[IP]"),
+    ("phone", r"\+?[0-9][0-9() -]{6,}[0-9]", "[PHONE]"),
+)
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Chained global regexp_replace over the PII patterns (codegen)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII inventory + redacted text hash.
+
+    The synthetic fixture contains no PII (all counts 0, hash = hash of
+    the original text) — the oracle check still pins the full expression
+    tree; `tests/test_text_pipeline.py` additionally proves the redaction
+    behavior on constructed rows against DuckDB.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    # Column-typed patterns (F.lit) — embedding them in a SQL string
+    # literal would re-interpret backslashes (\b, \.) on the Spark side.
+    counts = [
+        F.regexp_count(F.col("text"), F.lit(pat))
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    return d.select(
+        "doc_id", *counts, h64(redact_pii("text")).alias("clean_h")
+    )
+
+
+def _pii_scrub_sql(source: str = "documents") -> str:
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    redacted = "text"
+    for _, pat, repl in PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{pat}', '{repl}', 'g')"
+    return f"""
+        SELECT doc_id, {counts}, {h64_sql(redacted)} AS clean_h
+        FROM {source}
+    """
+
+
+PII_SCRUB_SQL = _pii_scrub_sql()

@@ -1,0 +1,112 @@
+"""Text-pipeline library operators (contamination / chunking / PII) versus
+the same strict DuckDB oracle the driver-facing registry uses. These live
+outside the driver's 50-slot window; this file carries their checks."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from hadoop_hive_analysis_spark.operators.text_pipeline import (
+    CHUNK_SIZE,
+    CHUNK_STRIDE,
+    CONTAMINATION_SQL,
+    DOC_CHUNKS_SQL,
+    PII_PATTERNS,
+    PII_SCRUB_SQL,
+    _pii_scrub_sql,
+    contamination_ngram,
+    doc_chunks,
+    pii_scrub,
+    redact_pii,
+)
+from hadoop_hive_analysis_spark.sources.catalog import load_table
+
+from .oracle import assert_matches_oracle
+
+
+def test_doc_chunks_match_oracle(spark, sf_dir):
+    assert_matches_oracle(doc_chunks(spark, sf_dir), DOC_CHUNKS_SQL, sf_dir)
+
+
+def test_doc_chunks_cover_every_token(spark, sf_dir):
+    """Σ chunk tokens ≥ corpus tokens (overlap makes it strictly greater
+    for docs longer than one chunk) and every doc is chunked."""
+    chunks = doc_chunks(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    tok_total = docs.select(
+        F.size(F.split("text", r"\s+")).alias("n")
+    ).agg(F.sum("n")).collect()[0][0]
+    chunk_total = chunks.agg(F.sum("n_chunk_tokens")).collect()[0][0]
+    assert chunk_total >= tok_total
+    assert chunks.select("doc_id").distinct().count() == docs.count()
+    # chunk sizing invariants
+    bad = chunks.filter(
+        (F.col("n_chunk_tokens") > CHUNK_SIZE) | (F.col("n_chunk_tokens") < 1)
+    ).count()
+    assert bad == 0
+    assert CHUNK_STRIDE < CHUNK_SIZE  # overlapping windows by construction
+
+
+def test_contamination_matches_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        contamination_ngram(spark, sf_dir), CONTAMINATION_SQL, sf_dir
+    )
+
+
+def test_contamination_flags_planted_neardups(spark, sf_dir):
+    """Fixture near-dups of benchmark docs must surface with high overlap;
+    the bulk of the corpus must not be flagged."""
+    rows = contamination_ngram(spark, sf_dir).collect()
+    flagged = [r for r in rows if r.flagged]
+    rate = len(flagged) / len(rows)
+    assert rate < 0.2, rate  # background word-soup stays below threshold
+    for r in rows:
+        assert 0.0 <= r.contamination <= 1.0
+        assert r.n_overlap <= r.n_shingles
+
+
+def test_pii_scrub_matches_oracle(spark, sf_dir):
+    assert_matches_oracle(pii_scrub(spark, sf_dir), PII_SCRUB_SQL, sf_dir)
+
+
+def test_pii_redaction_behavior_vs_duckdb(spark):
+    """The fixture has no PII, so prove the redaction itself on
+    constructed rows — Spark and DuckDB must emit identical counts AND
+    byte-identical redacted hashes."""
+    samples = [
+        (1, "contact john.doe+spam@example.co.uk or call +1 (555) 123-4567 now"),
+        (2, "server at 192.168.0.1 and 10.0.0.255, code block {x: 1}"),
+        (3, "no pii here, just text with numbers 42 and 1.5"),
+        (4, "a@b.io x 127.0.0.1 y 0123456789"),
+    ]
+    sdf = spark.createDataFrame(samples, "doc_id long, text string")
+    sdf.createOrReplaceTempView("pii_samples")
+    got = sorted(
+        tuple(r)
+        for r in sdf.select(
+            "doc_id",
+            *[
+                F.regexp_count(F.col("text"), F.lit(pat)).cast("long").alias(n)
+                for n, pat, _ in PII_PATTERNS
+            ],
+            F.conv(F.substring(F.md5(redact_pii("text")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("clean_h"),
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE samples (doc_id BIGINT, text VARCHAR)"
+    )
+    con.executemany("INSERT INTO samples VALUES (?, ?)", samples)
+    want = sorted(
+        tuple(r) for r in con.execute(_pii_scrub_sql("samples")).fetchall()
+    )
+    con.close()
+    assert got == want
+    # sanity: the redaction actually fired on the constructed rows
+    by_id = {t[0]: t for t in got}
+    assert by_id[1][1] >= 1  # email
+    assert by_id[2][2] == 2  # two IPs
+    assert by_id[3][1] == by_id[3][2] == 0
