@@ -9,6 +9,7 @@ from .dedup import (
 from .events import (
     read_events_stream,
     run_available_now,
+    streaming_daily_distinct_sketches,
     streaming_session_aggregates,
     streaming_tumbling_counts,
     streaming_user_running_counts,
@@ -18,6 +19,7 @@ __all__ = [
     "read_documents_stream",
     "read_events_stream",
     "run_available_now",
+    "streaming_daily_distinct_sketches",
     "streaming_dedup_digests",
     "streaming_dedup_within_watermark",
     "streaming_session_aggregates",

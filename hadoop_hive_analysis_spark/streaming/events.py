@@ -136,6 +136,29 @@ def streaming_user_running_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_daily_distinct_sketches(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``operators.sketches.daily_distinct_users_hll``'s
+    production shape: per-day HLL sketches of distinct users, maintained
+    incrementally.
+
+    HLL state is a pure max-per-register function of the item SET —
+    merge-order independent — so the streaming estimates equal the batch
+    estimates EXACTLY (asserted in tests), which is what makes sketch
+    columns safe to maintain under continuous ingest and union with
+    historical partitions at query time.
+    """
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+            .cast("long")
+            .alias("apx_users")
+        )
+        .select(F.to_date(F.col("w.start")).alias("day"), "apx_users")
+    )
+
+
 def run_available_now(
     sdf: DataFrame,
     query_name: str,

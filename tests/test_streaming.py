@@ -71,6 +71,36 @@ def test_stateful_running_counts_match_groupby(spark, sf_dir, tmp_path):
     assert got_map == want
 
 
+def test_streaming_hll_sketches_equal_batch(spark, sf_dir, tmp_path):
+    """HLL state depends only on the item set (max per register), so the
+    incrementally-maintained streaming sketch estimates must equal the
+    batch estimates exactly."""
+    import pyspark.sql.functions as F
+
+    from hadoop_hive_analysis_spark.streaming.events import (
+        streaming_daily_distinct_sketches,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    got = run_available_now(
+        streaming_daily_distinct_sketches(stream),
+        "t_hll",
+        str(tmp_path / "ck7"),
+    )
+    want = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+            .cast("long")
+            .alias("apx_users")
+        )
+    )
+    assert {(r.day, r.apx_users) for r in got.collect()} == {
+        (r.day, r.apx_users) for r in want.collect()
+    }
+
+
 def test_streaming_digest_dedup_equals_batch_exact(spark, sf_dir, tmp_path):
     """Streaming first-seen digest dedup emits exactly the digest set the
     batch exact-dedup operator derives."""
