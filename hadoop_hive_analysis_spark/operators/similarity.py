@@ -40,7 +40,6 @@ from ..sources.catalog import load_table
 
 N_QUERIES = 10
 TOP_K = 5
-N_PLANES = 8
 DIM = 64
 
 _QUANT = "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))"
@@ -102,7 +101,7 @@ ANN_BRUTEFORCE_SQL = f"""
 """
 
 
-def _plane_signs(n_planes: int = N_PLANES) -> list[list[int]]:
+def _plane_signs(n_planes: int) -> list[list[int]]:
     """Deterministic ±1 hyperplanes: component d of plane p is +1 iff the
     portable 60-bit hash of 'p:d' is odd. The same literal sign vectors
     feed the Spark codegen exprs, the numpy banding kernel, and the DuckDB
@@ -119,7 +118,7 @@ def _plane_signs(n_planes: int = N_PLANES) -> list[list[int]]:
     return planes
 
 
-def _plane_sign_exprs(n_planes: int = N_PLANES) -> list[str]:
+def _plane_sign_exprs(n_planes: int) -> list[str]:
     return [
         "("
         + " + ".join(
