@@ -103,26 +103,25 @@ def test_streaming_hll_sketches_equal_batch(spark, sf_dir, tmp_path):
 
 def test_streaming_digest_dedup_equals_batch_exact(spark, sf_dir, tmp_path):
     """Streaming first-seen digest dedup emits exactly the digest set the
-    batch exact-dedup operator derives."""
+    batch exact-dedup operator derives — driven with a two-batch stream
+    whose second batch redelivers the whole corpus (the fixture has no
+    exact dupes, so the redelivery is what exercises the drops)."""
     import pyspark.sql.functions as F
 
-    from hadoop_hive_analysis_spark.streaming import (
-        read_documents_stream,
-        streaming_dedup_digests,
-    )
+    from hadoop_hive_analysis_spark.streaming import streaming_dedup_digests
 
-    stream = read_documents_stream(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    ingest = str(tmp_path / "docs_ingest")
+    docs.coalesce(1).write.parquet(ingest)
+    docs.coalesce(1).write.mode("append").parquet(ingest)  # second file
+    stream = spark.readStream.schema(docs.schema).parquet(ingest)
     got = run_available_now(
         streaming_dedup_digests(stream),
         "t_digest_dedup",
         str(tmp_path / "ck5"),
         output_mode="append",
     )
-    want = (
-        load_table(spark, sf_dir, "documents")
-        .select(F.md5("text").alias("digest"))
-        .distinct()
-    )
+    want = docs.select(F.md5("text").alias("digest")).distinct()
     assert sorted(r.digest for r in got.collect()) == sorted(
         r.digest for r in want.collect()
     )
