@@ -65,6 +65,12 @@ def connected_components(edges: DataFrame, src: str, dst: str) -> DataFrame:
         labels = updated.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"min-label propagation did not converge in {MAX_ITERATIONS} "
+            f"iterations — component diameter exceeds the cap; use "
+            f"connected_components_bigstar for unknown-diameter graphs"
+        )
 
     return labels.select("node", F.col("label").alias("component"))
 
@@ -96,10 +102,12 @@ def _small_star(edges: DataFrame) -> DataFrame:
     """∀u over smaller neighbors N≤(u): emit (v, m) and (u, m) with
     m = min(N≤(u) ∪ {u})."""
     sym = _symmetrize(edges).filter(F.col("ev") <= F.col("eu"))
+    # mn < eu always (strictly smaller neighbors), so mn IS the min of
+    # N≤(u) ∪ {u} — no least() needed.
     m = (
         sym.groupBy("eu")
         .agg(F.min("ev").alias("mn"))
-        .select(F.col("eu").alias("mu"), F.least("mu", "mn").alias("m"))
+        .select(F.col("eu").alias("mu"), F.col("mn").alias("m"))
     )
     lesser = (
         sym.join(m, F.col("eu") == F.col("mu"))
@@ -119,13 +127,14 @@ def connected_components_bigstar(
     """Large-star/small-star alternation (Kiveris et al., "Connected
     Components in MapReduce and Beyond") → (node, component).
 
-    Each round halves long chains instead of walking them one hop, so
-    convergence is O(log n) rounds even on path/chain graphs —
-    :func:`connected_components` (min-label propagation) needs O(diameter)
-    iterations and silently stops at ``MAX_ITERATIONS``; this variant is
-    the safe choice when cluster diameters are unknown. Fixpoint detection
-    is exact (symmetric ``exceptAll`` counts, aggregated — no data to the
-    driver); per-round ``localCheckpoint`` truncates lineage.
+    Each round halves long chains instead of walking them one hop:
+    O(log n) rounds in practice (O(log² n) proven worst case) where
+    :func:`connected_components` (min-label propagation) needs
+    O(diameter) iterations — the safe choice when cluster diameters are
+    unknown. Both loops RAISE rather than return wrong labels if the
+    round cap is hit. Fixpoint detection is exact (count + one
+    ``exceptAll``, aggregated — no data to the driver); per-round
+    ``localCheckpoint`` truncates lineage.
     """
     cur = (
         edges.select(F.col(src).alias("eu"), F.col(dst).alias("ev"))
@@ -144,6 +153,12 @@ def connected_components_bigstar(
         cur, n_cur = nxt, n_nxt
         if not changed:
             break
+    else:
+        # Never silent: an unconverged edge set is not a star forest and
+        # would emit a node in several components.
+        raise RuntimeError(
+            f"star contraction did not converge in {MAX_ITERATIONS} rounds"
+        )
     # Fixpoint is a star forest: every edge is (node, root), node ≠ root.
     roots = cur.select(F.col("ev").alias("node")).distinct().withColumn(
         "component", F.col("node")

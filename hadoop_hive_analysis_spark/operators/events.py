@@ -121,7 +121,7 @@ EVENTS_SESSIONIZE_SQL = f"""
                       AS session_no
         FROM flagged
     )
-    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+    SELECT user_id, session_no,
            min(CAST(floor(epoch(ts)) AS BIGINT)) AS session_start_epoch,
            count(*) AS n_events,
            CAST(SUM({_VAL_CENTS}) / 100.0 AS DOUBLE) AS sum_value

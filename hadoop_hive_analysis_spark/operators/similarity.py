@@ -144,46 +144,61 @@ _PROBE_MASKS = [
 _POOLED_PLANE_DOTS = _plane_sign_exprs(N_TABLES * PLANES_PER_TABLE)
 
 
-def _table_buckets(df: DataFrame) -> DataFrame:
-    """(vec_id, q) → long form (vec_id, q, tb, bucket): one row per hash
-    table, bucket = sign-bit pattern of the table's planes.
+def _bucket_explode(
+    df: DataFrame, planes: list[list[int]], n_groups: int, bits_per_group: int
+) -> DataFrame:
+    """(vec_id, q) → long form (vec_id, q, grp, key): one row per plane
+    group, key = sign-bit pattern of the group's planes.
 
-    One Arrow-batched numpy matmul computes all 96 plane signs per batch —
-    a codegen CASE expression over 96×64 literal terms OOMs janino at
-    compile time (measured), and the matmul is faster anyway; same trade
-    as :func:`dedup_embedding_lsh`. Closure is self-contained (plane
-    signs embedded as a plain nested list).
+    The shared signature kernel for multi-table ANN (groups = hash
+    tables) and banded near-dup (groups = bands): one Arrow-batched numpy
+    matmul computes every plane sign per batch — a codegen CASE
+    expression over groups×bits×64 literal terms OOMs janino at compile
+    time (measured at 96 planes), and the matmul is faster anyway.
+    Closure is self-contained (plane signs embedded as a plain nested
+    list).
     """
-    planes_payload = _plane_signs(N_TABLES * PLANES_PER_TABLE)
-    n_tables, planes_per_table = N_TABLES, PLANES_PER_TABLE
+    planes_payload = planes
 
-    def explode_tables(batches):
+    def kernel(batches):
         import numpy as np
         import pandas as pd
 
-        P = np.array(planes_payload, dtype=np.int64)  # (tables*planes, DIM)
+        P = np.array(planes_payload, dtype=np.int64)  # (groups*bits, DIM)
         for pdf in batches:
             if not len(pdf):
                 continue
             mat = np.array(list(pdf["q"]), dtype=np.int64)
             bits = (mat @ P.T > 0).astype(np.int64)  # exact signs
-            buckets = np.zeros((len(mat), n_tables), dtype=np.int64)
-            for t in range(n_tables):
-                for j in range(planes_per_table):
-                    buckets[:, t] |= bits[:, t * planes_per_table + j] << j
+            keys = np.zeros((len(mat), n_groups), dtype=np.int64)
+            for g in range(n_groups):
+                for j in range(bits_per_group):
+                    keys[:, g] |= bits[:, g * bits_per_group + j] << j
             yield pd.DataFrame(
                 {
-                    "vec_id": pdf["vec_id"].repeat(n_tables).to_numpy(),
-                    "q": pdf["q"].repeat(n_tables).to_numpy(),
-                    "tb": np.tile(
-                        np.arange(n_tables, dtype=np.int32), len(mat)
+                    "vec_id": pdf["vec_id"].repeat(n_groups).to_numpy(),
+                    "q": pdf["q"].repeat(n_groups).to_numpy(),
+                    "grp": np.tile(
+                        np.arange(n_groups, dtype=np.int32), len(mat)
                     ),
-                    "bucket": buckets.ravel().astype("int32"),
+                    "key": keys.ravel().astype("int32"),
                 }
             )
 
     return df.mapInPandas(
-        explode_tables, "vec_id long, q array<bigint>, tb int, bucket int"
+        kernel, "vec_id long, q array<bigint>, grp int, key int"
+    )
+
+
+def _table_buckets(df: DataFrame) -> DataFrame:
+    """One row per (vector, hash table) with the table's bucket id."""
+    return _bucket_explode(
+        df, _plane_signs(N_TABLES * PLANES_PER_TABLE), N_TABLES, PLANES_PER_TABLE
+    ).select(
+        "vec_id",
+        "q",
+        F.col("grp").alias("tb"),
+        F.col("key").alias("bucket"),
     )
 
 
@@ -503,35 +518,13 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _quantized(spark, sf_dir)
     num2 = COSINE_DEDUP_NUM * COSINE_DEDUP_NUM
     den2 = COSINE_DEDUP_DEN * COSINE_DEDUP_DEN
-    planes_payload = _BAND_PLANES  # plain nested list → self-contained closure
-    n_bands, band_bits = N_BANDS, BAND_BITS
-
-    def band_explode(batches):
-        import numpy as np
-        import pandas as pd
-
-        P = np.array(planes_payload, dtype=np.int64)  # (bands*bits, DIM)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            mat = np.array(list(pdf["q"]), dtype=np.int64)
-            bits = (mat @ P.T > 0).astype(np.int64)  # (n, bands*bits)
-            keys = np.zeros((len(mat), n_bands), dtype=np.int64)
-            for band in range(n_bands):
-                k = np.zeros(len(mat), dtype=np.int64)
-                for j in range(band_bits):
-                    k |= bits[:, band * band_bits + j] << j
-                keys[:, band] = band * (1 << band_bits) + k
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].repeat(n_bands).to_numpy(),
-                    "q": pdf["q"].repeat(n_bands).to_numpy(),
-                    "band_key": keys.ravel().astype("int32"),  # row-major matches repeat()
-                }
-            )
-
-    bands = corpus.mapInPandas(
-        band_explode, "vec_id long, q array<bigint>, band_key int"
+    # band_key = band · 2^bits + key so distinct bands never share buckets
+    bands = _bucket_explode(corpus, _BAND_PLANES, N_BANDS, BAND_BITS).select(
+        "vec_id",
+        "q",
+        (F.col("grp") * (1 << BAND_BITS) + F.col("key"))
+        .cast("int")
+        .alias("band_key"),
     )
 
     def pairs_in_bucket(pdf):
@@ -542,6 +535,15 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         mat = np.array(list(pdf["q"]), dtype=np.int64)
         dots = mat @ mat.T  # exact int64
         n2 = (mat * mat).sum(axis=1)
+        # The squared predicate must stay int64-EXACT: numpy wraps
+        # silently on overflow (DuckDB promotes to int128), so refuse
+        # loudly outside the exact range instead of returning wrong pairs.
+        md, mn = int(np.abs(dots).max(initial=0)), int(n2.max(initial=0))
+        if den2 * md * md > 2**63 - 1 or num2 * mn * mn > 2**63 - 1:
+            raise ValueError(
+                "quantized embedding magnitudes exceed the int64-exact "
+                "cosine predicate range; lower the quantization scale"
+            )
         mask = (
             (dots > 0)
             & (den2 * dots * dots >= num2 * np.outer(n2, n2))
@@ -690,7 +692,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     corpus, cent = _ivf_assignments(spark, sf_dir)
-    queries = corpus.filter(F.col("vec_id") < N_QUERIES).collect()
+    # Collect the query vectors from the RAW quantized scan, not from
+    # `corpus`: the vec_id filter can't push through mapInPandas, so
+    # filtering `corpus` would run the cell-assignment UDF over the whole
+    # corpus just to fetch N_QUERIES rows (probe cells are computed
+    # driver-side from the centroids anyway).
+    queries = (
+        _quantized(spark, sf_dir).filter(F.col("vec_id") < N_QUERIES).collect()
+    )
 
     probe_rows = []
     for r in queries:

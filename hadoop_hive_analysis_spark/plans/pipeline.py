@@ -93,9 +93,13 @@ def corpus_clean_staged(
     from ..sources.sinks import write_parquet
 
     if workdir is None:
+        # Fixed scratch location, overwritten per run: a fresh mkdtemp per
+        # invocation would leak one full shingle materialization per
+        # driver/bench run (the registered form runs with the default).
+        import os
         import tempfile
 
-        workdir = tempfile.mkdtemp(prefix="corpus_clean_staged_")
+        workdir = os.path.join(tempfile.gettempdir(), "hha_corpus_clean_staged")
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     sh_path = f"{workdir}/shingles.parquet"

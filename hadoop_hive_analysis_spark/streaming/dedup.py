@@ -27,31 +27,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
 
+from ..schemas import TESTDATA_SCHEMAS
 from .events import WATERMARK
-
-_DOCUMENTS_RAW = StructType(
-    [
-        StructField("doc_id", LongType()),
-        StructField("text", StringType()),
-        StructField("lang", StringType()),
-        StructField("source", StringType()),
-        StructField("n_chars", LongType()),
-    ]
-)
 
 
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the documents table (a directory being
-    appended to by the crawler; swap for Kafka with the same plan)."""
+    appended to by the crawler; swap for Kafka with the same plan).
+    Unlike events (nanos-timestamp workaround), the batch schema is
+    directly streamable."""
     return (
-        spark.readStream.schema(_DOCUMENTS_RAW)
+        spark.readStream.schema(TESTDATA_SCHEMAS["documents"])
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     )

@@ -74,11 +74,14 @@ def test_min_label_matches_union_find_on_small_diameter(spark):
 
 def test_bigstar_converges_on_chain_where_min_label_cannot(spark):
     """A path graph longer than MAX_ITERATIONS: min-label propagation
-    moves the minimum one hop per iteration, so it stops unconverged;
-    the star alternation halves chains per round and gets it right."""
+    moves the minimum one hop per iteration, so it must refuse (raise)
+    rather than emit wrong labels; the star alternation halves chains per
+    round and gets it right."""
+    import pytest
+
     n = 2 * MAX_ITERATIONS + 5
     edges = [(i, i + 1) for i in range(n - 1)]
     big = _run(spark, connected_components_bigstar, edges)
     assert big == {i: 0 for i in range(n)}
-    bounded = _run(spark, connected_components, edges)
-    assert bounded != big  # documents WHY the bigstar variant exists
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _run(spark, connected_components, edges)
