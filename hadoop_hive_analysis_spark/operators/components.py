@@ -5,14 +5,18 @@ must become CLUSTERS (transitive closure) so each group keeps exactly one
 canonical document — pairs alone would keep B when A~B and B~C but A≁C
 dropped the wrong docs.
 
-Implementation: iterative min-label propagation, Spark-style —
-a driver loop over DataFrame steps where each iteration is one join +
-aggregation, and convergence is detected from an AGGREGATED count (never
-collecting the data). Iterations are O(graph diameter); near-dup graphs
-are unions of small cliques, so 2-3 iterations in practice. At larger
-diameters the same loop structure hosts the large-star/small-star
-optimization (alternating star contractions halve the diameter per
-round); checkpointing every few iterations truncates lineage.
+Two implementations, same output contract (and the same oracle):
+
+* :func:`connected_components` — iterative min-label propagation: each
+  iteration is one join + aggregation, convergence detected from an
+  AGGREGATED count (never collecting the data). O(diameter) iterations;
+  near-dup graphs are unions of small cliques, so 2-3 in practice.
+* :func:`connected_components_bigstar` — large-star/small-star
+  alternation: chains halve per round, so convergence is
+  diameter-independent — the safe choice for unknown graph shapes.
+
+Both raise rather than emit wrong labels when the round cap is hit;
+per-round checkpointing truncates lineage.
 
 Oracle: DuckDB ``WITH RECURSIVE`` transitive closure + min-reachable —
 the declarative twin of the same fixpoint.

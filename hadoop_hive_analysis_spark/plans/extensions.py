@@ -215,7 +215,8 @@ def build() -> dict:
     q["ann_lsh_topk"] = QuerySpec(
         similarity.ann_lsh_topk,
         similarity.ANN_LSH_SQL,
-        "ext: hyperplane-LSH bucketed top-K",
+        "ext: multi-table hyperplane-LSH bucketed top-K (8x12 planes, "
+        "OR-construction, radius-2 probes)",
     )
 
     # --- Event-stream ops, batch form (events) ---
