@@ -8,7 +8,9 @@ from .dedup import (
 )
 from .events import (
     read_events_stream,
+    rollup_view,
     run_available_now,
+    run_incremental_rollup,
     streaming_daily_distinct_sketches,
     streaming_session_aggregates,
     streaming_tumbling_counts,
@@ -18,7 +20,9 @@ from .events import (
 __all__ = [
     "read_documents_stream",
     "read_events_stream",
+    "rollup_view",
     "run_available_now",
+    "run_incremental_rollup",
     "streaming_daily_distinct_sketches",
     "streaming_dedup_digests",
     "streaming_dedup_within_watermark",

@@ -149,6 +149,61 @@ def test_streaming_watermark_dedup_drops_retransmissions(spark, sf_dir, tmp_path
     assert got.select("event_id").distinct().count() == ev.count()
 
 
+def test_incremental_rollup_equals_batch_and_is_idempotent(spark, sf_dir, tmp_path):
+    """Multi-batch incremental rollup == full batch groupBy, and
+    re-delivering a batch's partial (retry simulation) changes nothing."""
+    import pyspark.sql.functions as F
+
+    from hadoop_hive_analysis_spark.streaming.events import (
+        run_incremental_rollup,
+        rollup_view,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ingest = str(tmp_path / "roll_ingest")
+    # two files + maxFilesPerTrigger=1 → two distinct micro-batches
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(ingest)
+    ev.filter(F.col("event_id") % 2 != 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(ingest)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ingest)
+    )
+    partials = str(tmp_path / "roll_partials")
+    run_incremental_rollup(stream, partials, str(tmp_path / "ck8"))
+    import os
+
+    batch_dirs = [d for d in os.listdir(partials) if d.startswith("batch_id=")]
+    assert len(batch_dirs) == 2, batch_dirs
+
+    def rows(df):
+        return sorted(
+            (r.day, r.event_type, r.n_events, r.sum_value) for r in df.collect()
+        )
+
+    want = rows(
+        ev.withColumn("day", F.to_date("ts"))
+        .groupBy("day", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            (
+                F.sum(F.expr("CAST(round(value * 100, 0) AS BIGINT)"))
+                / F.lit(100.0)
+            ).alias("sum_value"),
+        )
+    )
+    assert rows(rollup_view(spark, partials)) == want
+    # retry simulation: rewrite batch 0's partial; the view must not change
+    # (materialize first — Spark can't overwrite a path it is reading from)
+    b0_path = f"{partials}/batch_id=0"
+    b0 = spark.read.parquet(b0_path)
+    replay = spark.createDataFrame(b0.collect(), b0.schema)
+    replay.write.mode("overwrite").parquet(b0_path)
+    assert rows(rollup_view(spark, partials)) == want
+
+
 def test_foreach_batch_etl_lands_partitioned_parquet(spark, sf_dir, tmp_path):
     from hadoop_hive_analysis_spark.streaming.events import run_foreach_batch_etl
 
