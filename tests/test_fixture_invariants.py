@@ -11,7 +11,11 @@ from hadoop_hive_analysis_spark.sources.catalog import load_table
 
 
 def test_supplier_cardinality_is_analog_of_58_stores(spark, sf_dir):
-    assert load_table(spark, sf_dir, "supplier").count() == 10
+    """The supplier dim plays the reference's 58-store dimension: tiny and
+    broadcastable at every scale factor (10 rows at sf0.001, linear in
+    sf)."""
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[1])
+    assert load_table(spark, sf_dir, "supplier").count() == round(10 * sf / 0.001)
 
 
 def test_q2_coalesce_path_is_exercised(spark, sf_dir):

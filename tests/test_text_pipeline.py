@@ -54,6 +54,20 @@ def test_contamination_matches_oracle(spark, sf_dir):
     )
 
 
+def test_contamination_plan_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark shingle set must broadcast (it is the small side by
+    construction); the corpus must never be enumerated against itself."""
+    plan = (
+        contamination_ngram(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_contamination_flags_planted_neardups(spark, sf_dir):
     """Fixture near-dups of benchmark docs must surface with high overlap;
     the bulk of the corpus must not be flagged."""
