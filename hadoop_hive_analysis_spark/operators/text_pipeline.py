@@ -165,6 +165,46 @@ CONTAMINATION_SQL = rf"""
     FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
 """
 
+# ------------------------------------------------- train/val split + shuffle
+
+TRAIN_PCT = 90  # deterministic 90/10 split
+
+
+def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/validation assignment + global shuffle key.
+
+    ``split`` hashes the STABLE doc_id (not the text): re-running the
+    pipeline, adding columns, or re-partitioning never moves a document
+    across the split — the property that prevents silent train/val
+    leakage between pipeline versions. ``shuffle_key`` is an independent
+    hash (salted) usable as a reproducible global training order:
+    ORDER BY shuffle_key is a total order with no RNG state, so any
+    worker can reproduce any slice of the epoch.
+
+    At 100 TB both columns are pure codegen maps; writing the output
+    partitioned by ``split`` gives partition-pruned train scans.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bucket = h64(F.col("doc_id").cast("string")) % F.lit(100)
+    return d.select(
+        "doc_id",
+        F.when(bucket < TRAIN_PCT, F.lit("train"))
+        .otherwise(F.lit("val"))
+        .alias("split"),
+        h64(F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string"))).alias(
+            "shuffle_key"
+        ),
+    )
+
+
+TRAIN_VAL_SPLIT_SQL = f"""
+    SELECT doc_id,
+           CASE WHEN ({h64_sql("CAST(doc_id AS VARCHAR)")} % 100) < {TRAIN_PCT}
+                THEN 'train' ELSE 'val' END AS split,
+           {h64_sql("'shuffle:' || CAST(doc_id AS VARCHAR)")} AS shuffle_key
+    FROM documents
+"""
+
 # ------------------------------------------------------------ PII scrubbing
 
 # Flavor-neutral patterns: identical semantics under Java regex (Spark) and

@@ -80,6 +80,35 @@ def test_contamination_flags_planted_neardups(spark, sf_dir):
         assert r.n_overlap <= r.n_shingles
 
 
+def test_train_val_split_matches_oracle(spark, sf_dir):
+    from hadoop_hive_analysis_spark.operators.text_pipeline import (
+        TRAIN_VAL_SPLIT_SQL,
+        train_val_split,
+    )
+
+    assert_matches_oracle(
+        train_val_split(spark, sf_dir), TRAIN_VAL_SPLIT_SQL, sf_dir
+    )
+
+
+def test_train_val_split_is_stable_and_total(spark, sf_dir):
+    """Assignment depends only on doc_id (stable under re-run), the split
+    fractions are near 90/10, and shuffle_key is a collision-free total
+    order."""
+    from hadoop_hive_analysis_spark.operators.text_pipeline import (
+        train_val_split,
+    )
+
+    a = {r.doc_id: (r.split, r.shuffle_key) for r in train_val_split(spark, sf_dir).collect()}
+    b = {r.doc_id: (r.split, r.shuffle_key) for r in train_val_split(spark, sf_dir).collect()}
+    assert a == b
+    n = len(a)
+    train = sum(1 for s, _ in a.values() if s == "train")
+    assert 0.8 <= train / n <= 0.97, train / n
+    keys = [k for _, k in a.values()]
+    assert len(set(keys)) == n  # total order, no collisions
+
+
 def test_pii_scrub_matches_oracle(spark, sf_dir):
     assert_matches_oracle(pii_scrub(spark, sf_dir), PII_SCRUB_SQL, sf_dir)
 
