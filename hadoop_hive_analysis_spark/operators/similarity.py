@@ -533,17 +533,21 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         mat = np.array(list(pdf["q"]), dtype=np.int64)
-        dots = mat @ mat.T  # exact int64
-        n2 = (mat * mat).sum(axis=1)
         # The squared predicate must stay int64-EXACT: numpy wraps
-        # silently on overflow (DuckDB promotes to int128), so refuse
-        # loudly outside the exact range instead of returning wrong pairs.
-        md, mn = int(np.abs(dots).max(initial=0)), int(n2.max(initial=0))
-        if den2 * md * md > 2**63 - 1 or num2 * mn * mn > 2**63 - 1:
+        # silently on overflow (DuckDB raises on BIGINT overflow, so the
+        # engines would even disagree about failing), so refuse loudly
+        # BEFORE any arithmetic that could wrap. Bound from the INPUTS —
+        # |dot| ≤ DIM·max|q|² and n2 ≤ DIM·max|q|² — in arbitrary-
+        # precision Python ints, never from already-computed products.
+        mx = int(np.abs(mat).max(initial=0))
+        bound = DIM * mx * mx  # ≥ any |dot| and any squared norm
+        if max(den2, num2) * bound * bound > 2**63 - 1:
             raise ValueError(
                 "quantized embedding magnitudes exceed the int64-exact "
                 "cosine predicate range; lower the quantization scale"
             )
+        dots = mat @ mat.T  # exact int64 (bounded above)
+        n2 = (mat * mat).sum(axis=1)
         mask = (
             (dots > 0)
             & (den2 * dots * dots >= num2 * np.outer(n2, n2))
@@ -664,6 +668,8 @@ def _ivf_assignments(spark: SparkSession, sf_dir: str):
 
         c = np.array(cent_payload, dtype=np.int64)
         for pdf in batches:
+            if not len(pdf):  # empty Arrow batch → 1-D np.array → IndexError
+                continue
             m = np.array(list(pdf["q"]), dtype=np.int64)
             d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
             yield pd.DataFrame(
@@ -728,3 +734,111 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", "dot_q")
     )
+
+
+# Driver-asserted recall floors (exact fractions — integer cross-multiply,
+# no float compare). Measured on the near-orthogonal worst-case fixtures:
+# LSH 0.44-0.50 and IVF 0.86-0.96 across sf0.001/0.01/0.1; the floors sit
+# below the observed minimum with margin, the ORACLE emits literal TRUE, so
+# a recall collapse flips the hashed boolean and turns the driver row red
+# (the HLL error-bound contract, applied to ANN quality).
+RECALL_LSH_FLOOR = (3, 10)  # mean recall ≥ 0.30
+RECALL_IVF_FLOOR = (11, 20)  # mean recall ≥ 0.55
+
+
+def _recall_agg(exact: DataFrame, approx: DataFrame, floor: tuple[int, int]):
+    """(n_queries, n_relevant, n_hits, recall, recall_floor_met) — one row.
+
+    ``n_hits`` counts exact-top-K pairs the approximate index also
+    returned; every column is derived from exact integer counts, so the
+    whole row is oracle-hashable wherever the approximate side is
+    SQL-expressible.
+    """
+    hits = exact.join(
+        approx.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    )
+    num, den = floor
+    return (
+        exact.agg(
+            F.countDistinct("query_id").cast("long").alias("n_queries"),
+            F.count("*").cast("long").alias("n_relevant"),
+        )
+        .crossJoin(hits.agg(F.count("*").cast("long").alias("n_hits")))
+        .select(
+            "n_queries",
+            "n_relevant",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("n_relevant")).alias(
+                "recall"
+            ),
+            (F.col("n_hits") * den >= F.col("n_relevant") * num).alias(
+                "recall_floor_met"
+            ),
+        )
+    )
+
+
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured LSH recall vs the exact brute-force baseline, with an
+    in-query floor assertion.
+
+    The DuckDB oracle recomputes BOTH sides (the LSH banding is
+    SQL-expressible), so ``n_hits``/``recall`` are exact-value-checked —
+    and it emits ``recall_floor_met`` as literal TRUE, so recall sinking
+    below ``RECALL_LSH_FLOOR`` fails the driver hash, not just a pytest.
+    """
+    exact = ann_bruteforce_topk(spark, sf_dir)
+    approx = ann_lsh_topk(spark, sf_dir)
+    return _recall_agg(exact, approx, RECALL_LSH_FLOOR)
+
+
+ANN_LSH_RECALL_SQL = f"""
+    WITH ex AS (
+        SELECT query_id, neighbor_id FROM ({ANN_BRUTEFORCE_SQL})
+    ),
+    ap AS (
+        SELECT query_id, neighbor_id FROM ({ANN_LSH_SQL})
+    ),
+    t AS (
+        SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+               CAST(count(*) AS BIGINT) AS n_relevant
+        FROM ex
+    ),
+    h AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_hits
+        FROM ex JOIN ap USING (query_id, neighbor_id)
+    )
+    SELECT t.n_queries, t.n_relevant, h.n_hits,
+           CAST(h.n_hits AS DOUBLE) / t.n_relevant AS recall,
+           TRUE AS recall_floor_met
+    FROM t, h
+"""
+
+
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured IVF recall vs brute force with a floor assertion.
+
+    The k-means fit is iterative (not SQL-expressible), so the oracle
+    cannot recompute ``n_hits`` — it checks the data-derived sizes and
+    asserts ``recall_floor_met`` TRUE. Weaker than :func:`ann_lsh_recall`
+    but still a hard driver gate on index quality: a drifting fit or
+    broken probe flips the boolean to FALSE and the hash fails.
+    """
+    exact = ann_bruteforce_topk(spark, sf_dir)
+    approx = ann_ivf_topk(spark, sf_dir)
+    return _recall_agg(exact, approx, RECALL_IVF_FLOOR).select(
+        "n_queries", "n_relevant", "recall_floor_met"
+    )
+
+
+ANN_IVF_RECALL_SQL = f"""
+    WITH ex AS (
+        SELECT query_id, neighbor_id FROM ({ANN_BRUTEFORCE_SQL})
+    )
+    SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+           CAST(count(*) AS BIGINT) AS n_relevant,
+           TRUE AS recall_floor_met
+    FROM ex
+"""

@@ -1,9 +1,9 @@
 """Training-data pipeline text ops beyond per-doc analysis: benchmark
 contamination detection, sliding-window chunking, and PII redaction.
 
-All three are pytest-oracle-checked library operators (the driver's
-50-slot registry window is full; `tests/test_text_pipeline.py` runs the
-same strict DuckDB comparison the driver would).
+All four are driver-registered oracle-checked queries as of round 3
+(slots freed by demoting redundant-signal twins); the per-operator
+behavioral tests live in `tests/test_text_pipeline.py`.
 
 Scale shapes:
 * contamination — the benchmark shingle set is SMALL (eval suites are

@@ -71,11 +71,15 @@ def build() -> dict:
     # --- Dedup clustering (iterative) ---
     from ..operators import components
 
+    # pytest-parity only (driver=False): bigstar shares this oracle and is
+    # the scale-preferred (diameter-safe) member of the pair — one driver
+    # slot per oracle, freed for the text-pipeline pack in round 3.
     q["dedup_clusters"] = QuerySpec(
         components.dedup_clusters,
         components.DEDUP_CLUSTERS_SQL,
         "ext: connected components over near-dup pairs (iterative min-label "
         "propagation vs recursive-CTE oracle)",
+        driver=False,
     )
     q["dedup_clusters_bigstar"] = QuerySpec(
         components.dedup_clusters_bigstar,
@@ -87,16 +91,43 @@ def build() -> dict:
     # --- Pipeline composition ---
     from . import pipeline
 
+    # pytest-parity only: the staged twin shares this oracle and is the
+    # production (materialize-once) shape — it keeps the driver slot.
     q["corpus_clean"] = QuerySpec(
         pipeline.corpus_clean,
         pipeline.CORPUS_CLEAN_SQL,
         "ext: composed cleaning pipeline (quality → dedup → near-dup drop)",
+        driver=False,
     )
     q["corpus_clean_staged"] = QuerySpec(
         pipeline.corpus_clean_staged,
         pipeline.CORPUS_CLEAN_SQL,  # identical semantics, staged execution
         "ext: staged cleaning pipeline (shingle table materialized once, "
         "reused by every dedup consumer — the 100 TB run shape)",
+    )
+
+    # --- LLM-pipeline text ops: contamination / chunking / PII / split ---
+    from ..operators import text_pipeline as tp
+
+    q["contamination_ngram"] = QuerySpec(
+        tp.contamination_ngram,
+        tp.CONTAMINATION_SQL,
+        "ext: benchmark-contamination scan (broadcast shingle semi-join)",
+    )
+    q["doc_chunks"] = QuerySpec(
+        tp.doc_chunks,
+        tp.DOC_CHUNKS_SQL,
+        "ext: sliding-window token chunking (posexplode, pure codegen)",
+    )
+    q["pii_scrub"] = QuerySpec(
+        tp.pii_scrub,
+        tp.PII_SCRUB_SQL,
+        "ext: PII inventory + redacted-text hash (chained regexp_replace)",
+    )
+    q["train_val_split"] = QuerySpec(
+        tp.train_val_split,
+        tp.TRAIN_VAL_SPLIT_SQL,
+        "ext: stable train/val split + reproducible shuffle key",
     )
 
     # --- Relational surface beyond the reference ---
@@ -218,6 +249,18 @@ def build() -> dict:
         "ext: multi-table hyperplane-LSH bucketed top-K (8x12 planes, "
         "OR-construction, radius-2 probes)",
     )
+    q["ann_lsh_recall"] = QuerySpec(
+        similarity.ann_lsh_recall,
+        similarity.ANN_LSH_RECALL_SQL,
+        "ext: LSH recall vs exact baseline, exact-value-checked with an "
+        "in-query floor the oracle asserts TRUE",
+    )
+    q["ann_ivf_recall"] = QuerySpec(
+        similarity.ann_ivf_recall,
+        similarity.ANN_IVF_RECALL_SQL,
+        "ext: IVF recall floor assertion (fit not SQL-expressible, so the "
+        "oracle checks sizes + asserts the floor boolean)",
+    )
 
     # --- Event-stream ops, batch form (events) ---
     q["events_tumbling_window"] = QuerySpec(
@@ -236,22 +279,46 @@ def build() -> dict:
         "ext: as-of join (union + carry-forward)",
     )
 
+    # Streaming made driver-visible: AvailableNow replay of the streaming
+    # tumbling aggregation against the BATCH query's oracle — the Kappa
+    # equivalence as a hash check, not just a pytest.
+    from ..streaming.events import events_tumbling_replay
+
+    q["events_tumbling_replay"] = QuerySpec(
+        events_tumbling_replay,
+        events.EVENTS_TUMBLING_SQL,
+        "ext: Structured Streaming tumbling counts, batch-replayed "
+        "(AvailableNow → memory sink) against the batch oracle",
+    )
+
     # --- Rows-only checks (engine-specific estimates / float drift /
     # mapInPandas paths with no SQL twin) trail the oracle pack ---
+    # Rows-only entries whose signal is covered by an oracle-checked twin
+    # are pytest-parity only (driver=False) as of round 3 — their slots
+    # went to the text-pipeline / recall / streaming-replay rows above:
+    # eda_sketch_profile (grouped_stats + daily_distinct_users_hll cover
+    # A4-A6 and the sketch contract), ann_ivf_topk (ann_ivf_recall RUNS
+    # the full IVF path and hash-asserts its quality), ann_cosine_topk_
+    # float (quantized brute force is the oracle-exact twin; float/pandas
+    # equivalence is pytest-pinned), multimodal_frame_sample (decode_stub
+    # keeps the mapInPandas binary-payload pattern driver-visible).
     q["eda_sketch_profile"] = QuerySpec(
         sketches.eda_sketch_profile,
         None,  # HLL/quantile estimates are engine-specific
         "ext: one-pass sketch EDA (A4-A6 at scale)",
+        driver=False,
     )
     q["ann_ivf_topk"] = QuerySpec(
         similarity.ann_ivf_topk,
         None,  # iterative k-means fit — not SQL-expressible
         "ext: IVF-style ANN (integer k-means cells, 2-probe)",
+        driver=False,
     )
     q["ann_cosine_topk_float"] = QuerySpec(
         similarity.ann_cosine_topk_float,
         None,  # float path: cross-engine low-bit drift → rows-only check
         "ext: true-cosine top-K (float path)",
+        driver=False,
     )
     q["multimodal_decode_stub"] = QuerySpec(
         multimodal.multimodal_decode_stub,
@@ -262,6 +329,7 @@ def build() -> dict:
         multimodal.multimodal_frame_sample,
         None,
         "ext: frame sampling over video-like payloads (stubbed codec)",
+        driver=False,
     )
 
     # --- SQL duals for the relational extensions (portable text; parses in

@@ -93,13 +93,19 @@ def corpus_clean_staged(
     from ..sources.sinks import write_parquet
 
     if workdir is None:
-        # Fixed scratch location, overwritten per run: a fresh mkdtemp per
-        # invocation would leak one full shingle materialization per
-        # driver/bench run (the registered form runs with the default).
-        import os
+        # Per-invocation private scratch dir (mkdtemp: 0700, unguessable —
+        # no symlink squat), reaped at process exit. A FIXED shared path
+        # would let a concurrent run (driver + bench on one host) or a
+        # second invocation overwrite the materialization under the
+        # returned DataFrame's lazy reader — failures or silently wrong
+        # dedup results; eager cleanup isn't possible for the same
+        # reason (the result is read after this function returns).
+        import atexit
+        import shutil
         import tempfile
 
-        workdir = os.path.join(tempfile.gettempdir(), "hha_corpus_clean_staged")
+        workdir = tempfile.mkdtemp(prefix="hha_corpus_clean_staged_")
+        atexit.register(shutil.rmtree, workdir, ignore_errors=True)
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     sh_path = f"{workdir}/shingles.parquet"

@@ -56,13 +56,15 @@ def _build() -> dict[str, QuerySpec]:
     )
 
     # S7 DDL twin: CREATE TABLE ... USING parquet LOCATION, then the q1a
-    # text against the catalog-qualified table. bench=False (duplicate
-    # compute of q1a; the point is the catalog entry surface).
+    # text against the catalog-qualified table. pytest-parity only as of
+    # round 3: it re-runs q1a's exact SQL, so a driver slot duplicated
+    # q1a's signal — the slot went to the text-pipeline pack.
     q["q1a_via_ddl_catalog"] = QuerySpec(
         tq.q1a_via_ddl_catalog,
         tq.SQL["q1a_top_suppliers_by_revenue"],
         "S7 (DDL external-table catalog)",
         bench=False,
+        driver=False,
     )
 
     # --- Extension packs (registered by their modules; oracle-checked
@@ -86,6 +88,18 @@ def _build() -> dict[str, QuerySpec]:
 
 
 QUERIES: dict[str, QuerySpec] = _build()
+
+# The driver scores a bounded window of the registry (50 entries, proven
+# round 1). Exceeding it would SILENTLY push trailing queries out of the
+# scored window — fail loudly at import instead. New operators beyond the
+# cap register as pytest-parity entries (driver=False).
+DRIVER_SLOT_CAP = 50
+_n_driver = sum(1 for s in QUERIES.values() if s.driver)
+assert _n_driver <= DRIVER_SLOT_CAP, (
+    f"{_n_driver} driver-visible registry entries exceed the driver's "
+    f"{DRIVER_SLOT_CAP}-slot scored window; demote lower-signal entries "
+    "to driver=False instead of silently dropping trailing coverage"
+)
 
 
 def query_map() -> dict[str, QueryFn]:

@@ -197,11 +197,22 @@ BRAND_REVENUE_SQL = f"""
 """
 
 
+# Whole-table scalar sums get NO group-key to bound them, so this is the
+# one query whose accumulator CAN exceed the int-cents path's exact range
+# (~$9·10¹¹, functions/money.py) at true 100 TB. It therefore sums in
+# DECIMAL: each term is an exact integer (cents × discount-points < 10¹⁰
+# « the DECIMAL(18,0) cap) and Spark widens the SUM accumulator to
+# DECIMAL(38,0) — overflow-proof to ~10²⁸ rows — while DuckDB computes the
+# identical exact integer sum, so the value hash still matches.
+_PRICE_C_DEC = f"CAST({_PRICE_C} AS DECIMAL(18,0))"
+_DISC_C_DEC = f"CAST({_DISC_C} AS DECIMAL(18,0))"
+
+
 def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 analog: revenue delta from discounted small-quantity lines
     — a pure filter-and-sum whose every predicate pushes to the scan
     (the canonical pushdown showcase: no join, no wide shuffle, one
-    scalar out)."""
+    scalar out). Decimal accumulator: see ``_PRICE_C_DEC`` note."""
     li = load_table(spark, sf_dir, "lineitem")
     f = li.filter(
         (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
@@ -212,14 +223,16 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return f.agg(
         (
-            F.sum(F.expr(f"{_PRICE_C} * {_DISC_C}")) / F.lit(10_000.0)
+            F.sum(F.expr(f"{_PRICE_C_DEC} * {_DISC_C_DEC}")).cast("double")
+            / F.lit(10_000.0)
         ).alias("revenue_delta"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
 
 FORECAST_REVENUE_SQL = f"""
-    SELECT SUM({_PRICE_C} * {_DISC_C}) / 10000.0 AS revenue_delta,
+    SELECT CAST(SUM({_PRICE_C_DEC} * {_DISC_C_DEC}) AS DOUBLE) / 10000.0
+               AS revenue_delta,
            count(*) AS n_lines
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'

@@ -185,6 +185,37 @@ def run_available_now(
     return spark.table(query_name)
 
 
+def events_tumbling_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-registered Kappa check: drain the events table as a FINITE
+    STREAM (AvailableNow) through :func:`streaming_tumbling_counts` and
+    return the materialized result — which must equal the batch
+    ``events_tumbling_window`` exactly, so it shares that query's DuckDB
+    oracle (``EVENTS_TUMBLING_SQL``). One logical plan, two execution
+    modes, one hash.
+
+    Checkpoint and memory-sink name are unique per invocation (concurrent
+    driver + bench runs must not share streaming state); checkpoints are
+    removed at process exit.
+    """
+    import atexit
+    import shutil
+    import tempfile
+    import uuid
+
+    tag = uuid.uuid4().hex[:12]
+    ckpt = tempfile.mkdtemp(prefix=f"hha_replay_ckpt_{tag}_")
+    atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
+    out = run_available_now(
+        streaming_tumbling_counts(read_events_stream(spark, sf_dir)),
+        query_name=f"tumbling_replay_{tag}",
+        checkpoint_dir=ckpt,
+    )
+    # Memory-sink "complete" mode holds exactly the final aggregate state
+    # (windows × types — small by construction; the watermark bounds it on
+    # an infinite stream, finiteness bounds it here).
+    return out
+
+
 def run_incremental_rollup(
     events: DataFrame, partials_dir: str, checkpoint_dir: str
 ) -> None:
@@ -197,10 +228,34 @@ def run_incremental_rollup(
     read; sums/counts are algebraic, so merge order is irrelevant
     (the exact-count analog of the HLL sketch-union rollup).
 
+    PAIRING CONTRACT: ``partials_dir`` and ``checkpoint_dir`` live and
+    die together. The batch ids that name the partitions come from the
+    checkpoint; restarting against an existing ``partials_dir`` with a
+    FRESH checkpoint would re-number batches from 0 with different
+    contents and leave stale higher-numbered partitions that
+    :func:`rollup_view` double-counts. Guarded below: a fresh checkpoint
+    plus a non-empty partials dir raises instead of corrupting the
+    rollup (wipe or re-pair explicitly).
+
     At 100 TB: partials are tiny (days × types per batch); a periodic
     compaction job re-aggregates old partials into one partition —
     the same merge the view already performs.
     """
+    import glob
+    import os
+
+    fresh_checkpoint = not os.path.exists(
+        os.path.join(checkpoint_dir, "offsets")
+    )
+    if fresh_checkpoint and glob.glob(
+        os.path.join(partials_dir, "batch_id=*")
+    ):
+        raise ValueError(
+            f"fresh checkpoint {checkpoint_dir!r} with existing partials in "
+            f"{partials_dir!r}: batch ids would restart at 0 and stale "
+            "partitions would double-count in rollup_view; clear the "
+            "partials dir or reuse the paired checkpoint"
+        )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         (

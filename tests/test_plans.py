@@ -106,3 +106,27 @@ def test_brand_revenue_broadcasts_dimension(plans):
     p = plans("brand_revenue")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_ngram_df_cut_is_anti_join_not_window(plans):
+    # The stop-shingle df cut must not sort the full shingle table: the
+    # hot-set anti-join replaces the count() OVER (PARTITION BY shingle)
+    # window (round-2 regression: the window form was 1.35x slower).
+    p = plans("dedup_ngram_jaccard")
+    assert "LeftAnti" in p
+    assert "Window" not in p
+
+
+def test_registry_driver_window_exactly_full():
+    # The driver scores a 50-slot window; stay exactly full (maximum
+    # scored coverage) — registry.py asserts the <= cap at import, this
+    # pins the == so an accidental demotion is also loud.
+    from hadoop_hive_analysis_spark.plans.registry import (
+        DRIVER_SLOT_CAP,
+        oracle_sql_map,
+        query_map,
+    )
+
+    assert len(query_map()) == DRIVER_SLOT_CAP
+    # and the scored window stays almost entirely hash-checked
+    assert len(oracle_sql_map()) >= DRIVER_SLOT_CAP - 1
