@@ -36,8 +36,9 @@ def main() -> None:
 
     # Reference protocol (CS346 Report.pdf p.9 §5.2): repeated runs, keep
     # the fastest — first run pays one-off codegen/JIT compilation that a
-    # long-lived cluster amortizes away.
-    RUNS = 2
+    # long-lived cluster amortizes away. n=3 cuts the ±20-30% single-run
+    # noise round 2 measured on iterative queries.
+    RUNS = 3
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, spec in QUERIES.items():
@@ -66,6 +67,9 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    regressions = _regressions_vs_prior(timings, sf)
+    if regressions:
+        out["regressions_vs_prior"] = regressions
     # BASELINE.md comparables: the reference reports CPU-s and MB-s; Spark's
     # analogs (executor CPU time + peak JVM memory) come from the UI REST
     # API. Best-effort — absent UI must not break the benchmark line.
@@ -75,6 +79,40 @@ def main() -> None:
         pass
     print(json.dumps(out))
     spark.stop()
+
+
+def _regressions_vs_prior(timings: dict[str, float], sf: float) -> dict:
+    """Flag >20% per-query slowdowns vs the newest BENCH_r*.json at the
+    same SF — the bench artifact itself carries the regression signal
+    instead of leaving it to post-hoc diffing. Best-effort: a missing or
+    unreadable prior must not break the benchmark line."""
+    import glob
+    import re
+
+    prior_files = sorted(
+        glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    for path in reversed(prior_files):
+        try:
+            with open(path) as f:
+                prior = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if prior.get("sf") != sf or not isinstance(prior.get("queries"), dict):
+            continue
+        flagged = {}
+        for name, now in timings.items():
+            before = prior["queries"].get(name)
+            if isinstance(before, (int, float)) and before > 0 and now > before * 1.2:
+                flagged[name] = {
+                    "prior": before,
+                    "now": now,
+                    "ratio": round(now / before, 2),
+                    "baseline": os.path.basename(path),
+                }
+        return flagged
+    return {}
 
 
 def _executor_metrics(spark) -> dict:
