@@ -89,10 +89,12 @@ def _regressions_vs_prior(timings: dict[str, float], sf: float) -> dict:
     import glob
     import re
 
-    prior_files = sorted(
-        glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
-    )
+    candidates = []
+    for p in glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")):
+        m = re.search(r"r(\d+)", os.path.basename(p))
+        if m:  # skip non-numeric suffixes (e.g. BENCH_rerun.json)
+            candidates.append((int(m.group(1)), p))
+    prior_files = [p for _, p in sorted(candidates)]
     for path in reversed(prior_files):
         try:
             with open(path) as f:

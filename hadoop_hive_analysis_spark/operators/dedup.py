@@ -114,12 +114,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Doc cardinalities are computed over the same filtered universe so the
     Jaccard stays an exact set similarity (of informative shingles).
     """
-    from pyspark.sql import Window
-
     sh = _doc_shingles(spark, sf_dir)
-    sh = sh.withColumn(
-        "df", F.count("*").over(Window.partitionBy("shingle"))
-    ).filter(F.col("df") <= STOP_SHINGLE_DF).drop("df")
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > STOP_SHINGLE_DF)
+        .select("shingle")
+    )
+    sh = sh.join(hot, "shingle", "left_anti")
     card = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -95,11 +95,12 @@ QUERIES: dict[str, QuerySpec] = _build()
 # cap register as pytest-parity entries (driver=False).
 DRIVER_SLOT_CAP = 50
 _n_driver = sum(1 for s in QUERIES.values() if s.driver)
-assert _n_driver <= DRIVER_SLOT_CAP, (
-    f"{_n_driver} driver-visible registry entries exceed the driver's "
-    f"{DRIVER_SLOT_CAP}-slot scored window; demote lower-signal entries "
-    "to driver=False instead of silently dropping trailing coverage"
-)
+if _n_driver > DRIVER_SLOT_CAP:  # not `assert` — python -O would strip it
+    raise RuntimeError(
+        f"{_n_driver} driver-visible registry entries exceed the driver's "
+        f"{DRIVER_SLOT_CAP}-slot scored window; demote lower-signal entries "
+        "to driver=False instead of silently dropping trailing coverage"
+    )
 
 
 def query_map() -> dict[str, QueryFn]:
