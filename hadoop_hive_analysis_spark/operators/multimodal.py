@@ -12,7 +12,9 @@ UDF signature, output schema, partitioning — is real and tested; swapping
 the stub body for PIL/ffmpeg is a one-function change.
 
 ``multimodal_meta`` (oracle-checked) is the pure-SQL metadata path;
-``multimodal_decode_stub`` (rows-only) is the mapInPandas path.
+``multimodal_decode_stub`` is the mapInPandas path — oracle-checked too
+(round 4): the deterministic stand-in features are byte-arithmetic, so a
+DuckDB twin recomputes them by hex-expanding the same payload bytes.
 """
 
 from __future__ import annotations
@@ -126,6 +128,37 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return d.mapInPandas(decode, DECODE_SCHEMA)
+
+
+# DuckDB twin of the stand-in decoder: the payload is the UTF-8 text
+# bytes, so hex-expand the blob and recompute the same byte arithmetic.
+# Exactness: the byte sum is an exact integer in both engines and
+# mean_byte is a single int/int division, so the doubles are bit-equal
+# (fixture text is ASCII, but the hex expansion is byte-level and stays
+# correct for any payload).
+MULTIMODAL_DECODE_SQL = """
+    WITH b AS (
+        SELECT doc_id,
+               hex(encode(text)) AS hx,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents
+    ),
+    bytes AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(hx, 2 * i.i - 1, 2)) AS INT) AS byte_val
+        FROM b,
+             LATERAL (SELECT unnest(generate_series(1, CAST(n_bytes AS INT))) AS i) i
+    ),
+    agg AS (SELECT doc_id, sum(byte_val) AS s, count(*) AS c FROM bytes GROUP BY 1)
+    SELECT b.doc_id,
+           b.n_bytes,
+           CAST(64 + (b.n_bytes * 31) % 896 AS INT) AS width,
+           CAST(64 + (b.n_bytes * 17) % 896 AS INT) AS height,
+           3 AS channels,
+           CASE WHEN b.n_bytes = 0 THEN 0.0
+                ELSE CAST(agg.s AS DOUBLE) / agg.c END AS mean_byte
+    FROM b LEFT JOIN agg USING (doc_id)
+"""
 
 
 FRAME_SAMPLE_SCHEMA = "doc_id long, frame_idx int, frame_md5 string"

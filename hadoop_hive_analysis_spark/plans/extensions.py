@@ -236,6 +236,12 @@ def build() -> dict:
         multimodal.MULTIMODAL_META_SQL,
         "ext: binary payload metadata",
     )
+    q["multimodal_decode_stub"] = QuerySpec(
+        multimodal.multimodal_decode_stub,
+        multimodal.MULTIMODAL_DECODE_SQL,  # hex-expansion byte twin
+        "ext: Arrow-batched decode/feature extraction (deterministic "
+        "stand-in decoder, hash-checked via byte-arithmetic DuckDB twin)",
+    )
 
     # --- Similarity search (embeddings) ---
     q["ann_bruteforce_topk"] = QuerySpec(
@@ -319,11 +325,6 @@ def build() -> dict:
         None,  # float path: cross-engine low-bit drift → rows-only check
         "ext: true-cosine top-K (float path)",
         driver=False,
-    )
-    q["multimodal_decode_stub"] = QuerySpec(
-        multimodal.multimodal_decode_stub,
-        None,  # mapInPandas decode path — no SQL equivalent
-        "ext: Arrow-batched decode/feature extraction (stubbed decoder)",
     )
     q["multimodal_frame_sample"] = QuerySpec(
         multimodal.multimodal_frame_sample,
