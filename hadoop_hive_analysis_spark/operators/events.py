@@ -64,6 +64,59 @@ EVENTS_TUMBLING_SQL = f"""
 """
 
 
+SLIDE_SEC = 300
+SLIDE_SIZE_SEC = 600
+
+
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 minutes, per event_type
+    (SURVEY §7.2-6's third event-time shape, beside tumbling/session).
+
+    The REAL Spark ``window(ts, size, slide)`` operator: each event is
+    assigned to size/slide = 2 overlapping windows (one logical explode,
+    then the same shuffle-on-(window, type) + partial-agg plan as
+    tumbling — input amplification is exactly ×2, no extra shuffles).
+    Window starts project to epoch seconds for the oracle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        F.window(
+            "ts", f"{SLIDE_SIZE_SEC} seconds", f"{SLIDE_SEC} seconds"
+        ).alias("w"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        (F.sum(F.expr(_VAL_CENTS)) / F.lit(100.0)).alias("sum_value"),
+    )
+    return agg.select(
+        F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+# Spark aligns slide-window starts to the 1970 epoch grid (start ≡ 0 mod
+# slide, start ≤ t < start + size). With size = 2×slide each event lands
+# in exactly the two grid starts floor(t/slide)*slide and that minus
+# slide — the oracle materializes the same assignment with an unnest.
+EVENTS_SLIDING_SQL = f"""
+    SELECT s.window_start_epoch,
+           event_type,
+           count(*) AS n_events,
+           CAST(SUM({_VAL_CENTS}) / 100.0 AS DOUBLE) AS sum_value
+    FROM events,
+         LATERAL (
+             SELECT unnest([
+                 (CAST(floor(epoch(ts)) AS BIGINT) // {SLIDE_SEC}) * {SLIDE_SEC},
+                 (CAST(floor(epoch(ts)) AS BIGINT) // {SLIDE_SEC}) * {SLIDE_SEC}
+                     - {SLIDE_SEC}
+             ]) AS window_start_epoch
+         ) s
+    GROUP BY 1, 2
+"""
+
+
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity) via window functions.
 

@@ -137,8 +137,15 @@ def build() -> dict:
     q["revenue_by_region"] = QuerySpec(
         rx.revenue_by_region, rx.REVENUE_BY_REGION_SQL, "ext: 5-table star join"
     )
+    # Rotated out of the driver window in round 4 (slot went to
+    # events_sliding_window): ROLLUP grouping-set signal stays driver-
+    # visible via cube_orders (superset) + events_hierarchical_rollup,
+    # and this query keeps pytest parity + its raw-SQL dual.
     q["rollup_lineitem"] = QuerySpec(
-        rx.rollup_lineitem, rx.ROLLUP_LINEITEM_SQL, "ext: ROLLUP grouping sets"
+        rx.rollup_lineitem,
+        rx.ROLLUP_LINEITEM_SQL,
+        "ext: ROLLUP grouping sets",
+        driver=False,
     )
     q["cube_orders"] = QuerySpec(
         rx.cube_orders, rx.CUBE_ORDERS_SQL, "ext: CUBE grouping sets"
@@ -273,6 +280,11 @@ def build() -> dict:
         events.events_tumbling_window,
         events.EVENTS_TUMBLING_SQL,
         "ext: tumbling-window aggregation",
+    )
+    q["events_sliding_window"] = QuerySpec(
+        events.events_sliding_window,
+        events.EVENTS_SLIDING_SQL,
+        "ext: sliding-window aggregation (10 min / 5 min overlap)",
     )
     q["events_sessionize"] = QuerySpec(
         events.events_sessionize,

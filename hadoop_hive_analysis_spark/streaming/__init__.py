@@ -13,6 +13,7 @@ from .events import (
     run_incremental_rollup,
     streaming_daily_distinct_sketches,
     streaming_session_aggregates,
+    streaming_sliding_counts,
     streaming_tumbling_counts,
     streaming_user_running_counts,
 )
@@ -27,6 +28,7 @@ __all__ = [
     "streaming_dedup_digests",
     "streaming_dedup_within_watermark",
     "streaming_session_aggregates",
+    "streaming_sliding_counts",
     "streaming_tumbling_counts",
     "streaming_user_running_counts",
 ]

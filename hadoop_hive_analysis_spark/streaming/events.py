@@ -85,6 +85,29 @@ def streaming_tumbling_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_sliding_counts(events: DataFrame) -> DataFrame:
+    """Watermarked 10-minute/5-minute sliding counts per event type — the
+    streaming twin of ``operators.events.events_sliding_window``. Same
+    watermark state bound as tumbling, ×2 active windows (size/slide)."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            (
+                F.sum(F.expr("CAST(round(value * 100, 0) AS BIGINT)"))
+                / F.lit(100.0)
+            ).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def streaming_session_aggregates(events: DataFrame) -> DataFrame:
     """Native gap-session windows (30-min inactivity) per user."""
     return (

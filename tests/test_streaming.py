@@ -10,6 +10,7 @@ import pytest
 
 from hadoop_hive_analysis_spark.operators.events import (
     events_sessionize,
+    events_sliding_window,
     events_tumbling_window,
 )
 from hadoop_hive_analysis_spark.sources.catalog import load_table
@@ -17,6 +18,7 @@ from hadoop_hive_analysis_spark.streaming import (
     read_events_stream,
     run_available_now,
     streaming_session_aggregates,
+    streaming_sliding_counts,
     streaming_tumbling_counts,
     streaming_user_running_counts,
 )
@@ -32,6 +34,16 @@ def test_streaming_tumbling_equals_batch(spark, sf_dir, tmp_path):
         streaming_tumbling_counts(stream), "t_tumbling", str(tmp_path / "ck1")
     )
     want = events_tumbling_window(spark, sf_dir)
+    cols = ["window_start_epoch", "event_type", "n_events", "sum_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_streaming_sliding_equals_batch(spark, sf_dir, tmp_path):
+    stream = read_events_stream(spark, sf_dir)
+    got = run_available_now(
+        streaming_sliding_counts(stream), "t_sliding", str(tmp_path / "ck9")
+    )
+    want = events_sliding_window(spark, sf_dir)
     cols = ["window_start_epoch", "event_type", "n_events", "sum_value"]
     assert _rows(got, cols) == _rows(want, cols)
 
