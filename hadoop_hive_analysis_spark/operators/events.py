@@ -183,6 +183,48 @@ EVENTS_SESSIONIZE_SQL = f"""
 """
 
 
+PRUNE_START = "2024-01-08"
+PRUNE_END = "2024-01-14"
+
+
+def events_day_bounded_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-bounded daily aggregation over the DAY-PARTITIONED events
+    layout (:func:`..sources.catalog.events_partitioned_path`).
+
+    The ``day`` predicate binds to the partition column, so the scan
+    plans ``PartitionFilters`` and lists only the 7 matching ``day=``
+    directories out of 30 — no row of any other day is read or even
+    enumerated (pinned by ``tests/test_plans.py``). This is the benched
+    proof of the 100 TB fact-table layout: pruning happens at planning
+    time and scales with the date range, not the table.
+    """
+    from ..sources.catalog import events_partitioned_path
+
+    ev = spark.read.parquet(events_partitioned_path(spark, sf_dir))
+    return (
+        ev.filter(
+            (F.col("day") >= F.lit(PRUNE_START)) & (F.col("day") <= F.lit(PRUNE_END))
+        )
+        .groupBy("day", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(F.expr(_VAL_CENTS)) / F.lit(100.0)).alias("sum_value"),
+        )
+        .select("day", "event_type", "n_events", "sum_value")
+    )
+
+
+EVENTS_DAY_BOUNDED_SQL = f"""
+    SELECT CAST(ts AS DATE) AS day,
+           event_type,
+           count(*) AS n_events,
+           CAST(SUM({_VAL_CENTS}) / 100.0 AS DOUBLE) AS sum_value
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '{PRUNE_START}' AND DATE '{PRUNE_END}'
+    GROUP BY 1, 2
+"""
+
+
 def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase matched to the latest click at-or-before
     it by the same user.

@@ -296,6 +296,15 @@ def build() -> dict:
         events.EVENTS_ASOF_SQL,
         "ext: as-of join (union + carry-forward)",
     )
+    # Benched (not driver-slotted — window full): date-bounded agg over
+    # the day-partitioned events layout; PartitionFilters pinned in
+    # tests/test_plans.py, oracle parity in pytest.
+    q["events_day_bounded_agg"] = QuerySpec(
+        events.events_day_bounded_agg,
+        events.EVENTS_DAY_BOUNDED_SQL,
+        "ext: partition-pruned date-range scan (day-partitioned layout)",
+        driver=False,
+    )
 
     # Streaming made driver-visible: AvailableNow replay of the streaming
     # tumbling aggregation against the BATCH query's oracle — the Kappa

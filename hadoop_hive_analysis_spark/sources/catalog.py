@@ -44,6 +44,45 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def events_partitioned_path(spark: SparkSession, sf_dir: str) -> str:
+    """Day-partitioned parquet layout of the events table, built once per
+    ``sf_dir`` and cached under the system temp dir.
+
+    At 100 TB this layout is what the streaming ETL sink already writes
+    (``streaming.events.run_foreach_batch_etl``): facts land partitioned
+    by event date so date-bounded queries scan only matching ``day=``
+    directories (``PartitionFilters``) instead of the whole table. Here
+    the layout is derived on demand from the flat fixture so the benched
+    path exercises real partition pruning.
+
+    Concurrency-safe publish: build into a private mkdtemp, then a single
+    atomic rename to the final path — the layout is either absent or
+    complete, and a losing racer discards its build.
+    """
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    final = os.path.join(tempfile.gettempdir(), f"hha_events_day_{tag}")
+    if os.path.exists(os.path.join(final, "_SUCCESS")):
+        return final
+    build = tempfile.mkdtemp(prefix=f"hha_events_day_build_{tag}_")
+    (
+        load_table(spark, sf_dir, "events")
+        .withColumn("day", F.to_date("ts"))
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(build)
+    )
+    try:
+        os.rename(build, final)
+    except OSError:  # another process published first — use theirs
+        shutil.rmtree(build, ignore_errors=True)
+    return final
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
 

@@ -117,6 +117,29 @@ def test_ngram_df_cut_is_anti_join_not_window(plans):
     assert "Window" not in p
 
 
+def test_events_day_bounded_scan_prunes_partitions(spark, sf_dir, plans):
+    # The benched date-range query must prune at planning time: the day
+    # predicate binds to the partition column, and only the 7 matching
+    # day= directories are ever read.
+    p = plans("events_day_bounded_agg")
+    assert "PartitionFilters: [isnotnull(day" in p
+
+    import pyspark.sql.functions as F
+
+    from hadoop_hive_analysis_spark.operators.events import PRUNE_END, PRUNE_START
+    from hadoop_hive_analysis_spark.sources.catalog import events_partitioned_path
+
+    ev = spark.read.parquet(events_partitioned_path(spark, sf_dir))
+    files = (
+        ev.filter((F.col("day") >= PRUNE_START) & (F.col("day") <= PRUNE_END))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    )
+    days = {r.f.split("day=")[1].split("/")[0] for r in files}
+    assert days == {f"2024-01-{d:02d}" for d in range(8, 15)}
+
+
 def test_registry_driver_window_exactly_full():
     # The driver scores a 50-slot window; stay exactly full (maximum
     # scored coverage) — registry.py asserts the <= cap at import, this
