@@ -67,6 +67,13 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    # Native-schema section: the reference's own .dat format at ~1 GB, so
+    # the BASELINE comparison is apples-to-apples on schema AND format.
+    # Best-effort: it must not void the headline pack.
+    try:
+        out["store_sales"] = _store_sales_section(spark)
+    except Exception as exc:
+        out["store_sales"] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
     regressions = _regressions_vs_prior(timings, sf)
     if regressions:
         out["regressions_vs_prior"] = regressions
@@ -79,6 +86,70 @@ def main() -> None:
         pass
     print(json.dumps(out))
     spark.stop()
+
+
+def _store_sales_section(spark) -> dict:
+    """Reference-native benchmark: generate (once, cached) ~1 GB of
+    23-field pipe-delimited store_sales.dat + store.dat, then time the
+    4 reference queries end-to-end INCLUDING the PERMISSIVE CSV parse —
+    the reference's wall-clocks (BASELINE.md: 176 s Q1a / 155 s Q2 for
+    ~115 M rows on 6 containers) also include their text scan.
+
+    ``SPARK_GRAFT_STORE_SALES_ROWS`` overrides the row count (default
+    20 M ≈ 0.9 GB of text).
+    """
+    from hadoop_hive_analysis_spark.plans import reference_queries as rq
+    from hadoop_hive_analysis_spark.sources.csv import (
+        read_store,
+        read_store_sales,
+    )
+    from hadoop_hive_analysis_spark.sources.store_sales_gen import (
+        DATE_HI,
+        DATE_LO,
+        cached_store_sales_dir,
+    )
+
+    n_rows = int(os.environ.get("SPARK_GRAFT_STORE_SALES_ROWS", "20000000"))
+    t0 = time.perf_counter()
+    d = cached_store_sales_dir(spark, n_rows)
+    gen_sec = round(time.perf_counter() - t0, 2)
+
+    sales_path = os.path.join(d, "store_sales.dat")
+    store_path = os.path.join(d, "store.dat")
+    n_bytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(sales_path)
+        for f in fs
+    )
+
+    def q1a(s):
+        return rq.q1a_top_stores_by_profit(read_store_sales(s, sales_path), 10, DATE_LO, DATE_HI)
+
+    def q1b(s):
+        return rq.q1b_top_items_by_quantity(read_store_sales(s, sales_path), 10, DATE_LO, DATE_HI)
+
+    def q1c(s):
+        return rq.q1c_top_dates_by_profit(read_store_sales(s, sales_path), 10, DATE_LO, DATE_HI)
+
+    def q2(s):
+        return rq.q2_store_profit_employees(
+            read_store_sales(s, sales_path), read_store(s, store_path), 10, DATE_LO, DATE_HI
+        )
+
+    timings = {}
+    for name, fn in [("q1a", q1a), ("q1b", q1b), ("q1c", q1c), ("q2", q2)]:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+    return {
+        "rows": n_rows,
+        "dat_bytes": n_bytes,
+        "gen_sec": gen_sec,
+        "queries": timings,
+    }
 
 
 def _regressions_vs_prior(timings: dict[str, float], sf: float) -> dict:
@@ -101,6 +172,9 @@ def _regressions_vs_prior(timings: dict[str, float], sf: float) -> dict:
                 prior = json.load(f)
         except (OSError, ValueError):
             continue
+        # Driver-recorded artifacts wrap the bench line under "parsed".
+        if isinstance(prior.get("parsed"), dict):
+            prior = prior["parsed"]
         if prior.get("sf") != sf or not isinstance(prior.get("queries"), dict):
             continue
         flagged = {}

@@ -152,6 +152,42 @@ def test_all_native_sql_duals_match_dataframe(spark, fixture_paths):
         assert got_sql == got_df, sql
 
 
+def test_generated_store_sales_parses_and_queries(spark, tmp_path):
+    """The bench's native-schema generator must produce .dat text whose
+    PERMISSIVE parse exhibits all three Fig.-2 dirty classes and whose
+    q1a/q2 run end-to-end with exact-decimal aggregates."""
+    from hadoop_hive_analysis_spark.sources.store_sales_gen import (
+        DATE_HI,
+        DATE_LO,
+        N_STORES,
+        generate_store_sales_dat,
+    )
+
+    n = 10_000
+    generate_store_sales_dat(spark, str(tmp_path), n)
+    sales = read_store_sales(spark, str(tmp_path / "store_sales.dat"))
+    assert sales.count() == n  # every physical line surfaces
+    # class 1+3 → NULL store key (50 empty-key + 50 short rows per 10k)
+    assert sales.filter("ss_store_sk IS NULL").count() == 100
+    # class 2 → NULL profit (50 unparsable) + 50 short rows
+    assert sales.filter("ss_net_profit IS NULL").count() == 100
+
+    out = q1a_top_stores_by_profit(sales, 10, DATE_LO, DATE_HI).collect()
+    assert len(out) == 10
+    assert all(r.ss_store_sk is not None and 0 <= r.ss_store_sk < N_STORES for r in out)
+    profits = [r.net_profit for r in out]
+    assert profits == sorted(profits, reverse=True)
+
+    store = read_store(spark, str(tmp_path / "store.dat"))
+    q2 = q2_store_profit_employees(sales, store, 65, DATE_LO, DATE_HI).collect()
+    # every third store has NULL employees and is excluded
+    assert 0 < len(q2) < N_STORES + 5
+    assert all(r.s_number_employees is not None for r in q2)
+    # stores beyond the sales key space surface via COALESCE(profit, 0)
+    no_sales = [r for r in q2 if r.s_store_sk >= N_STORES]
+    assert no_sales and all(r.net_profit == Decimal("0.00") for r in no_sales)
+
+
 def test_observation_metrics_ride_the_query_job(spark, fixture_paths):
     """Dirty-row taxonomy counts come out of the SAME action that runs
     the query — Observation, not a second scan."""
