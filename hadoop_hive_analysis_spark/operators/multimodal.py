@@ -200,3 +200,35 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return d.mapInPandas(sample, FRAME_SAMPLE_SCHEMA)
+
+
+# DuckDB twin of the frame sampler. DuckDB cannot md5 a BLOB slice, but
+# the fixture text is pure ASCII (asserted per-SF in tests), so the
+# VARCHAR substring is byte-identical to the payload slice; the frame
+# index arithmetic (n_frames = max(1, len//64), stride = max(1,
+# n_frames//4), first 4) is mirrored with generate_series + row_number.
+FRAME_SAMPLE_SQL = f"""
+    WITH b AS (
+        SELECT doc_id, text,
+               greatest(1, octet_length(encode(text)) // {64}) AS n_frames
+        FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, text,
+               unnest(generate_series(
+                   0, CAST(n_frames - 1 AS INT),
+                   CAST(greatest(1, n_frames // {N_FRAMES_SAMPLED}) AS INT)
+               )) AS frame_idx
+        FROM b
+    ),
+    lim AS (
+        SELECT doc_id, frame_idx, text,
+               row_number() OVER (PARTITION BY doc_id ORDER BY frame_idx) AS rn
+        FROM idx
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS INT) AS frame_idx,
+           md5(substring(text, frame_idx * 64 + 1, 64)) AS frame_md5
+    FROM lim
+    WHERE rn <= {N_FRAMES_SAMPLED}
+"""

@@ -349,7 +349,7 @@ def build() -> dict:
     )
     q["multimodal_frame_sample"] = QuerySpec(
         multimodal.multimodal_frame_sample,
-        None,
+        multimodal.FRAME_SAMPLE_SQL,  # ASCII-substring twin (pytest)
         "ext: frame sampling over video-like payloads (stubbed codec)",
         driver=False,
     )

@@ -36,6 +36,17 @@ def test_documents_contain_planted_near_dups(spark, sf_dir):
     assert max(r.jaccard for r in pairs) > 0.85
 
 
+def test_documents_text_is_ascii(spark, sf_dir):
+    """FRAME_SAMPLE_SQL's DuckDB twin slices text as VARCHAR (DuckDB has
+    no BLOB-slice md5), which equals byte slicing only while the fixture
+    text is pure ASCII — assert that equivalence precondition."""
+    docs = load_table(spark, sf_dir, "documents")
+    non_ascii = docs.filter(
+        F.octet_length(F.col("text")) != F.length(F.col("text"))
+    ).count()
+    assert non_ascii == 0
+
+
 def test_date_ranges_cover_fixture(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     row = li.agg(
