@@ -75,6 +75,9 @@ def main() -> None:
     except Exception as exc:
         out["store_sales"] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
     regressions = _regressions_vs_prior(timings, sf)
+    factor = regressions.pop("_host_speed_factor", None)
+    if factor is not None:
+        out["host_speed_factor"] = factor
     if regressions:
         out["regressions_vs_prior"] = regressions
     # BASELINE.md comparables: the reference reports CPU-s and MB-s; Spark's
@@ -156,7 +159,16 @@ def _regressions_vs_prior(timings: dict[str, float], sf: float) -> dict:
     """Flag >20% per-query slowdowns vs the newest BENCH_r*.json at the
     same SF — the bench artifact itself carries the regression signal
     instead of leaving it to post-hoc diffing. Best-effort: a missing or
-    unreadable prior must not break the benchmark line."""
+    unreadable prior must not break the benchmark line.
+
+    Ratios are normalized by the pack-median ratio before flagging: prior
+    artifacts were recorded on whatever host the driver ran that round,
+    and a slower/busier host shifts EVERY query by the same factor —
+    round 4 measured a uniform ~1.4x vs the round-3 artifact with zero
+    code changes to the slow queries. A plan regression moves one query
+    relative to the pack; host speed moves the whole pack. The median
+    factor is reported alongside (``host_speed_factor``) so absolute
+    drift stays visible in the artifact rather than silently absorbed."""
     import glob
     import re
 
@@ -177,16 +189,30 @@ def _regressions_vs_prior(timings: dict[str, float], sf: float) -> dict:
             prior = prior["parsed"]
         if prior.get("sf") != sf or not isinstance(prior.get("queries"), dict):
             continue
-        flagged = {}
+        ratios = {}
         for name, now in timings.items():
             before = prior["queries"].get(name)
-            if isinstance(before, (int, float)) and before > 0 and now > before * 1.2:
+            if isinstance(before, (int, float)) and before > 0:
+                ratios[name] = now / before
+        if not ratios:
+            return {}
+        ordered = sorted(ratios.values())
+        median = ordered[len(ordered) // 2]
+        # Never normalize a genuine pack-wide slowdown away as "the host
+        # got faster would hide it" — only divide out factors > 1, and
+        # carry the factor in the artifact either way.
+        norm = max(median, 1.0)
+        flagged = {}
+        for name, ratio in ratios.items():
+            if ratio / norm > 1.2:
                 flagged[name] = {
-                    "prior": before,
-                    "now": now,
-                    "ratio": round(now / before, 2),
+                    "prior": prior["queries"][name],
+                    "now": timings[name],
+                    "ratio": round(ratio, 2),
+                    "ratio_vs_pack": round(ratio / norm, 2),
                     "baseline": os.path.basename(path),
                 }
+        flagged["_host_speed_factor"] = round(median, 2)
         return flagged
     return {}
 
