@@ -269,3 +269,100 @@ EVENTS_ASOF_SQL = """
     ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
         ON p.user_id = c.user_id AND p.ts >= c.ts
 """
+
+
+# --- Range (interval) join ------------------------------------------------
+#
+# Campaign windows are DETERMINISTIC constants (derived from index
+# arithmetic, no RNG): overlapping, non-uniform-length intervals over the
+# fixtures' January-2024 span. The same constants feed the Spark plan and
+# the DuckDB oracle's VALUES list, so the check exercises the join, not
+# fixture plumbing.
+_CAMPAIGN_EPOCH0 = 1704067200  # 2024-01-01 00:00:00 UTC
+RANGE_BUCKET_SEC = 86400  # coarse-bucket width: 1 day
+
+CAMPAIGNS: list[tuple[int, int, int]] = [
+    (
+        i,
+        _CAMPAIGN_EPOCH0 + ((i * 37) % 28) * 86400 + ((i * 13) % 24) * 3600,
+        _CAMPAIGN_EPOCH0
+        + ((i * 37) % 28) * 86400
+        + ((i * 13) % 24) * 3600
+        + (6 + (i * 7) % 90) * 3600,
+    )
+    for i in range(24)
+]
+
+
+def events_campaign_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: events matched to every campaign window
+    containing their timestamp (half-open ``[start, end)``), aggregated
+    per campaign.
+
+    Spark has no native range join (the Databricks runtime's range-join
+    hint is proprietary); the open-source scale pattern is the BUCKETED
+    range join: explode each interval into the coarse day buckets it
+    covers, equi-join events on their bucket, then apply the exact range
+    predicate. With N events and M intervals the naive plan is a
+    broadcast nested loop — every event tested against all M intervals,
+    O(N*M); the bucketed form touches only intervals overlapping the
+    event's bucket, O(N * avg_overlap), and the join is a hash join on a
+    bigint key. Intervals explode into at most
+    ``len/BUCKET + 2`` rows, so the build side stays
+    ``M * (max_len/bucket + 2)`` — broadcastable for any realistic
+    campaign count; events (the 100 TB side) are never replicated.
+
+    The aggregate exchanges exact cents (BIGINT) and campaign_id only —
+    map-side partial aggregation collapses each partition to ≤M rows
+    before the single shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    camp = spark.createDataFrame(
+        CAMPAIGNS, "campaign_id INT, start_epoch BIGINT, end_epoch BIGINT"
+    )
+    camp_b = camp.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"start_epoch DIV {RANGE_BUCKET_SEC}"),
+                F.expr(f"(end_epoch - 1) DIV {RANGE_BUCKET_SEC}"),
+            )
+        ),
+    )
+    ev_b = ev.select(
+        F.col("ts").cast("long").alias("ts_epoch"),
+        F.expr(_VAL_CENTS).alias("val_cents"),
+    ).withColumn("bucket", F.expr(f"ts_epoch DIV {RANGE_BUCKET_SEC}"))
+    joined = ev_b.join(
+        F.broadcast(camp_b),
+        on=(
+            (ev_b.bucket == camp_b.bucket)
+            & (ev_b.ts_epoch >= camp_b.start_epoch)
+            & (ev_b.ts_epoch < camp_b.end_epoch)
+        ),
+    )
+    return (
+        joined.groupBy("campaign_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum("val_cents") / F.lit(100.0)).alias("sum_value"),
+        )
+        .orderBy("campaign_id")
+    )
+
+
+EVENTS_RANGE_JOIN_SQL = f"""
+    WITH campaigns(campaign_id, start_epoch, end_epoch) AS (
+        VALUES {", ".join(f"({i}, {s}, {e})" for i, s, e in CAMPAIGNS)}
+    )
+    SELECT c.campaign_id,
+           count(*) AS n_events,
+           CAST(SUM(CAST(round(e.value * 100, 0) AS BIGINT)) AS DOUBLE) / 100
+               AS sum_value
+    FROM events e
+    JOIN campaigns c
+      ON CAST(floor(epoch(e.ts)) AS BIGINT) >= c.start_epoch
+     AND CAST(floor(epoch(e.ts)) AS BIGINT) < c.end_epoch
+    GROUP BY c.campaign_id
+    ORDER BY c.campaign_id
+"""

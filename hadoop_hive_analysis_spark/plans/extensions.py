@@ -238,10 +238,16 @@ def build() -> dict:
     )
 
     # --- Multimodal plumbing ---
+    # Rotated out of the driver window in round 4 (slot went to
+    # events_campaign_range_join): scalar metadata projection over the
+    # binary column is strictly weaker signal than multimodal_decode_stub,
+    # which exercises the same payloads through the full Arrow mapInPandas
+    # decode path AND is hash-checked since round 4. Keeps pytest parity.
     q["multimodal_meta"] = QuerySpec(
         multimodal.multimodal_meta,
         multimodal.MULTIMODAL_META_SQL,
         "ext: binary payload metadata",
+        driver=False,
     )
     q["multimodal_decode_stub"] = QuerySpec(
         multimodal.multimodal_decode_stub,
@@ -295,6 +301,14 @@ def build() -> dict:
         events.events_asof_join,
         events.EVENTS_ASOF_SQL,
         "ext: as-of join (union + carry-forward)",
+    )
+    # Promoted to a driver slot in the round-4 rotation (see COVERAGE.md):
+    # the only interval-containment join in the window; bucketed-range-join
+    # plan (no nested loop) pinned in tests/test_plans.py.
+    q["events_campaign_range_join"] = QuerySpec(
+        events.events_campaign_range_join,
+        events.EVENTS_RANGE_JOIN_SQL,
+        "ext: range (interval) join via coarse-bucket equi-join",
     )
     # Benched (not driver-slotted — window full): date-bounded agg over
     # the day-partitioned events layout; PartitionFilters pinned in

@@ -117,6 +117,17 @@ def test_ngram_df_cut_is_anti_join_not_window(plans):
     assert "Window" not in p
 
 
+def test_range_join_is_bucketed_hash_join_not_nested_loop(plans):
+    # The interval join must run as an equi-join on the coarse day bucket
+    # (exploded interval side broadcast), never as a nested-loop over all
+    # intervals per event: BNLJ is O(N*M) and its cost is invisible at
+    # 24 fixtures but dominates at real campaign counts.
+    p = plans("events_campaign_range_join")
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
 def test_events_day_bounded_scan_prunes_partitions(spark, sf_dir, plans):
     # The benched date-range query must prune at planning time: the day
     # predicate binds to the partition column, and only the 7 matching
