@@ -17,6 +17,7 @@ from ..functions.text import (
     LANG_MARKERS,
     marker_score,
     marker_score_sql,
+    shingles,
     tokens,
     with_shingles,
 )
@@ -201,4 +202,84 @@ DOC_FINGERPRINT_SQL = rf"""
            {_ROLLING_HASH_SQL.replace('text', 'd.text')} AS rolling_h31,
            m.min_shingle_hash
     FROM documents d LEFT JOIN mins m ON d.doc_id = m.doc_id
+"""
+
+
+# Gopher-style repetition thresholds (Rae et al. 2021, table A1 — adapted
+# from line-based to token-based signals since fixture docs are single-
+# line): docs dominated by one repeated token/bigram are boilerplate.
+TOP_UNIGRAM_MAX = 0.30
+TOP_BIGRAM_MAX = 0.18
+
+
+def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality filter: top-unigram share, top-bigram share and
+    duplicate-token fraction per document, with the keep/drop decision.
+
+    Pure per-row higher-order-function compute (``transform`` /
+    ``filter`` / ``array_max`` inside codegen): no explode, no shuffle —
+    at 100 TB this is an embarrassingly-parallel corpus map whose cost is
+    O(distinct_tokens * tokens) per doc, bounded by document length, with
+    zero exchange. The explode+groupBy formulation would shuffle one row
+    PER TOKEN of the corpus (~100x the document count) to compute a
+    per-document statistic — the wrong data movement direction.
+
+    Shares divide exact integer counts in IEEE double (bit-identical
+    across engines); docs with <2 tokens carry a NULL bigram share and
+    are kept on the unigram signal alone.
+    """
+    d = load_table(spark, sf_dir, "documents").withColumn("t", tokens("text"))
+    top_uni = (
+        F.expr("array_max(transform(array_distinct(t), x -> size(filter(t, y -> y = x))))")
+        / F.size("t")
+    )
+    bigrams = shingles("t", 2)
+    top_bi = F.when(
+        F.size("t") >= 2,
+        F.expr(
+            "array_max(transform(array_distinct(b), x -> size(filter(b, y -> y = x))))"
+        )
+        / (F.size("t") - 1),
+    )
+    dup_frac = (F.size("t") - F.size(F.array_distinct("t"))) / F.size("t")
+    return (
+        d.withColumn("b", bigrams)
+        .select(
+            "doc_id",
+            top_uni.alias("top_unigram_share"),
+            top_bi.alias("top_bigram_share"),
+            dup_frac.alias("dup_token_frac"),
+            (
+                (top_uni <= F.lit(TOP_UNIGRAM_MAX))
+                & F.coalesce(top_bi <= F.lit(TOP_BIGRAM_MAX), F.lit(True))
+            ).alias("keep"),
+        )
+    )
+
+
+DOC_REPETITION_SQL = rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+    ),
+    g AS (
+        SELECT doc_id, t,
+               list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS b
+        FROM toks
+    ),
+    shares AS (
+        SELECT doc_id,
+               list_max(list_transform(list_distinct(t),
+                   x -> len(list_filter(t, y -> y = x)))) / len(t)
+                   AS top_unigram_share,
+               CASE WHEN len(t) >= 2 THEN
+                   list_max(list_transform(list_distinct(b),
+                       x -> len(list_filter(b, y -> y = x)))) / (len(t) - 1)
+               END AS top_bigram_share,
+               (len(t) - len(list_distinct(t))) / len(t) AS dup_token_frac
+        FROM g
+    )
+    SELECT doc_id, top_unigram_share, top_bigram_share, dup_token_frac,
+           (top_unigram_share <= {TOP_UNIGRAM_MAX}
+            AND coalesce(top_bigram_share <= {TOP_BIGRAM_MAX}, TRUE)) AS keep
+    FROM shares
 """

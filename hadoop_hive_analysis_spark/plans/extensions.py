@@ -124,6 +124,15 @@ def build() -> dict:
         tp.PII_SCRUB_SQL,
         "ext: PII inventory + redacted-text hash (chained regexp_replace)",
     )
+    # Promoted in the round-4 rotation (slot from brand_revenue): Gopher-
+    # style repetition quality signals, shuffle-free higher-order-function
+    # compute; drop branches proven on adversarial rows in
+    # tests/test_repetition_filter.py.
+    q["doc_repetition_filter"] = QuerySpec(
+        text_analysis.doc_repetition_filter,
+        text_analysis.DOC_REPETITION_SQL,
+        "ext: repetition quality filter (top-unigram/bigram share)",
+    )
     q["train_val_split"] = QuerySpec(
         tp.train_val_split,
         tp.TRAIN_VAL_SPLIT_SQL,
@@ -177,8 +186,15 @@ def build() -> dict:
         th.ORDERS_ABOVE_AVG_SQL,
         "ext: correlated-subquery shape (exact-integer predicate)",
     )
+    # Rotated out of the driver window in round 4 (slot went to
+    # doc_repetition_filter): the star-join drill-down signal stays
+    # driver-visible four times over (revenue_by_region, pricing_summary,
+    # shipping_priority, order_priority_late_ship). Keeps pytest parity.
     q["brand_revenue"] = QuerySpec(
-        th.brand_revenue, th.BRAND_REVENUE_SQL, "ext: star drill-down on part dim"
+        th.brand_revenue,
+        th.BRAND_REVENUE_SQL,
+        "ext: star drill-down on part dim",
+        driver=False,
     )
     q["forecast_revenue"] = QuerySpec(
         th.forecast_revenue, th.FORECAST_REVENUE_SQL, "ext: TPC-H Q6-style filter-sum"

@@ -1,0 +1,74 @@
+"""Behavior tests for the Gopher-style repetition filter.
+
+The driver fixtures contain no repetitive boilerplate (all 500 docs pass),
+so the drop branches are proven here on constructed documents, with the
+DuckDB twin run over the same rows — both the decision AND the shares must
+agree cross-engine on adversarial inputs, not just on the clean corpus.
+"""
+
+from __future__ import annotations
+
+import duckdb
+
+from hadoop_hive_analysis_spark.operators.text_analysis import (
+    DOC_REPETITION_SQL,
+    doc_repetition_filter,
+)
+
+DOCS = [
+    # one token repeated: top_unigram_share 1.0 -> drop
+    (1, " ".join(["spam"] * 50)),
+    # diverse text: every share small -> keep
+    (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    # alternating pair: unigram share 0.5, bigram share ~1/2 -> drop
+    (3, " ".join(["ab", "cd"] * 30)),
+    # moderate head word just over the 0.30 line (3/8) -> drop
+    (4, "the cat sat on the mat the dog"),
+    # single token: bigram share NULL, unigram share 1.0 -> drop
+    (5, "lonely"),
+    # boilerplate bigram loop: distinct unigrams but one dominant bigram
+    (6, " ".join(["click here now"] * 20)),
+]
+
+
+def _write_fixture(spark, tmp_path):
+    sf_dir = str(tmp_path)
+    rows = [(i, t, "en", "unit", len(t)) for i, t in DOCS]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+    return sf_dir
+
+
+def test_drop_branches_and_cross_engine_parity(spark, tmp_path):
+    sf_dir = _write_fixture(spark, tmp_path)
+    got = {r["doc_id"]: r.asDict() for r in doc_repetition_filter(spark, sf_dir).collect()}
+
+    assert {i: got[i]["keep"] for i in sorted(got)} == {
+        1: False,
+        2: True,
+        3: False,
+        4: False,
+        5: False,
+        6: False,
+    }
+    assert got[1]["top_unigram_share"] == 1.0
+    assert got[5]["top_bigram_share"] is None  # <2 tokens
+    assert got[3]["dup_token_frac"] > 0.9
+    # doc 6: unigram share is a harmless 1/3 of each word, the bigram
+    # signal is what catches the loop
+    assert got[6]["top_unigram_share"] <= 0.34
+    assert got[6]["top_bigram_share"] > 0.18
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(DOC_REPETITION_SQL).fetchall())
+    con.close()
+    spark_rows = sorted(
+        tuple(r)
+        for r in doc_repetition_filter(spark, sf_dir).collect()
+    )
+    assert spark_rows == want
