@@ -262,3 +262,52 @@ def _pii_scrub_sql(source: str = "documents") -> str:
 
 
 PII_SCRUB_SQL = _pii_scrub_sql()
+
+
+# ------------------------------------------------ stratified quota sampling
+
+STRATUM_QUOTA = 40  # docs sampled per stratum (lang)
+
+
+def train_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: the QUOTA hash-smallest documents
+    of each language stratum, in a reproducible per-stratum order.
+
+    Ordering by an id-derived hash (not by any content column) makes the
+    sample (a) uniform within each stratum, (b) stable under re-runs and
+    schema evolution — the properties a training-data refresh needs so a
+    new pipeline version reproduces the same eval/ablation subsets.
+
+    Scale shape: ``row_number() <= K`` over ``partitionBy(lang)`` looks
+    like a skew hazard (one task per language sorts its whole stratum),
+    but Spark ≥3.5 inserts a map-side ``WindowGroupLimit`` that collapses
+    every stratum to K rows PER MAP TASK before the shuffle — the
+    exchange then moves at most K × n_tasks rows per stratum, not the
+    corpus (the salted two-phase rewrite in
+    :func:`..skew.events_top3_by_hotkey_salted` documents the manual
+    form for engines without the rule). Pinned in tests/test_plans.py.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    key = h64(F.concat(F.lit("sample:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(F.col("sample_key").asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "lang", key.alias("sample_key"))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= STRATUM_QUOTA)
+        .select("doc_id", "lang", "sample_rank")
+    )
+
+
+TRAIN_STRATIFIED_SQL = f"""
+    SELECT doc_id, lang, sample_rank FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY {h64_sql("'sample:' || CAST(doc_id AS VARCHAR)")},
+                            doc_id
+               ) AS sample_rank
+        FROM documents
+    ) WHERE sample_rank <= {STRATUM_QUOTA}
+"""

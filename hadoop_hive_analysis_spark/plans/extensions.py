@@ -138,6 +138,14 @@ def build() -> dict:
         tp.TRAIN_VAL_SPLIT_SQL,
         "ext: stable train/val split + reproducible shuffle key",
     )
+    # Promoted in the round-4 rotation (slot from setop_nations):
+    # deterministic per-stratum quota sample; map-side WindowGroupLimit
+    # plan pinned in tests/test_plans.py.
+    q["train_stratified_sample"] = QuerySpec(
+        tp.train_stratified_sample,
+        tp.TRAIN_STRATIFIED_SQL,
+        "ext: stratified quota sample (hash-ordered top-K per stratum)",
+    )
 
     # --- Relational surface beyond the reference ---
     q["window_rank_orders"] = QuerySpec(
@@ -165,8 +173,15 @@ def build() -> dict:
     q["anti_join_customers"] = QuerySpec(
         rx.anti_join_customers, rx.ANTI_JOIN_SQL, "ext: left-anti join"
     )
+    # Rotated out of the driver window in round 4 (slot went to
+    # train_stratified_sample): Catalyst rewrites INTERSECT/EXCEPT to the
+    # same left-semi/left-anti physical joins the two dedicated slots
+    # above already pin, so this row duplicated their physical signal.
     q["setop_nations"] = QuerySpec(
-        rx.setop_nations, rx.SETOP_NATIONS_SQL, "ext: INTERSECT/EXCEPT set ops"
+        rx.setop_nations,
+        rx.SETOP_NATIONS_SQL,
+        "ext: INTERSECT/EXCEPT set ops",
+        driver=False,
     )
     q["grouped_stats_orders"] = QuerySpec(
         rx.grouped_stats_orders, rx.GROUPED_STATS_SQL, "ext: multi-agg stats (A4-A6)"

@@ -128,6 +128,15 @@ def test_range_join_is_bucketed_hash_join_not_nested_loop(plans):
     assert "CartesianProduct" not in p
 
 
+def test_stratified_sample_uses_window_group_limit(plans):
+    # The per-stratum quota must collapse map-side: WindowGroupLimit keeps
+    # K rows per stratum per map task BEFORE the exchange, so the shuffle
+    # moves O(K * tasks) rows, not the corpus. Without it the window sorts
+    # whole strata in single tasks (~5 language-sized partitions at 100 TB).
+    p = plans("train_stratified_sample")
+    assert "WindowGroupLimit" in p
+
+
 def test_events_day_bounded_scan_prunes_partitions(spark, sf_dir, plans):
     # The benched date-range query must prune at planning time: the day
     # predicate binds to the partition column, and only the 7 matching
