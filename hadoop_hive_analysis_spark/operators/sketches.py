@@ -125,3 +125,114 @@ DAILY_DISTINCT_USERS_HLL_SQL = """
            TRUE AS hll_within_bound
     FROM events
 """
+
+
+# ------------------------------------------------ quantile sketch (KLL-style)
+
+QUANTILE_PS = (0.5, 0.9, 0.99)
+PCTL_ACC = 1000  # approx_percentile accuracy ⇒ rank error ≤ n/PCTL_ACC
+# acceptance bound: 3x the sketch's guaranteed rank error, floor of 3 rows
+# so tiny groups (where 3x n/1000 rounds to 0) still have slack for ties.
+_BOUND = f"greatest(CAST(3 AS BIGINT), (n * 3) DIV {PCTL_ACC})"
+
+
+def price_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group value-distribution profile via a quantile sketch, hash-
+    checkable like the HLL row: exact discrete percentiles (rank
+    ``floor(p·(n-1))+1`` in cents) plus a boolean that the sketch's
+    answer lands within 3x its guaranteed rank error of the target rank.
+
+    ``approx_percentile`` (Greenwald-Khanna) is the 100 TB path: one
+    streaming pass, mergeable partials, no per-group sort. The EXACT side
+    (window sort per group) exists only to judge the sketch — the same
+    contract as :func:`daily_distinct_users_hll`, where countDistinct
+    judges the HLL. Rank check uses the tie-safe interval
+    ``[count(<v)+1, count(<=v)]``: a returned value's admissible ranks
+    must intersect ``target ± bound`` — exact integer arithmetic, no
+    float tolerance in the hashed output.
+    """
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    ps = ", ".join(str(p) for p in QUANTILE_PS)
+    stats = li.groupBy("flag").agg(
+        F.count("*").alias("n"),
+        F.expr(f"approx_percentile(cents, array({ps}), {PCTL_ACC})").alias("pa"),
+    )
+    ranked = li.join(F.broadcast(stats), "flag")
+    checks = ranked.groupBy("flag").agg(
+        *[
+            F.sum((F.col("cents") < F.col("pa")[i]).cast("long")).alias(f"lt_{i}")
+            for i in range(len(QUANTILE_PS))
+        ],
+        *[
+            F.sum((F.col("cents") <= F.col("pa")[i]).cast("long")).alias(f"le_{i}")
+            for i in range(len(QUANTILE_PS))
+        ],
+    )
+
+    def k_of(p: float) -> str:
+        return f"CAST(floor({p} * (n - 1)) AS BIGINT) + 1"
+
+    w = Window.partitionBy("flag").orderBy("cents")
+    exact = (
+        li.join(F.broadcast(stats.select("flag", "n")), "flag")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.expr(" OR ".join(f"rn = {k_of(p)}" for p in QUANTILE_PS)))
+        .groupBy("flag", "n")
+        .agg(
+            *[
+                F.max(
+                    F.expr(f"CASE WHEN rn = {k_of(p)} THEN cents END")
+                ).alias(f"e_{i}")
+                for i, p in enumerate(QUANTILE_PS)
+            ]
+        )
+    )
+    ok = " AND ".join(
+        f"(lt_{i} + 1 <= {k_of(p)} + {_BOUND} AND le_{i} >= {k_of(p)} - {_BOUND})"
+        for i, p in enumerate(QUANTILE_PS)
+    )
+    return (
+        exact.join(checks, "flag")
+        .select(
+            "flag",
+            "n",
+            (F.col("e_0") / F.lit(100.0)).alias("p50"),
+            (F.col("e_1") / F.lit(100.0)).alias("p90"),
+            (F.col("e_2") / F.lit(100.0)).alias("p99"),
+            F.expr(ok).alias("sketch_ok"),
+        )
+        .orderBy("flag")
+    )
+
+
+def _quantiles_sql() -> str:
+    exacts = ", ".join(
+        f"CAST(max(CASE WHEN r.rn = CAST(floor({p} * (n.n - 1)) AS BIGINT) + 1 "
+        f"THEN r.cents END) AS DOUBLE) / 100 AS p{int(p * 100)}"
+        for p in QUANTILE_PS
+    )
+    return f"""
+        WITH c AS (
+            SELECT l_returnflag AS flag,
+                   CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+            FROM lineitem
+        ),
+        n AS (SELECT flag, count(*) AS n FROM c GROUP BY flag),
+        r AS (
+            SELECT flag, cents,
+                   row_number() OVER (PARTITION BY flag ORDER BY cents) AS rn
+            FROM c
+        )
+        SELECT n.flag, n.n, {exacts}, TRUE AS sketch_ok
+        FROM r JOIN n ON r.flag = n.flag
+        GROUP BY n.flag, n.n
+        ORDER BY 1
+    """
+
+
+PRICE_QUANTILES_SQL = _quantiles_sql()

@@ -148,8 +148,15 @@ def build() -> dict:
     )
 
     # --- Relational surface beyond the reference ---
+    # Rotated out of the driver window in round 4 (slot went to
+    # price_quantiles_sketch): ranking-window signal stays driver-visible
+    # via train_stratified_sample (row_number + WindowGroupLimit) and the
+    # two salted-window skew rows. Keeps pytest parity + raw-SQL dual.
     q["window_rank_orders"] = QuerySpec(
-        rx.window_rank_orders, rx.WINDOW_RANK_SQL, "ext: ranking window fn"
+        rx.window_rank_orders,
+        rx.WINDOW_RANK_SQL,
+        "ext: ranking window fn",
+        driver=False,
     )
     q["revenue_by_region"] = QuerySpec(
         rx.revenue_by_region, rx.REVENUE_BY_REGION_SQL, "ext: 5-table star join"
@@ -266,6 +273,15 @@ def build() -> dict:
         sketches.DAILY_DISTINCT_USERS_HLL_SQL,
         "ext: re-aggregatable HLL distinct rollup (exact count hashed + "
         "in-query error-bound assertion on the sketch)",
+    )
+    # Promoted in the round-4 rotation (slot from window_rank_orders):
+    # quantile-sketch twin of the HLL row — exact discrete percentiles
+    # hashed, sketch judged in-query by its rank-error guarantee.
+    q["price_quantiles_sketch"] = QuerySpec(
+        sketches.price_quantiles_sketch,
+        sketches.PRICE_QUANTILES_SQL,
+        "ext: per-group quantile sketch (exact percentiles hashed + "
+        "in-query rank-error assertion on approx_percentile)",
     )
 
     # --- Multimodal plumbing ---
