@@ -283,3 +283,68 @@ DOC_REPETITION_SQL = rf"""
             AND coalesce(top_bigram_share <= {TOP_BIGRAM_MAX}, TRUE)) AS keep
     FROM shares
 """
+
+
+# ---------------------------------------------------- TF-IDF top terms
+
+TFIDF_TOP_K = 5
+TFIDF_SCALE = 1_000_000  # score = tf * SCALE DIV df — exact rational, no log
+
+
+def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K most distinctive terms per document by a TF-IDF-style score.
+
+    The score is the exact rational ``tf/df`` in fixed-point
+    (``tf * SCALE DIV df``, bigint): log-free so both engines compute
+    bit-identical integers — same ordering semantics as tf·idf for
+    ranking WITHIN a document (idf is monotone-decreasing in df and tf
+    multiplies a per-term constant), which is all top-K needs.
+
+    Scale shape — this is the inverted-index build: explode to
+    (doc, term), partial-agg counts into tf (one shuffle on (doc, term)),
+    re-agg to df (shuffle on term — the posting-list sizes), join df back
+    on term (AQE picks broadcast when the vocabulary fits), then
+    ``row_number() <= K`` per doc rides the map-side WindowGroupLimit.
+    Per-token data movement IS the semantics here (df is a global
+    statistic); no stage moves more than the (doc, term) pair table.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(df, "term").withColumn(
+        "score", F.expr(f"tf * {TFIDF_SCALE} DIV df")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "df", "score", "rnk")
+    )
+
+
+DOC_TFIDF_SQL = rf"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               (tf.tf * {TFIDF_SCALE}) // df.df AS score
+        FROM tf JOIN df USING (term)
+    )
+    SELECT doc_id, term, tf, df, score, rnk FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term
+        ) AS rnk
+        FROM scored
+    ) WHERE rnk <= {TFIDF_TOP_K}
+"""

@@ -133,6 +133,14 @@ def build() -> dict:
         text_analysis.DOC_REPETITION_SQL,
         "ext: repetition quality filter (top-unigram/bigram share)",
     )
+    # Promoted in the round-4 rotation (slot from
+    # events_top3_by_hotkey_salted): inverted-index build + fixed-point
+    # tf/df ranking — the corpus-level term-statistics op.
+    q["doc_tfidf_topterms"] = QuerySpec(
+        text_analysis.doc_tfidf_topterms,
+        text_analysis.DOC_TFIDF_SQL,
+        "ext: TF-IDF-style top-K terms per doc (fixed-point, log-free)",
+    )
     q["train_val_split"] = QuerySpec(
         tp.train_val_split,
         tp.TRAIN_VAL_SPLIT_SQL,
@@ -254,12 +262,19 @@ def build() -> dict:
         skew.EVENTS_SALTED_SQL,
         "ext: salted two-phase aggregation == plain GROUP BY",
     )
+    # Rotated out of the driver window in round 4 (slot went to
+    # doc_tfidf_topterms): its docstring's own measurement shows Spark
+    # >=3.5's WindowGroupLimit beats the manual salted rewrite for
+    # row_number()<=K, and that built-in path is now driver-visible twice
+    # (train_stratified_sample, doc_tfidf_topterms); skew-mitigation
+    # signal stays via the two other salted rows. Keeps pytest parity.
     q["events_top3_by_hotkey_salted"] = QuerySpec(
         skew.events_top3_by_hotkey_salted,
         skew.EVENTS_TOP3_HOTKEY_SQL,
         "ext: salted two-phase top-K on a 90%-hot key == plain window "
         "rank (Spark>=3.5's WindowGroupLimit already covers rank "
         "filters; kept as the portable form)",
+        driver=False,
     )
     q["events_share_of_key_total"] = QuerySpec(
         skew.events_share_of_key_total,
