@@ -212,34 +212,47 @@ TOP_UNIGRAM_MAX = 0.30
 TOP_BIGRAM_MAX = 0.18
 
 
+def _max_eq_run(arr: str) -> str:
+    """SQL expr: the highest multiplicity of any element in array ``arr``,
+    computed as the longest run of equal adjacent elements after
+    ``array_sort`` — O(n log n) per row instead of the O(distinct · n)
+    count-each-distinct form (quadratic for long repetitive docs, the
+    exact inputs this filter exists to catch)."""
+    return f"""
+        aggregate(
+            array_sort({arr}),
+            named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
+            (acc, x) -> named_struct(
+                'prev', x,
+                'run', IF(x <=> acc.prev, acc.run + 1, 1),
+                'best', greatest(acc.best, IF(x <=> acc.prev, acc.run + 1, 1))),
+            acc -> acc.best)
+    """
+
+
 def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition quality filter: top-unigram share, top-bigram share and
     duplicate-token fraction per document, with the keep/drop decision.
 
-    Pure per-row higher-order-function compute (``transform`` /
-    ``filter`` / ``array_max`` inside codegen): no explode, no shuffle —
-    at 100 TB this is an embarrassingly-parallel corpus map whose cost is
-    O(distinct_tokens * tokens) per doc, bounded by document length, with
-    zero exchange. The explode+groupBy formulation would shuffle one row
-    PER TOKEN of the corpus (~100x the document count) to compute a
-    per-document statistic — the wrong data movement direction.
+    Pure per-row compute (``array_sort`` + ``aggregate`` run-length fold
+    inside codegen): no explode, no shuffle — at 100 TB this is an
+    embarrassingly-parallel corpus map, O(n log n) in document length,
+    with zero exchange. The explode+groupBy formulation would shuffle one
+    row PER TOKEN of the corpus (~100x the document count) to compute a
+    per-document statistic — the wrong data movement direction. (The
+    DuckDB twin keeps the straightforward count-each-distinct form; the
+    oracle only needs equal values, not equal plans.)
 
     Shares divide exact integer counts in IEEE double (bit-identical
     across engines); docs with <2 tokens carry a NULL bigram share and
     are kept on the unigram signal alone.
     """
     d = load_table(spark, sf_dir, "documents").withColumn("t", tokens("text"))
-    top_uni = (
-        F.expr("array_max(transform(array_distinct(t), x -> size(filter(t, y -> y = x))))")
-        / F.size("t")
-    )
+    top_uni = F.expr(_max_eq_run("t")) / F.size("t")
     bigrams = shingles("t", 2)
     top_bi = F.when(
         F.size("t") >= 2,
-        F.expr(
-            "array_max(transform(array_distinct(b), x -> size(filter(b, y -> y = x))))"
-        )
-        / (F.size("t") - 1),
+        F.expr(_max_eq_run("b")) / (F.size("t") - 1),
     )
     dup_frac = (F.size("t") - F.size(F.array_distinct("t"))) / F.size("t")
     return (
