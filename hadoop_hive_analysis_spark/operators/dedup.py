@@ -96,6 +96,25 @@ DEDUP_EXACT_SQL = """
 """
 
 
+def _informative_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) with hot shingles (df > STOP_SHINGLE_DF) removed
+    via a left-anti join against the aggregated hot-shingle set.
+
+    Exposed un-checkpointed so the plan pin
+    (``test_ngram_df_cut_is_anti_join_not_window``) can assert the
+    LeftAnti / no-Window shape; :func:`dedup_ngram_jaccard` checkpoints
+    the result so the cut executes once, not once per consumer branch.
+    """
+    sh = _doc_shingles(spark, sf_dir).localCheckpoint(eager=False)
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > STOP_SHINGLE_DF)
+        .select("shingle")
+    )
+    return sh.join(hot, "shingle", "left_anti")
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact 3-gram Jaccard ≥ 0.8 over the
     informative-shingle universe (document frequency ≤ STOP_SHINGLE_DF).
@@ -114,29 +133,27 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the Jaccard stays an exact set similarity (of informative
     shingles).
 
-    The exploded shingle table is materialized ONCE (non-eager
-    ``localCheckpoint``) before the cut: the plan references it from four
-    branches (hot-set agg, both self-join sides, cardinalities), and
-    Spark does not reuse the exchange across them — without the
-    materialization the posexplode subtree re-executes per branch, which
-    at 100 TB is 3-4 full corpus re-reads (the staged pipeline's parquet
-    shingle table is the same idea durable). Measured at sf0.1
-    (interleaved A/B, n=6): window form 1.42 s median, naive anti
-    2.98 s, this form 2.1-2.3 s — the remaining gap to the window form
-    is fixed per-stage overhead at 260 k shingle rows, while the window
-    form's 4× unreused sort recompute grows with the corpus. The hot set
-    gets no broadcast HINT: its size is corpus-dependent (Zipf head, but
-    worst-case |shingles|/df), so AQE decides at runtime from the
+    BOTH the exploded shingle table AND the cut result are materialized
+    (non-eager ``localCheckpoint``). Downstream, four branches read the
+    cut table (both self-join sides, both cardinality lookups); without
+    the second materialization Spark re-executes the hot-set aggregation
+    and the anti-join once PER BRANCH — the round-4 plan audit counted 4×
+    ``hashpartitioning(shingle)`` exchanges and 4 LeftAnti executions,
+    i.e. 3 redundant full-shingle-table shuffles and 3 redundant hot-set
+    broadcasts, which at 100 TB is the dominant cost. With the cut
+    materialized the final plan reads the cached cut table four times and
+    the cut itself runs exactly once (local wall at sf0.1 is parity —
+    stage overhead dominates at 260 k rows — but the exchange count is
+    the scale-relevant property; pinned in tests/test_plans.py). The hot
+    set gets no broadcast HINT: its size is corpus-dependent (Zipf head,
+    but worst-case |shingles|/df), so AQE decides at runtime from the
     measured build size (it picks BroadcastHashJoin here).
+
+    The anti-join cut itself lives in :func:`_informative_shingles` so
+    its logical plan stays inspectable (checkpointing replaces the plan
+    with an RDD scan in the consumer).
     """
-    sh = _doc_shingles(spark, sf_dir).localCheckpoint(eager=False)
-    hot = (
-        sh.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > STOP_SHINGLE_DF)
-        .select("shingle")
-    )
-    sh = sh.join(hot, "shingle", "left_anti")
+    sh = _informative_shingles(spark, sf_dir).localCheckpoint(eager=False)
     card = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

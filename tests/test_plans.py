@@ -108,13 +108,25 @@ def test_brand_revenue_broadcasts_dimension(plans):
     assert "SortMergeJoin" not in p
 
 
-def test_ngram_df_cut_is_anti_join_not_window(plans):
+def test_ngram_df_cut_is_anti_join_not_window(spark, sf_dir, plans):
     # The stop-shingle df cut must not sort the full shingle table: the
     # hot-set anti-join replaces the count() OVER (PARTITION BY shingle)
     # window (round-2 regression: the window form was 1.35x slower).
+    # The cut subplan is inspected pre-checkpoint (the consumer replaces
+    # it with an RDD scan once materialized).
+    from hadoop_hive_analysis_spark.operators.dedup import _informative_shingles
+
+    cut = final_plan(_informative_shingles(spark, sf_dir))
+    assert "LeftAnti" in cut
+    assert "Window" not in cut
+    # And the consumer must run the cut ONCE: its four references to the
+    # cut table are scans of the materialized RDD, not four re-executions
+    # of the aggregation + anti-join (round-4 audit: the un-materialized
+    # form shuffled the full shingle table 4x).
     p = plans("dedup_ngram_jaccard")
-    assert "LeftAnti" in p
     assert "Window" not in p
+    assert "LeftAnti" not in p  # cut runs inside the checkpoint, not inline
+    assert p.count("Scan ExistingRDD") >= 4
 
 
 def test_range_join_is_bucketed_hash_join_not_nested_loop(plans):
