@@ -366,3 +366,70 @@ EVENTS_RANGE_JOIN_SQL = f"""
     GROUP BY c.campaign_id
     ORDER BY c.campaign_id
 """
+
+
+# --- Stream-stream join (batch form) --------------------------------------
+
+ATTRIB_WINDOW_SEC = 1800  # click → purchase attribution window
+
+
+def events_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution join: every (click, purchase) pair by the same user
+    with the purchase strictly after the click and within
+    ATTRIB_WINDOW_SEC — the canonical stream-stream-join workload.
+
+    Batch plan: two filtered scans of the same source, an equi-join on
+    ``user_id`` with the time-range predicate applied at the join, then
+    integer second deltas. One shuffle per side on user_id (or one
+    broadcast if a side is small); the range condition never degrades the
+    join to a nested loop because user_id carries the equi-key. Per-user
+    pair count is bounded by per-user event rates × the window — the
+    same bound that sizes the streaming twin's state
+    (:func:`..streaming.events.streaming_click_purchase_join`, tested
+    batch-equivalent and driver-checked via the AvailableNow replay).
+
+    Determinism: epoch-second casts on both engines, integer delta, and
+    (click_id, purchase_id) is a unique key.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    j = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {ATTRIB_WINDOW_SEC} SECONDS")
+        ),
+    )
+    return j.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.col("purchase_ts").cast("long") - F.col("click_ts").cast("long")).alias(
+            "secs_to_purchase"
+        ),
+    )
+
+
+EVENTS_STREAM_JOIN_SQL = f"""
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.user_id,
+           CAST(floor(epoch(p.ts)) AS BIGINT)
+               - CAST(floor(epoch(c.ts)) AS BIGINT) AS secs_to_purchase
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts > c.ts
+     AND p.ts <= c.ts + INTERVAL {ATTRIB_WINDOW_SEC} SECONDS
+"""

@@ -311,3 +311,84 @@ TRAIN_STRATIFIED_SQL = f"""
         FROM documents
     ) WHERE sample_rank <= {STRATUM_QUOTA}
 """
+
+
+# ---------------------------------------------------------------- packing
+
+SEQ_LEN = 512  # tokens per packed training sequence
+PACK_SHARDS = 8  # packing shards; set ∝ corpus size at scale (see below)
+
+
+def seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents in a fixed
+    deterministic order and split every SEQ_LEN tokens, so no training
+    sequence has padding. Emits, per document, the sequence it starts in
+    and its offset there; a document whose tail spills past the boundary
+    continues into the next sequence (``crosses_boundary``) — exactly the
+    concat-and-chunk layout LLM pretraining uses.
+
+    Scale shape: packing is a prefix-sum, which is inherently sequential
+    — so it is SHARDED first (hash of doc_id into PACK_SHARDS), and the
+    prefix-sum runs independently per shard: one shuffle on ``shard``,
+    then one sorted window pass per shard, no global ordering anywhere.
+    At 100 TB, PACK_SHARDS scales with the corpus (target a few hundred
+    MB of (doc_id, n_tokens) pairs per shard — the window sees only those
+    two columns, not the text) and shards are hash-uniform, so the job is
+    embarrassingly parallel with bounded per-task sort state. The window
+    frame is running (UNBOUNDED PRECEDING → 1 PRECEDING), which Spark
+    evaluates streamingly over the sorted run — no per-partition
+    re-scan.
+
+    Determinism: the shard hash is the portable md5-based h64, the pack
+    order within a shard is (doc_id) — unique — and every output column
+    is integer arithmetic on exact token counts, so the DuckDB twin is
+    bit-identical.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+        (h64(F.col("doc_id").cast("string")) % PACK_SHARDS).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = d.withColumn("off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return d.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.expr(f"off div {SEQ_LEN}").alias("seq_id"),
+        (F.col("off") % SEQ_LEN).alias("offset_in_seq"),
+        ((F.col("off") % SEQ_LEN) + F.col("n_tokens") > SEQ_LEN).alias(
+            "crosses_boundary"
+        ),
+    )
+
+
+SEQ_PACKING_SQL = rf"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+                   AS n_tokens,
+               CAST({h64_sql("CAST(doc_id AS VARCHAR)")} % {PACK_SHARDS}
+                   AS BIGINT) AS shard
+        FROM documents
+    ),
+    o AS (
+        SELECT doc_id, shard, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS off
+        FROM t
+    )
+    SELECT doc_id, shard, n_tokens,
+           off // {SEQ_LEN} AS seq_id,
+           off % {SEQ_LEN} AS offset_in_seq,
+           (off % {SEQ_LEN}) + n_tokens > {SEQ_LEN} AS crosses_boundary
+    FROM o
+"""

@@ -154,6 +154,16 @@ def build() -> dict:
         tp.TRAIN_STRATIFIED_SQL,
         "ext: stratified quota sample (hash-ordered top-K per stratum)",
     )
+    # Promoted in the round-4 rotation (slot from semi_join_customers):
+    # GPT-style concat-and-chunk sequence packing — sharded prefix-sum,
+    # one shuffle, per-shard sorted window pass; the training-layout op
+    # missing from the pipeline pack until now.
+    q["seq_packing"] = QuerySpec(
+        tp.seq_packing,
+        tp.SEQ_PACKING_SQL,
+        "ext: sequence packing into fixed token budgets (sharded "
+        "prefix-sum; boundary-crossing flags)",
+    )
 
     # --- Relational surface beyond the reference ---
     # Rotated out of the driver window in round 4 (slot went to
@@ -182,8 +192,16 @@ def build() -> dict:
     q["cube_orders"] = QuerySpec(
         rx.cube_orders, rx.CUBE_ORDERS_SQL, "ext: CUBE grouping sets"
     )
+    # Rotated out of the driver window in round 4 (slot went to
+    # seq_packing): Catalyst plans EXISTS/IN subqueries, INTERSECT, and
+    # the contamination broadcast probe as the same LeftSemi physical
+    # join; the anti row below keeps the anti/semi family pinned. Keeps
+    # pytest parity + raw-SQL dual.
     q["semi_join_customers"] = QuerySpec(
-        rx.semi_join_customers, rx.SEMI_JOIN_SQL, "ext: left-semi join"
+        rx.semi_join_customers,
+        rx.SEMI_JOIN_SQL,
+        "ext: left-semi join",
+        driver=False,
     )
     q["anti_join_customers"] = QuerySpec(
         rx.anti_join_customers, rx.ANTI_JOIN_SQL, "ext: left-anti join"
@@ -344,10 +362,16 @@ def build() -> dict:
     )
 
     # --- Event-stream ops, batch form (events) ---
+    # Rotated out of the driver window in round 4 (slot went to
+    # events_stream_join_replay): events_tumbling_replay runs the SAME
+    # logical window aggregation through the streaming engine against the
+    # SAME oracle, so the batch row duplicated its hash signal. Keeps
+    # pytest parity + bench entry.
     q["events_tumbling_window"] = QuerySpec(
         events.events_tumbling_window,
         events.EVENTS_TUMBLING_SQL,
         "ext: tumbling-window aggregation",
+        driver=False,
     )
     q["events_sliding_window"] = QuerySpec(
         events.events_sliding_window,
@@ -392,6 +416,27 @@ def build() -> dict:
         events.EVENTS_TUMBLING_SQL,
         "ext: Structured Streaming tumbling counts, batch-replayed "
         "(AvailableNow → memory sink) against the batch oracle",
+    )
+    # Batch form of the stream-stream join; pytest parity + bench entry
+    # (the driver slot carries the streaming replay below, which proves
+    # the batch plan's semantics AND the streaming engine in one hash).
+    q["events_click_purchase_join"] = QuerySpec(
+        events.events_click_purchase_join,
+        events.EVENTS_STREAM_JOIN_SQL,
+        "ext: attribution join, batch form (equi-join on user + "
+        "time-range predicate)",
+        driver=False,
+    )
+    # Promoted in the round-4 rotation (slot from events_tumbling_window):
+    # watermarked stream-stream inner join drained AvailableNow — the
+    # last major Structured Streaming surface (joins) as a driver hash.
+    from ..streaming.events import events_stream_join_replay
+
+    q["events_stream_join_replay"] = QuerySpec(
+        events_stream_join_replay,
+        events.EVENTS_STREAM_JOIN_SQL,
+        "ext: watermarked stream-stream join (click->purchase "
+        "attribution), batch-replayed against the batch oracle",
     )
 
     # --- Rows-only checks (engine-specific estimates / float drift /

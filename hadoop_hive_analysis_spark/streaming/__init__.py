@@ -7,10 +7,12 @@ from .dedup import (
     streaming_dedup_within_watermark,
 )
 from .events import (
+    events_stream_join_replay,
     read_events_stream,
     rollup_view,
     run_available_now,
     run_incremental_rollup,
+    streaming_click_purchase_join,
     streaming_daily_distinct_sketches,
     streaming_session_aggregates,
     streaming_sliding_counts,
@@ -19,8 +21,10 @@ from .events import (
 )
 
 __all__ = [
+    "events_stream_join_replay",
     "read_documents_stream",
     "read_events_stream",
+    "streaming_click_purchase_join",
     "rollup_view",
     "run_available_now",
     "run_incremental_rollup",

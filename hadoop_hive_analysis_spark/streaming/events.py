@@ -343,3 +343,79 @@ def run_foreach_batch_etl(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_click_purchase_join(events: DataFrame) -> DataFrame:
+    """Watermarked stream-stream inner join — the streaming twin of
+    ``operators.events.events_click_purchase_join``.
+
+    Both sides carry a watermark and the join condition carries the time
+    range, so Spark derives a state-retention bound per side (clicks kept
+    ~attribution-window + watermark; purchases ~watermark) and evicts
+    state as the watermark advances — bounded state on an infinite
+    stream, which is the whole point of the operator. Inner-join matches
+    emit as soon as both rows have arrived (no watermark hold on
+    emission), so an AvailableNow drain yields exactly the batch result.
+    """
+    from ..operators.events import ATTRIB_WINDOW_SEC
+
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", WATERMARK)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", WATERMARK)
+    )
+    j = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {ATTRIB_WINDOW_SEC} SECONDS")
+        ),
+    )
+    return j.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.col("purchase_ts").cast("long") - F.col("click_ts").cast("long")).alias(
+            "secs_to_purchase"
+        ),
+    )
+
+
+def events_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-registered stream-stream-join check: drain the events table
+    as a finite stream through :func:`streaming_click_purchase_join` and
+    return the materialized matches — which must equal the batch
+    ``events_click_purchase_join`` exactly, so it shares that query's
+    DuckDB oracle (``EVENTS_STREAM_JOIN_SQL``). Append mode: stream-stream
+    joins emit inner matches eagerly; state eviction (not emission) is
+    what the watermark gates.
+    """
+    import atexit
+    import shutil
+    import tempfile
+    import uuid
+
+    tag = uuid.uuid4().hex[:12]
+    ckpt = tempfile.mkdtemp(prefix=f"hha_ssjoin_ckpt_{tag}_")
+    atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
+    return run_available_now(
+        streaming_click_purchase_join(read_events_stream(spark, sf_dir)),
+        query_name=f"ssjoin_replay_{tag}",
+        checkpoint_dir=ckpt,
+        output_mode="append",
+    )

@@ -48,6 +48,27 @@ def test_streaming_sliding_equals_batch(spark, sf_dir, tmp_path):
     assert _rows(got, cols) == _rows(want, cols)
 
 
+def test_stream_stream_join_equals_batch(spark, sf_dir, tmp_path):
+    # Watermarked stream-stream inner join: matches emit eagerly (the
+    # watermark gates state EVICTION, not emission), so the AvailableNow
+    # drain must equal the batch attribution join exactly.
+    from hadoop_hive_analysis_spark.operators.events import (
+        events_click_purchase_join,
+    )
+    from hadoop_hive_analysis_spark.streaming import streaming_click_purchase_join
+
+    stream = read_events_stream(spark, sf_dir)
+    got = run_available_now(
+        streaming_click_purchase_join(stream),
+        "t_ssjoin",
+        str(tmp_path / "ck_ssj"),
+        output_mode="append",
+    )
+    want = events_click_purchase_join(spark, sf_dir)
+    cols = ["click_id", "purchase_id", "user_id", "secs_to_purchase"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
 def test_streaming_sessions_equal_batch(spark, sf_dir, tmp_path):
     stream = read_events_stream(spark, sf_dir)
     got = run_available_now(

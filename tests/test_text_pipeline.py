@@ -153,3 +153,30 @@ def test_pii_redaction_behavior_vs_duckdb(spark):
     assert by_id[1][1] >= 1  # email
     assert by_id[2][2] == 2  # two IPs
     assert by_id[3][1] == by_id[3][2] == 0
+
+
+def test_seq_packing_layout_invariants(spark, sf_dir):
+    # The packed layout must be a gapless concatenation per shard: doc
+    # offsets in pack order are exactly the running token sum, every
+    # token index in [0, shard_total) is covered once, and the boundary
+    # flag is consistent with the doc's span.
+    from collections import defaultdict
+
+    from hadoop_hive_analysis_spark.operators.text_pipeline import (
+        SEQ_LEN,
+        seq_packing,
+    )
+
+    rows = seq_packing(spark, sf_dir).collect()
+    by_shard = defaultdict(list)
+    for r in rows:
+        by_shard[r.shard].append(r)
+    assert len(by_shard) > 1  # sharding actually distributes
+    for shard, docs in by_shard.items():
+        docs.sort(key=lambda r: r.doc_id)
+        off = 0
+        for r in docs:
+            assert off // SEQ_LEN == r.seq_id
+            assert off % SEQ_LEN == r.offset_in_seq
+            assert r.crosses_boundary == (r.offset_in_seq + r.n_tokens > SEQ_LEN)
+            off += r.n_tokens
