@@ -392,3 +392,161 @@ SEQ_PACKING_SQL = rf"""
            (off % {SEQ_LEN}) + n_tokens > {SEQ_LEN} AS crosses_boundary
     FROM o
 """
+
+
+# ----------------------------------------------------------------- funnel
+
+
+def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-observability funnel: apply the registered per-doc filters
+    in their production order (language → quality → repetition → PII-free)
+    and report survivors per stage — the monitoring table every corpus
+    clean run ships with ("where did my tokens go").
+
+    One corpus pass computes every stage boolean (all pure codegen — the
+    same expressions as the registered operators: text_lang_id's
+    marker-argmax guess required to AGREE with the declared lang label
+    (the classifier-vs-metadata consistency filter real pipelines run),
+    text_quality_score's ≥ 0.5, doc_repetition_filter's share caps,
+    pii_scrub's pattern counts at zero), then ONE global aggregation of
+    conditional sums and a 4-row unpivot. Shuffle bytes: 5 counters per
+    map task — nothing scales with the corpus. Output counts are exact
+    integers.
+    """
+    from ..functions.text import LANG_MARKERS, marker_score, shingles
+    from .text_analysis import TOP_BIGRAM_MAX, TOP_UNIGRAM_MAX, _max_eq_run
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", tokens("text").alias("t")
+    )
+    d = d.withColumn("b", shingles("t", 2))
+
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[marker_score("text", lg) for lg in langs])
+    guess = F.lit(langs[0])
+    for lg in reversed(langs):  # earlier langs win ties via later overwrite
+        guess = F.when(marker_score("text", lg) == best, F.lit(lg)).otherwise(guess)
+    s_lang = guess == F.col("lang")
+
+    diversity = F.size(F.array_distinct("t")) / F.size("t")
+    len_score = F.least(F.lit(1.0), F.size("t") / F.lit(100.0))
+    ws_ratio = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    ) / F.length("text")
+    quality = (
+        F.lit(0.5) * len_score
+        + F.lit(0.3) * diversity
+        + F.lit(0.2) * (F.lit(1.0) - ws_ratio)
+    )
+    s_qual = quality >= F.lit(0.5)
+
+    top_uni = F.expr(_max_eq_run("t")) / F.size("t")
+    top_bi = F.when(F.size("t") >= 2, F.expr(_max_eq_run("b")) / (F.size("t") - 1))
+    s_rep = (top_uni <= F.lit(TOP_UNIGRAM_MAX)) & F.coalesce(
+        top_bi <= F.lit(TOP_BIGRAM_MAX), F.lit(True)
+    )
+
+    s_pii = F.lit(True)
+    for _, pat, _ in PII_PATTERNS:
+        s_pii = s_pii & (F.regexp_count(F.col("text"), F.lit(pat)) == 0)
+
+    cum1 = s_lang
+    cum2 = cum1 & s_qual
+    cum3 = cum2 & s_rep
+    cum4 = cum3 & s_pii
+    agg = d.agg(
+        F.count("*").alias("n0"),
+        *[
+            F.sum(c.cast("long")).alias(f"c{i}")
+            for i, c in enumerate([cum1, cum2, cum3, cum4], start=1)
+        ],
+    )
+    stages = agg.selectExpr(
+        "stack(4, "
+        "1, 'lang_agree', n0, c1, "
+        "2, 'quality',    c1, c2, "
+        "3, 'repetition', c2, c3, "
+        "4, 'pii_clean',  c3, c4) AS (stage, stage_name, n_in, n_out)"
+    )
+    return stages.select(
+        F.col("stage").cast("long").alias("stage"),
+        "stage_name",
+        F.col("n_in").cast("long").alias("n_in"),
+        F.col("n_out").cast("long").alias("n_out"),
+        (F.col("n_in") - F.col("n_out")).cast("long").alias("n_dropped"),
+    )
+
+
+def _funnel_sql() -> str:
+    from ..functions.text import LANG_MARKERS, marker_score_sql
+    from .text_analysis import TOP_BIGRAM_MAX, TOP_UNIGRAM_MAX
+
+    best = "greatest(" + ", ".join(
+        f"({marker_score_sql('text', lg)})" for lg in LANG_MARKERS
+    ) + ")"
+    # first-match CASE = same tie precedence as the Spark overwrite loop
+    guess = "CASE " + " ".join(
+        f"WHEN ({marker_score_sql('text', lg)}) = {best} THEN '{lg}'"
+        for lg in LANG_MARKERS
+    ) + " END"
+    s_lang = f"({guess}) = lang"
+    quality = (
+        "0.5 * least(1.0, len(t) / 100.0)"
+        " + 0.3 * (len(list_distinct(t)) / len(t))"
+        " + 0.2 * (1.0 - (length(text) - length(replace(text, ' ', '')))"
+        " / length(text))"
+    )
+    top_uni = (
+        "list_max(list_transform(list_distinct(t),"
+        " x -> len(list_filter(t, y -> y = x)))) / len(t)"
+    )
+    top_bi = (
+        "CASE WHEN len(t) >= 2 THEN"
+        " list_max(list_transform(list_distinct(b),"
+        " x -> len(list_filter(b, y -> y = x)))) / (len(t) - 1) END"
+    )
+    s_pii = " AND ".join(
+        f"len(regexp_extract_all(text, '{pat}')) = 0" for _, pat, _ in PII_PATTERNS
+    )
+    return rf"""
+        WITH d AS (
+            SELECT doc_id, text, lang,
+                   string_split_regex(text, '\s+') AS t
+            FROM documents
+        ),
+        g AS (
+            SELECT *,
+                   list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                       AS b
+            FROM d
+        ),
+        flags AS (
+            SELECT ({s_lang}) AS cum1,
+                   ({s_lang}) AND ({quality} >= 0.5) AS cum2,
+                   ({s_lang}) AND ({quality} >= 0.5)
+                       AND (({top_uni}) <= {TOP_UNIGRAM_MAX}
+                            AND coalesce(({top_bi}) <= {TOP_BIGRAM_MAX}, TRUE))
+                       AS cum3,
+                   ({s_lang}) AND ({quality} >= 0.5)
+                       AND (({top_uni}) <= {TOP_UNIGRAM_MAX}
+                            AND coalesce(({top_bi}) <= {TOP_BIGRAM_MAX}, TRUE))
+                       AND ({s_pii}) AS cum4
+            FROM g
+        ),
+        a AS (
+            SELECT count(*) AS n0,
+                   CAST(sum(CASE WHEN cum1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                   CAST(sum(CASE WHEN cum2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+                   CAST(sum(CASE WHEN cum3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+                   CAST(sum(CASE WHEN cum4 THEN 1 ELSE 0 END) AS BIGINT) AS c4
+            FROM flags
+        )
+        SELECT CAST(1 AS BIGINT) AS stage, 'lang_agree' AS stage_name,
+               n0 AS n_in, c1 AS n_out, n0 - c1 AS n_dropped FROM a
+        UNION ALL SELECT 2, 'quality',    c1, c2, c1 - c2 FROM a
+        UNION ALL SELECT 3, 'repetition', c2, c3, c2 - c3 FROM a
+        UNION ALL SELECT 4, 'pii_clean',  c3, c4, c3 - c4 FROM a
+    """
+
+
+CORPUS_FILTER_FUNNEL_SQL = _funnel_sql()

@@ -154,6 +154,15 @@ def build() -> dict:
         tp.TRAIN_STRATIFIED_SQL,
         "ext: stratified quota sample (hash-ordered top-K per stratum)",
     )
+    # Funnel observability: one-pass conditional-sum aggregation of the
+    # four registered corpus filters in production order. pytest parity +
+    # bench (window full; the component filters each hold a driver slot).
+    q["corpus_filter_funnel"] = QuerySpec(
+        tp.corpus_filter_funnel,
+        tp.CORPUS_FILTER_FUNNEL_SQL,
+        "ext: corpus filter funnel (per-stage survivor counts, one pass)",
+        driver=False,
+    )
     # Promoted in the round-4 rotation (slot from semi_join_customers):
     # GPT-style concat-and-chunk sequence packing — sharded prefix-sum,
     # one shuffle, per-shard sorted window pass; the training-layout op
@@ -337,6 +346,17 @@ def build() -> dict:
     )
 
     # --- Similarity search (embeddings) ---
+    # Vector AGGREGATION (vs the pairwise ops below): element-wise group
+    # centroids via posexplode + partial-agg-bounded groupBy — the M-step
+    # of a distributed k-means. pytest parity + bench (window full).
+    from ..operators import vectors
+
+    q["embedding_group_centroid"] = QuerySpec(
+        vectors.embedding_group_centroid,
+        vectors.EMBEDDING_GROUP_CENTROID_SQL,
+        "ext: per-group embedding centroid (exact quantized sums)",
+        driver=False,
+    )
     q["ann_bruteforce_topk"] = QuerySpec(
         similarity.ann_bruteforce_topk,
         similarity.ANN_BRUTEFORCE_SQL,

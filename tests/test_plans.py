@@ -185,3 +185,22 @@ def test_registry_driver_window_exactly_full():
     assert len(query_map()) == DRIVER_SLOT_CAP
     # and the scored window stays almost entirely hash-checked
     assert len(oracle_sql_map()) >= DRIVER_SLOT_CAP - 1
+
+
+def test_centroid_aggregates_map_side_before_one_exchange(plans):
+    # Element-wise vector aggregation must collapse to |groups| x DIM rows
+    # per map task (partial HashAggregate) before its single exchange on
+    # (label, dim) — the shuffle must never carry one row per vector
+    # component of the corpus.
+    p = plans("embedding_group_centroid")
+    assert p.count("hashpartitioning(label") == 1
+    assert "partial_count" in p or "partial_sum" in p
+
+
+def test_funnel_is_one_pass_single_partition_agg(plans):
+    # The funnel's only exchange is the SinglePartition gather of 5
+    # counters: the corpus itself (text, token arrays) must never
+    # shuffle.
+    p = plans("corpus_filter_funnel")
+    assert "SinglePartition" in p
+    assert "hashpartitioning" not in p
