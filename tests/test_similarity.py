@@ -93,3 +93,86 @@ def test_dedup_embedding_lsh_plan_is_bucketed(spark, sf_dir):
     assert "hashpartitioning(band_key" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_ann_ivf_topk_matches_duckdb_given_centroid_literals(spark, sf_dir):
+    """The IVF fit is iterative (not SQL-expressible), but it is
+    DETERMINISTIC exact-integer k-means — so extracting its centroids as
+    SQL literals makes everything AFTER the fit (cell assignment, probe
+    selection, candidate scoring, ranking) a DuckDB query: full
+    cross-engine hash verification of the registered path, fit excluded
+    by construction (VERDICT r3 stretch #8)."""
+    import duckdb
+
+    from hadoop_hive_analysis_spark.operators.similarity import (
+        _QUANT_SQL,
+        N_PROBE,
+        N_QUERIES,
+        TOP_K,
+        _ivf_assignments,
+        ann_ivf_topk,
+    )
+
+    got = sorted(tuple(r) for r in ann_ivf_topk(spark, sf_dir).collect())
+
+    _, cent = _ivf_assignments(spark, sf_dir)
+    cent_vals = ", ".join(
+        f"({k}, {[int(x) for x in row]})" for k, row in enumerate(cent)
+    )
+    dim = cent.shape[1]
+    d2 = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        "i -> (qv[i] - c[i]) * (qv[i] - c[i])))"
+    )
+    dot = (
+        f"list_sum(list_transform(range(1, {dim + 1}), i -> qq[i] * q2[i]))"
+    )
+    sql = f"""
+        WITH cent(cell, c) AS (VALUES {cent_vals}),
+        q AS (SELECT vec_id, {_QUANT_SQL} AS qv FROM embeddings),
+        assign AS (
+            SELECT vec_id, qv, cell FROM (
+                SELECT vec_id, qv, cell,
+                       row_number() OVER (
+                           PARTITION BY vec_id ORDER BY {d2}, cell
+                       ) AS rn
+                FROM q CROSS JOIN cent
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT vec_id AS query_id, qv AS qq, cell AS probe_cell FROM (
+                SELECT vec_id, qv, cell,
+                       row_number() OVER (
+                           PARTITION BY vec_id ORDER BY {d2}, cell
+                       ) AS rn
+                FROM q CROSS JOIN cent
+                WHERE vec_id < {N_QUERIES}
+            ) WHERE rn <= {N_PROBE}
+        ),
+        scored AS (
+            SELECT p.query_id,
+                   a.vec_id AS neighbor_id,
+                   list_sum(list_transform(range(1, {dim + 1}),
+                       i -> p.qq[i] * a.qv[i])) AS dot_q
+            FROM probes p
+            JOIN assign a ON a.cell = p.probe_cell
+                         AND a.vec_id <> p.query_id
+        )
+        SELECT query_id, neighbor_id,
+               CAST(rank AS INTEGER) AS rank,
+               CAST(dot_q AS BIGINT) AS dot_q
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY dot_q DESC, neighbor_id
+            ) AS rank
+            FROM (SELECT DISTINCT query_id, neighbor_id, dot_q FROM scored)
+        ) WHERE rank <= {TOP_K}
+    """
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    con.close()
+    assert got == want
