@@ -223,9 +223,20 @@ def minhash_pairs_from_shingles(sh: DataFrame) -> DataFrame:
         members = [F.col(f"mh_{band * BAND_SIZE + r}") for r in range(BAND_SIZE)]
         key = F.concat_ws(",", *[m.cast("string") for m in members])
         band_structs.append(F.struct(F.lit(band).alias("band"), key.alias("band_sig")))
-    banded = sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("b")
-    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.band_sig").alias("band_sig"))
+    # Materialize the (tiny: docs × bands) banded table: BOTH self-join
+    # sides reference it, and without the checkpoint each side re-executes
+    # the full signature aggregation — i.e. two complete shingle-table
+    # shuffles where one suffices (round-4 plan audit; same re-execution
+    # class as the ngram df-cut fix).
+    banded = (
+        sig.select("doc_id", F.explode(F.array(*band_structs)).alias("b"))
+        .select(
+            "doc_id",
+            F.col("b.band").alias("band"),
+            F.col("b.band_sig").alias("band_sig"),
+        )
+        .localCheckpoint(eager=False)
+    )
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -265,8 +276,21 @@ def minhash_pairs_from_shingles(sh: DataFrame) -> DataFrame:
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs (see :func:`minhash_pairs_from_shingles`)."""
-    sh = _doc_shingles(spark, sf_dir).withColumn("h31", h31(F.col("shingle")))
+    """MinHash-LSH near-dup pairs (see :func:`minhash_pairs_from_shingles`).
+
+    The fused form materializes the exploded shingle frame (non-eager
+    ``localCheckpoint``): the core references it from four branches
+    (signature agg, cardinalities, both verify sides), and without the
+    materialization each branch re-runs the posexplode from the parquet
+    scan — the round-4 plan audit counted 6 documents-table scans in one
+    query. The staged pipeline gets the same effect from its durable
+    parquet shingle table, so the core itself stays materialization-free.
+    """
+    sh = (
+        _doc_shingles(spark, sf_dir)
+        .withColumn("h31", h31(F.col("shingle")))
+        .localCheckpoint(eager=False)
+    )
     return minhash_pairs_from_shingles(sh)
 
 
@@ -361,10 +385,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for c in range(4)
     ]
-    banded = sig.select(
-        "doc_id", "simhash", F.explode(F.array(*chunk_structs)).alias("b")
-    ).select(
-        "doc_id", "simhash", F.col("b.chunk").alias("chunk"), F.col("b.ckey").alias("ckey")
+    # Materialized for the same reason as the MinHash banded table: both
+    # self-join sides reference it, and un-checkpointed each side re-runs
+    # the full 32-vote signature aggregation (round-4 audit: 2 corpus
+    # scans for one query).
+    banded = (
+        sig.select(
+            "doc_id", "simhash", F.explode(F.array(*chunk_structs)).alias("b")
+        )
+        .select(
+            "doc_id",
+            "simhash",
+            F.col("b.chunk").alias("chunk"),
+            F.col("b.ckey").alias("ckey"),
+        )
+        .localCheckpoint(eager=False)
     )
     a = banded.alias("a")
     b = banded.alias("b")

@@ -323,7 +323,14 @@ def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(tokens("text")).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # tf feeds two branches (df re-agg + the scored join); materialize it
+    # so the token explode + (doc, term) shuffle run once, not twice
+    # (round-4 audit: the un-checkpointed form scanned documents 2x).
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = tf.join(df, "term").withColumn(
         "score", F.expr(f"tf * {TFIDF_SCALE} DIV df")

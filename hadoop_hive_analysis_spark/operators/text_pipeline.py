@@ -96,8 +96,13 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     bench_pred = F.col("doc_id") % BENCH_MOD == 0
-    corpus_sh = with_shingles(d.filter(~bench_pred), "text").select(
-        "doc_id", "shingle"
+    # corpus_sh feeds two branches (per-doc totals + the broadcast-probe
+    # hit counts); materialize it so the corpus shingle explode runs once
+    # (round-4 audit: the un-checkpointed form scanned documents 3x).
+    corpus_sh = (
+        with_shingles(d.filter(~bench_pred), "text")
+        .select("doc_id", "shingle")
+        .localCheckpoint(eager=False)
     )
     bench_sh = (
         with_shingles(d.filter(bench_pred), "text")

@@ -204,3 +204,24 @@ def test_funnel_is_one_pass_single_partition_agg(plans):
     p = plans("corpus_filter_funnel")
     assert "SinglePartition" in p
     assert "hashpartitioning" not in p
+
+
+def test_no_redundant_corpus_scans_in_dedup_and_text_ops(plans):
+    # Round-4 audit: multi-branch operators re-executed their shared
+    # subplan (shingle explode / signature agg / tf agg) once per branch,
+    # re-scanning the corpus 2-6x per query. The shared frame is now
+    # materialized (localCheckpoint), so the final plan reads the corpus
+    # at most the by-design number of times and references the
+    # materialized RDD for every other branch.
+    expectations = [
+        # (query, substring, max occurrences in the executed plan)
+        ("dedup_simhash", "documents.parquet", 0),  # sig agg inside ckpt
+        ("dedup_minhash_lsh", "documents.parquet", 0),  # explode inside ckpt
+        ("dedup_ngram_jaccard", "documents.parquet", 0),
+        ("doc_tfidf_topterms", "documents.parquet", 0),  # tf inside ckpt
+        ("contamination_ngram", "documents.parquet", 1),  # bench side only
+    ]
+    for name, needle, mx in expectations:
+        p = plans(name)
+        assert p.count(needle) <= mx, (name, p.count(needle))
+        assert "Scan ExistingRDD" in p, name  # the materialized frame
