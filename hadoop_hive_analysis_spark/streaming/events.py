@@ -187,6 +187,7 @@ def run_available_now(
     query_name: str,
     checkpoint_dir: str,
     output_mode: str = "complete",
+    shuffle_partitions: int = 32,
 ) -> DataFrame:
     """Drain the whole source as a finite stream into a memory sink and
     return the materialized result (test/batch-replay harness).
@@ -194,17 +195,33 @@ def run_available_now(
     ``output_mode``: "complete" for windowed aggregations (append would
     withhold windows the watermark has not passed when the finite stream
     ends); "update" for applyInPandasWithState.
+
+    ``shuffle_partitions`` is pinned for the duration of the stream (and
+    restored after): a streaming query's STATE STORE count is fixed at
+    ``spark.sql.shuffle.partitions`` when its checkpoint is created, and
+    the driver's bare session defaults to 200 — 200 state stores per
+    stateful operator for a fixtures-scale drain. The engine must not
+    depend on session-level tuning (each call uses a fresh checkpoint, so
+    pinning here is safe and self-contained).
     """
     spark = sdf.sparkSession
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(query_name)
 
 
