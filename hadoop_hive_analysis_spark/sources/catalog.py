@@ -10,11 +10,66 @@ point. On a production cluster the same functions back onto a real catalog
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, TimestampType
+from pyspark.sql.types import LongType, StructField, StructType, TimestampType
 
 from ..schemas import TESTDATA_SCHEMAS, TESTDATA_TABLES
+
+# Footer-derived schema per absolute parquet path — sniffed once per
+# process so repeated load_table calls don't re-list the file.
+_FOOTER_CACHE: dict[str, StructType] = {}
+
+
+def _footer_schema(spark: SparkSession, path: str) -> StructType:
+    """The schema Spark derives from the parquet footer (with nanosAsLong
+    on, so TIMESTAMP(NANOS) columns surface as raw LongType instead of
+    failing the vectorized reader)."""
+    key = os.path.abspath(path)
+    if key not in _FOOTER_CACHE:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        _FOOTER_CACHE[key] = spark.read.parquet(path).schema
+    return _FOOTER_CACHE[key]
+
+
+def _read_with_declared(
+    spark: SparkSession, path: str, declared: StructType
+) -> DataFrame:
+    """Encoding-agnostic declared-schema read.
+
+    Parquet writers encode event time several ways; the engine accepts all
+    of them and always yields the DECLARED types, chosen so conversions
+    stay at the scan (filter pushdown intact) wherever the reader allows:
+
+    * TIMESTAMP(MICROS/MILLIS, isAdjustedToUTC=true)  → TimestampType
+      natively;
+    * TIMESTAMP(MICROS/MILLIS, isAdjustedToUTC=false) — what Spark alone
+      would surface as TIMESTAMP_NTZ — is requested AS TimestampType in
+      the read schema: the scan interprets the stored wall-clock micros as
+      UTC epoch micros (exactly DuckDB's ``epoch()`` semantics) and
+      predicates still reach ``PushedFilters``;
+    * TIMESTAMP(NANOS) is unreadable by the vectorized reader as a
+      timestamp: it is read as raw nanos (``nanosAsLong``) and truncated
+      to microsecond timestamps with INTEGER division — float division
+      would lose precision at 1e18 nanos.
+    """
+    footer = {f.name: f.dataType for f in _footer_schema(spark, path).fields}
+    read_fields: list[StructField] = []
+    nanos_cols: list[str] = []
+    for f in declared.fields:
+        if isinstance(f.dataType, TimestampType) and isinstance(
+            footer.get(f.name), LongType
+        ):
+            read_fields.append(StructField(f.name, LongType(), True))
+            nanos_cols.append(f.name)
+        else:
+            read_fields.append(StructField(f.name, f.dataType, True))
+    df = spark.read.schema(StructType(read_fields)).parquet(path)
+    for c in nanos_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} DIV 1000")))
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -24,24 +79,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     projection pushdown, row-group skipping — the scan properties the
     reference's flat text files lack (SURVEY.md §1.3).
 
-    TIMESTAMP(NANOS) parquet columns (e.g. ``events.ts``) are unreadable by
-    Spark's vectorized reader; we read them as raw nanos
-    (``nanosAsLong``) and truncate to microsecond timestamps with INTEGER
-    division — float division would lose precision at 1e18 nanos.
+    Timestamp columns are normalized to ``TimestampType`` (UTC wall-clock
+    semantics) regardless of the file's physical encoding — nanos, micros,
+    NTZ or LTZ — see :func:`_read_with_declared`. No downstream operator
+    branches on the source encoding.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
     declared = TESTDATA_SCHEMAS.get(name)
-    if declared is not None:
-        actual = {f.name: f.dataType for f in df.schema.fields}
-        for f in declared.fields:
-            if isinstance(f.dataType, TimestampType) and isinstance(
-                actual.get(f.name), LongType
-            ):
-                df = df.withColumn(
-                    f.name, F.timestamp_micros(F.expr(f"{f.name} DIV 1000"))
-                )
-    return df
+    if declared is None:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(path)
+    return _read_with_declared(spark, path, declared)
 
 
 def events_partitioned_path(spark: SparkSession, sf_dir: str) -> str:
@@ -100,6 +148,18 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 EXT_DB = "ext"
 
 
+def _drop_relation(spark: SparkSession, qualified: str) -> None:
+    """Drop a catalog table OR view by whichever it actually is —
+    ``DROP TABLE``/``DROP VIEW`` each refuse the other object kind, and
+    re-registration may flip a name between the two (encoding branch)."""
+    if not spark.catalog.tableExists(qualified):
+        return
+    if spark.catalog.getTable(qualified).tableType == "VIEW":
+        spark.sql(f"DROP VIEW {qualified}")
+    else:
+        spark.sql(f"DROP TABLE {qualified}")
+
+
 def register_external_tables(spark: SparkSession, sf_dir: str) -> None:
     """S7's DDL twin: ``CREATE TABLE … USING parquet LOCATION`` — the
     Spark-native equivalent of the reference's ``CREATE EXTERNAL TABLE``
@@ -112,25 +172,58 @@ def register_external_tables(spark: SparkSession, sf_dir: str) -> None:
     ``enableHiveSupport`` (or Unity/Glue via config) the identical DDL
     persists in a real metastore.
 
-    ``events`` needs its TIMESTAMP(NANOS) column converted, which schema-
-    on-read DDL can't express — so the raw table registers as
-    ``ext.events_raw`` (``ts`` read as raw nanos) and a catalog VIEW
-    ``ext.events`` applies the same integer-division conversion
-    :func:`load_table` uses. Idempotent: re-registration replaces.
+    DDL is encoding-agnostic the same way :func:`load_table` is: each
+    table registers with its DECLARED column types (so a micros/NTZ/LTZ
+    timestamp converts at the scan, pushdown intact). The one case
+    schema-on-read DDL can't express is TIMESTAMP(NANOS) — there the raw
+    table registers as ``ext.{name}_raw`` (``ts`` read as raw nanos under
+    ``nanosAsLong``) and a catalog VIEW ``ext.{name}`` applies the same
+    integer-division conversion :func:`load_table` uses. Idempotent:
+    re-registration replaces, and stale views from the other branch are
+    dropped.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {EXT_DB}")
     for name in TESTDATA_TABLES:
-        target = f"{EXT_DB}.{name}_raw" if name == "events" else f"{EXT_DB}.{name}"
-        spark.sql(f"DROP TABLE IF EXISTS {target}")
-        spark.sql(
-            f"CREATE TABLE {target} USING parquet "
-            f"LOCATION '{sf_dir}/{name}.parquet'"
-        )
-    spark.sql(f"DROP VIEW IF EXISTS {EXT_DB}.events")
-    spark.sql(
-        f"CREATE VIEW {EXT_DB}.events AS "
-        f"SELECT event_id, timestamp_micros(ts DIV 1000) AS ts, user_id, "
-        f"       event_type, value, props "
-        f"FROM {EXT_DB}.events_raw"
-    )
+        path = f"{sf_dir}/{name}.parquet"
+        declared = TESTDATA_SCHEMAS[name]
+        footer = {
+            f.name: f.dataType for f in _footer_schema(spark, path).fields
+        }
+        nanos_cols = [
+            f.name
+            for f in declared.fields
+            if isinstance(f.dataType, TimestampType)
+            and isinstance(footer.get(f.name), LongType)
+        ]
+        _drop_relation(spark, f"{EXT_DB}.{name}")
+        _drop_relation(spark, f"{EXT_DB}.{name}_raw")
+        if not nanos_cols:
+            ddl_cols = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}" for f in declared.fields
+            )
+            spark.sql(
+                f"CREATE TABLE {EXT_DB}.{name} ({ddl_cols}) USING parquet "
+                f"LOCATION '{path}'"
+            )
+        else:
+            raw_cols = ", ".join(
+                f"{f.name} BIGINT"
+                if f.name in nanos_cols
+                else f"{f.name} {f.dataType.simpleString()}"
+                for f in declared.fields
+            )
+            spark.sql(
+                f"CREATE TABLE {EXT_DB}.{name}_raw ({raw_cols}) USING parquet "
+                f"LOCATION '{path}'"
+            )
+            select_cols = ", ".join(
+                f"timestamp_micros({f.name} DIV 1000) AS {f.name}"
+                if f.name in nanos_cols
+                else f.name
+                for f in declared.fields
+            )
+            spark.sql(
+                f"CREATE VIEW {EXT_DB}.{name} AS "
+                f"SELECT {select_cols} FROM {EXT_DB}.{name}_raw"
+            )

@@ -34,33 +34,50 @@ WATERMARK = "10 minutes"
 WINDOW = "5 minutes"
 SESSION_GAP = "30 minutes"
 
-# Streaming readers require an explicit schema. events.parquet stores ts as
-# TIMESTAMP(NANOS) which Spark reads only as raw long (nanosAsLong), so the
-# stream schema declares LongType and the reader converts to microseconds.
-_EVENTS_RAW = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
-
-
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table (one file = one microbatch
     under AvailableNow; on a cluster this is a directory being appended
-    to, or swap for Kafka with the same downstream plan)."""
+    to, or swap for Kafka with the same downstream plan).
+
+    Streaming readers require an explicit schema, and parquet writers
+    encode ``ts`` several ways (nanos, micros-NTZ, micros-LTZ), so the
+    stream schema is derived from the FILE FOOTER, never assumed: a
+    micros/NTZ/LTZ footer declares ``TimestampType`` directly (the scan
+    interprets NTZ wall-clock micros as UTC epoch micros — the batch
+    loader's semantics); a TIMESTAMP(NANOS) footer declares raw
+    ``LongType`` (``nanosAsLong``) and truncates to microseconds with
+    INTEGER division. Either way every downstream consumer sees one
+    type: ``TimestampType``.
+    """
+    from pyspark.sql.types import TimestampType
+
+    from ..sources.catalog import _footer_schema
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    footer = {
+        f.name: f.dataType
+        for f in _footer_schema(spark, f"{sf_dir}/events.parquet").fields
+    }
+    ts_is_nanos = isinstance(footer.get("ts"), LongType)
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType() if ts_is_nanos else TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
     # File-source streams take a DIRECTORY; glob-filter to the events table.
     raw = (
-        spark.readStream.schema(_EVENTS_RAW)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if ts_is_nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw
 
 
 def streaming_tumbling_counts(events: DataFrame) -> DataFrame:
