@@ -56,7 +56,7 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
             timings[name] = round(best, 4)
         except Exception as exc:  # one broken query must not void the run
-            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            errors[name] = f"{type(exc).__name__}: {exc}"[:80]
 
     out = {
         "metric": "query_pack_wall_clock",
@@ -87,8 +87,83 @@ def main() -> None:
         out.update(_executor_metrics(spark))
     except Exception:
         pass
-    print(json.dumps(out))
+    _emit(out, core_queries={n for n, s in QUERIES.items() if s.driver})
     spark.stop()
+
+
+def _emit(
+    out: dict,
+    sidecar_dir: str | None = None,
+    core_queries: set[str] | None = None,
+) -> None:
+    """Print the metrics as ONE compact JSON line guaranteed to fit the
+    driver's tail capture.
+
+    The driver records only the LAST 2000 characters of stdout and parses
+    the JSON line out of that window; round 4's line grew past it (four
+    200-char error strings + the regression block) and the round recorded
+    ``"parsed": null`` — a self-inflicted blind spot (VERDICT.md r4).
+    Full detail always lands in ``BENCH_FULL.json`` next to this script;
+    the stdout line drops optional sections (regression detail, error
+    text, store_sales breakdown — all preserved in the sidecar) until it
+    fits the window with headroom.
+    """
+    here = sidecar_dir or os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+            json.dump(out, f, indent=1)
+    except OSError:
+        pass
+    LIMIT = 1800  # driver window is 2000; leave room for a trailing newline+noise
+
+    def line(d: dict) -> str:
+        return json.dumps(d, separators=(",", ":"))
+
+    def _round_queries(d: dict) -> None:
+        d["queries"] = {k: round(v, 2) for k, v in d["queries"].items()}
+
+    def _core_queries_only(d: dict) -> None:
+        # The pack outgrew the window (68 entries ≈ 2k chars alone): keep
+        # the driver-scored queries on stdout, count the rest — their
+        # timings are in the sidecar, and the next round's regression
+        # flagger needs only the keys that priors recorded.
+        if core_queries:
+            kept = {k: v for k, v in d["queries"].items() if k in core_queries}
+            d["queries_omitted"] = len(d["queries"]) - len(kept)
+            d["queries"] = kept
+
+    slim = dict(out)
+    for prune in (
+        lambda d: d.pop("regressions_vs_prior", None),
+        lambda d: d.update(
+            {"errors": sorted(d["errors"])} if "errors" in d else {}
+        ),
+        lambda d: d.update(
+            {"store_sales": d["store_sales"].get("queries", {})}
+            if isinstance(d.get("store_sales"), dict)
+            else {}
+        ),
+        _round_queries,
+        _core_queries_only,
+        lambda d: d.pop("store_sales", None),
+        lambda d: d.pop("errors", None),
+    ):
+        if len(line(slim)) <= LIMIT:
+            break
+        prune(slim)
+    s = line(slim)
+    if len(s) > LIMIT:  # last resort: contract fields only (queries
+        # already rounded + core-restricted by the prune chain above)
+        s = line(
+            {
+                "metric": slim["metric"],
+                "value": slim["value"],
+                "unit": slim["unit"],
+                "queries": slim["queries"],
+                "sf": slim["sf"],
+            }
+        )
+    print(s)
 
 
 def _store_sales_section(spark) -> dict:

@@ -183,6 +183,35 @@ EVENTS_SESSIONIZE_SQL = f"""
 """
 
 
+# Session aggregates WITHOUT the session ordinal — the shape Spark's
+# native session_window emits (streaming replay shares this oracle; the
+# ordinal-carrying form above stays the batch query's oracle).
+EVENTS_SESSION_AGG_SQL = f"""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                    WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                         - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)
+                         > {SESSION_GAP_SEC} THEN 1
+                    ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                      AS session_no
+        FROM flagged
+    )
+    SELECT user_id,
+           min(CAST(floor(epoch(ts)) AS BIGINT)) AS session_start_epoch,
+           count(*) AS n_events,
+           CAST(SUM({_VAL_CENTS}) / 100.0 AS DOUBLE) AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_no
+"""
+
+
 PRUNE_START = "2024-01-08"
 PRUNE_END = "2024-01-14"
 

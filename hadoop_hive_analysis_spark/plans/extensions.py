@@ -155,13 +155,12 @@ def build() -> dict:
         "ext: stratified quota sample (hash-ordered top-K per stratum)",
     )
     # Funnel observability: one-pass conditional-sum aggregation of the
-    # four registered corpus filters in production order. pytest parity +
-    # bench (window full; the component filters each hold a driver slot).
+    # four registered corpus filters in production order. Promoted to a
+    # driver slot in round 5 (slot from forecast_revenue).
     q["corpus_filter_funnel"] = QuerySpec(
         tp.corpus_filter_funnel,
         tp.CORPUS_FILTER_FUNNEL_SQL,
         "ext: corpus filter funnel (per-stage survivor counts, one pass)",
-        driver=False,
     )
     # Promoted in the round-4 rotation (slot from semi_join_customers):
     # GPT-style concat-and-chunk sequence packing — sharded prefix-sum,
@@ -235,8 +234,16 @@ def build() -> dict:
     q["pricing_summary"] = QuerySpec(
         th.pricing_summary, th.PRICING_SUMMARY_SQL, "ext: TPC-H Q1-style report"
     )
+    # Rotated out of the driver window in round 5 (slot went to
+    # embedding_group_centroid): every physical operator here — selective
+    # dim filters into a fact join, grouped money agg, TakeOrdered top-K —
+    # is driver-visible through q1a/q2, revenue_by_region, and
+    # pricing_summary. Keeps pytest parity + bench entry.
     q["shipping_priority"] = QuerySpec(
-        th.shipping_priority, th.SHIPPING_PRIORITY_SQL, "ext: TPC-H Q3-style top-K join"
+        th.shipping_priority,
+        th.SHIPPING_PRIORITY_SQL,
+        "ext: TPC-H Q3-style top-K join",
+        driver=False,
     )
     q["orders_above_customer_avg"] = QuerySpec(
         th.orders_above_customer_avg,
@@ -253,8 +260,16 @@ def build() -> dict:
         "ext: star drill-down on part dim",
         driver=False,
     )
+    # Rotated out of the driver window in round 5 (slot went to
+    # corpus_filter_funnel): a single filter-sum over lineitem whose
+    # pushed-predicate + exact-decimal-agg signal q1a, pricing_summary,
+    # and the funnel's conditional sums all carry. Keeps pytest parity +
+    # bench entry.
     q["forecast_revenue"] = QuerySpec(
-        th.forecast_revenue, th.FORECAST_REVENUE_SQL, "ext: TPC-H Q6-style filter-sum"
+        th.forecast_revenue,
+        th.FORECAST_REVENUE_SQL,
+        "ext: TPC-H Q6-style filter-sum",
+        driver=False,
     )
     q["order_priority_late_ship"] = QuerySpec(
         th.order_priority_late_ship,
@@ -351,11 +366,11 @@ def build() -> dict:
     # of a distributed k-means. pytest parity + bench (window full).
     from ..operators import vectors
 
+    # Promoted to a driver slot in round 5 (slot from shipping_priority).
     q["embedding_group_centroid"] = QuerySpec(
         vectors.embedding_group_centroid,
         vectors.EMBEDDING_GROUP_CENTROID_SQL,
         "ext: per-group embedding centroid (exact quantized sums)",
-        driver=False,
     )
     q["ann_bruteforce_topk"] = QuerySpec(
         similarity.ann_bruteforce_topk,
@@ -398,10 +413,17 @@ def build() -> dict:
         events.EVENTS_SLIDING_SQL,
         "ext: sliding-window aggregation (10 min / 5 min overlap)",
     )
+    # Rotated out of the driver window in round 5 (slot went to
+    # events_session_replay): the replay runs the SAME gap-session
+    # semantics through the streaming engine's merging-window state
+    # against an oracle derived from this query's SQL, completing the
+    # stateful-shape trio (windowed/join/merging state) as driver hashes.
+    # The lag/cumsum batch formulation keeps pytest parity + bench entry.
     q["events_sessionize"] = QuerySpec(
         events.events_sessionize,
         events.EVENTS_SESSIONIZE_SQL,
         "ext: gap sessionization",
+        driver=False,
     )
     q["events_asof_join"] = QuerySpec(
         events.events_asof_join,
@@ -457,6 +479,17 @@ def build() -> dict:
         events.EVENTS_STREAM_JOIN_SQL,
         "ext: watermarked stream-stream join (click->purchase "
         "attribution), batch-replayed against the batch oracle",
+    )
+    # Promoted in the round-5 rotation (slot from events_sessionize):
+    # native session_window MERGING state drained AvailableNow — the
+    # third and last stateful streaming shape as a driver hash.
+    from ..streaming.events import events_session_replay
+
+    q["events_session_replay"] = QuerySpec(
+        events_session_replay,
+        events.EVENTS_SESSION_AGG_SQL,
+        "ext: native gap-session windows (merging state), "
+        "batch-replayed against the batch sessionization oracle",
     )
 
     # --- Rows-only checks (engine-specific estimates / float drift /

@@ -273,6 +273,40 @@ def events_tumbling_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def events_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-registered session-window check: drain the events table as a
+    FINITE STREAM (AvailableNow) through
+    :func:`streaming_session_aggregates` — Spark's native gap-session
+    operator with state — and return the materialized per-session
+    aggregates, which must equal the batch lag/cumsum sessionization
+    (minus its session ordinal, which windowed state doesn't carry), so
+    it shares an oracle derived from the batch query's SQL
+    (``operators.events.EVENTS_SESSION_AGG_SQL``).
+
+    With tumbling (windowed state) and click→purchase (join state)
+    already driver-replayed, this covers the third stateful shape:
+    MERGING window state. Boundary semantics: ``session_window`` closes a
+    session when the next event is >= gap after the last (half-open
+    windows); the batch rule keeps a gap of exactly ``SESSION_GAP_SEC``
+    in-session. Fixture timestamps are microsecond-random, so exact-gap
+    ties do not occur; the pytest equivalence test would catch a fixture
+    that introduces one.
+    """
+    import atexit
+    import shutil
+    import tempfile
+    import uuid
+
+    tag = uuid.uuid4().hex[:12]
+    ckpt = tempfile.mkdtemp(prefix=f"hha_session_ckpt_{tag}_")
+    atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
+    return run_available_now(
+        streaming_session_aggregates(read_events_stream(spark, sf_dir)),
+        query_name=f"session_replay_{tag}",
+        checkpoint_dir=ckpt,
+    )
+
+
 def run_incremental_rollup(
     events: DataFrame, partials_dir: str, checkpoint_dir: str
 ) -> None:
