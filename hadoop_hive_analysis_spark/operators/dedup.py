@@ -29,6 +29,7 @@ from ..functions.hashing import (
     MERSENNE_31,
     h31,
     h31_sql,
+    h64_sql,
     minhash_expr,
     minhash_params,
     minhash_sql,
@@ -458,4 +459,111 @@ DEDUP_SIMHASH_SQL = f"""
     SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
     FROM cand
     WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_RADIUS}
+"""
+
+
+# ------------------------------------------------ duplicated-span detection
+
+SPAN_TOKENS = 8  # exact-substring window length (tokens), stride 1
+# Spans this hot are boilerplate, not duplication signal; capping df also
+# bounds the dup-set join exactly like the Jaccard stop-shingle cut.
+STOP_SPAN_DF = 64
+
+
+def duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document EXACT-SUBSTRING duplication profile, per document.
+
+    Doc-level dedup (exact/MinHash/SimHash above) misses partial overlap:
+    two distinct documents sharing a long verbatim passage. The
+    reference treatment (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better") builds a corpus suffix array; the
+    distributed equivalent used here is stride-1 token windows: every
+    SPAN_TOKENS-token span, hashed, grouped — a span whose hash occurs in
+    >= 2 distinct documents marks both positions as duplicated text.
+    Output per doc: span count, duplicated-span count, and the exact
+    ratio (the "fraction of text that is copied" signal a cleaning
+    pipeline thresholds on).
+
+    Scale shape: the stride-1 explode is x(n_tokens - span + 1) input
+    amplification — that is the honest cost of EXACT substring coverage
+    (the suffix array pays the same linear blowup); spans carry only
+    (doc_id, span_h) int64 pairs after hashing, never the text. One
+    shuffle on span_h serves both the dup-set aggregation and the
+    mark-back join (same key, exchange reused); the dup set itself is
+    df-capped (boilerplate spans > STOP_SPAN_DF docs are excluded,
+    mirroring the Jaccard stop-shingle rationale) so its broadcast stays
+    bounded. Final per-doc rollup is one map-side-combined shuffle.
+    Sub-quadratic throughout: no pair enumeration anywhere.
+    """
+    from ..functions.hashing import h64
+    from ..functions.text import tokens
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", tokens("text").alias("toks"))
+        .filter(F.size("toks") >= SPAN_TOKENS)
+    )
+    sp = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {SPAN_TOKENS} + 1), "
+                    f"s -> concat_ws(' ', slice(toks, s, {SPAN_TOKENS})))"
+                )
+            ).alias("span"),
+        )
+        .select("doc_id", h64(F.col("span")).alias("span_h"))
+        .localCheckpoint(eager=False)
+    )
+    dup = (
+        sp.groupBy("span_h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter((F.col("nd") > 1) & (F.col("nd") <= STOP_SPAN_DF))
+        .select("span_h", F.lit(1).alias("is_dup"))
+    )
+    return (
+        sp.join(dup, "span_h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
+            .cast("long")
+            .alias("n_dup_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            (F.col("n_dup_spans").cast("double") / F.col("n_spans")).alias(
+                "dup_ratio"
+            ),
+        )
+    )
+
+
+DUPLICATED_SPANS_SQL = rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+    ),
+    sp AS (
+        SELECT doc_id,
+               {h64_sql(f"array_to_string(list_slice(t, s, s + {SPAN_TOKENS} - 1), ' ')")}
+               AS span_h
+        FROM (
+            SELECT doc_id, t, unnest(range(1, len(t) - {SPAN_TOKENS} + 2)) AS s
+            FROM toks WHERE len(t) >= {SPAN_TOKENS}
+        )
+    ),
+    dup AS (
+        SELECT span_h, 1 AS is_dup
+        FROM (SELECT span_h, count(DISTINCT doc_id) AS nd FROM sp GROUP BY 1)
+        WHERE nd > 1 AND nd <= {STOP_SPAN_DF}
+    )
+    SELECT sp.doc_id,
+           count(*) AS n_spans,
+           CAST(sum(COALESCE(is_dup, 0)) AS BIGINT) AS n_dup_spans,
+           CAST(sum(COALESCE(is_dup, 0)) AS DOUBLE) / count(*) AS dup_ratio
+    FROM sp LEFT JOIN dup USING (span_h)
+    GROUP BY sp.doc_id
 """

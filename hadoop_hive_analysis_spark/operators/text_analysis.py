@@ -368,3 +368,79 @@ DOC_TFIDF_SQL = rf"""
         FROM scored
     ) WHERE rnk <= {TFIDF_TOP_K}
 """
+
+
+# ----------------------------------------------------- token-rarity filter
+
+RARE_DF = 2  # a token occurring <= RARE_DF times corpus-wide is "rare"
+
+
+def doc_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics quality filter: per-document mean token frequency
+    and rare-token ratio — the exact-arithmetic stand-in for CCNet-style
+    LM-perplexity filtering.
+
+    CCNet scores documents by a language-model likelihood and drops the
+    weird tail; the first-order signal in that score is how UNUSUAL the
+    document's tokens are for the corpus. This operator computes that
+    signal exactly: corpus-wide unigram counts, then per doc the mean
+    corpus frequency of its token instances (``mean_df``, low = rare/
+    noisy vocabulary) and the fraction of tokens occurring <= RARE_DF
+    times corpus-wide (``rare_ratio``, OOV-rate analog). A float
+    ``avg(ln(c/N))`` would be the literal mean log-prob, but float SUMS
+    are order-dependent across partitioning, so the engine keeps the
+    monotone exact-integer form: int64 sums, one exact double division —
+    bit-identical on any plan, any engine (``ln`` is monotone, so
+    threshold filters are equivalent).
+
+    Scale shape: explode -> count per token (one shuffle, map-side
+    partials) -> join counts back (same shuffle key: token; the Zipf head
+    makes the probe side skewed, which AQE skew-join splits) -> per-doc
+    aggregation (one shuffle on doc_id). The exploded frame feeds both
+    the count and the join, so it is materialized once (non-eager
+    localCheckpoint), not re-exploded per branch.
+    """
+    ex = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .localCheckpoint(eager=False)
+    )
+    counts = ex.groupBy("tok").agg(F.count("*").alias("c"))
+    return (
+        ex.join(counts, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.sum("c").alias("sum_df"),
+            F.sum(F.when(F.col("c") <= RARE_DF, 1).otherwise(0))
+            .cast("long")
+            .alias("n_rare"),
+        )
+        .select(
+            "doc_id",
+            "n_toks",
+            "sum_df",
+            (F.col("sum_df").cast("double") / F.col("n_toks")).alias("mean_df"),
+            "n_rare",
+            (F.col("n_rare").cast("double") / F.col("n_toks")).alias("rare_ratio"),
+        )
+    )
+
+
+DOC_TOKEN_RARITY_SQL = rf"""
+    WITH ex AS (
+        SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+        FROM documents
+    ),
+    counts AS (SELECT tok, count(*) AS c FROM ex GROUP BY 1)
+    SELECT doc_id,
+           count(*) AS n_toks,
+           CAST(sum(c) AS BIGINT) AS sum_df,
+           CAST(sum(c) AS DOUBLE) / count(*) AS mean_df,
+           CAST(sum(CASE WHEN c <= {RARE_DF} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rare,
+           CAST(sum(CASE WHEN c <= {RARE_DF} THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS rare_ratio
+    FROM ex JOIN counts USING (tok)
+    GROUP BY doc_id
+"""

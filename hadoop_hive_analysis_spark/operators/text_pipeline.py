@@ -172,6 +172,79 @@ CONTAMINATION_SQL = rf"""
 
 # ------------------------------------------------- train/val split + shuffle
 
+# --------------------------------------------------- mixture resampling
+
+# Target corpus mixture by language (percent). The classic pre-training
+# mixture-balancing problem (Pile/Dolma/CCNet-style): the raw corpus
+# over-represents some groups; downsample each group deterministically so
+# the delivered mixture matches the target, maximizing total kept docs.
+TARGET_MIX: tuple[tuple[str, int], ...] = (
+    ("en", 40),
+    ("de", 15),
+    ("fr", 15),
+    ("es", 15),
+    ("zh", 15),
+)
+_MIX_PPM = 1_000_000
+
+
+def data_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture-balancing downsample to :data:`TARGET_MIX`.
+
+    Feasible total ``T = min_l floor(n_l * 100 / w_l)`` (the binding
+    language is kept whole); each language keeps with probability
+    ``w_l * T / (100 * n_l)``, applied as an exact parts-per-million
+    threshold on the portable doc-id hash — so membership is a pure
+    per-row predicate: re-runs, re-partitioning, and incremental arrivals
+    never flip a document's fate (same leak-proofing argument as
+    :func:`train_val_split`).
+
+    Scale shape: ONE tiny aggregation (5 language counts) is the only
+    shuffle; rates broadcast back and selection is map-side codegen over
+    the corpus — no per-group sort, no window, no quota ranking. At
+    100 TB the alternative exact-quota form (rank per language) sorts the
+    whole corpus; the hash-threshold form trades ≤ ~0.1% binomial quota
+    error for zero sorts, which is the right trade at any real scale.
+    All rate arithmetic is int64 (``w*T*10000 ≤ ~2^41``), identical in
+    both engines.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    w = spark.createDataFrame(list(TARGET_MIX), "lang STRING, w INT")
+    counts = (
+        d.groupBy("lang").agg(F.count("*").alias("n_l")).join(F.broadcast(w), "lang")
+    )
+    t = counts.agg(F.min(F.expr("n_l * 100 DIV w")).alias("t"))
+    rates = counts.crossJoin(F.broadcast(t)).select(
+        "lang",
+        F.expr(f"least({_MIX_PPM}, w * t * 10000 DIV n_l)").alias("ppm"),
+    )
+    keyed = h64(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(keyed % F.lit(_MIX_PPM) < F.col("ppm"))
+        .select("doc_id", "lang", "source")
+    )
+
+
+DATA_MIXTURE_SQL = f"""
+    WITH w(lang, w) AS (
+        VALUES {", ".join(f"('{l}', {p})" for l, p in TARGET_MIX)}
+    ),
+    j AS (
+        SELECT c.lang, c.n_l, w.w
+        FROM (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1) c
+        JOIN w USING (lang)
+    ),
+    t AS (SELECT min(n_l * 100 // w) AS t FROM j),
+    rates AS (
+        SELECT lang, least({_MIX_PPM}, w * t * 10000 // n_l) AS ppm
+        FROM j, t
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE ({h64_sql("'mix:' || CAST(doc_id AS VARCHAR)")} % {_MIX_PPM}) < r.ppm
+"""
+
 TRAIN_PCT = 90  # deterministic 90/10 split
 
 

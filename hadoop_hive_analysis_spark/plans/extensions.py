@@ -61,6 +61,16 @@ def build() -> dict:
     q["dedup_simhash"] = QuerySpec(
         dedup.dedup_simhash, dedup.DEDUP_SIMHASH_SQL, "ext: SimHash near-dup"
     )
+    # Round-5 addition: partial-overlap coverage the doc-level strategies
+    # miss (Lee-et-al-style exact-substring profile). pytest-parity +
+    # bench (driver window full).
+    q["duplicated_spans"] = QuerySpec(
+        dedup.duplicated_spans,
+        dedup.DUPLICATED_SPANS_SQL,
+        "ext: cross-document exact-substring duplication profile "
+        "(stride-1 token-window hashes, df-capped dup set)",
+        driver=False,
+    )
     q["dedup_embedding_lsh"] = QuerySpec(
         similarity.dedup_embedding_lsh,
         similarity.DEDUP_EMBEDDING_LSH_SQL,
@@ -136,6 +146,13 @@ def build() -> dict:
     # Promoted in the round-4 rotation (slot from
     # events_top3_by_hotkey_salted): inverted-index build + fixed-point
     # tf/df ranking — the corpus-level term-statistics op.
+    q["doc_token_rarity"] = QuerySpec(
+        text_analysis.doc_token_rarity,
+        text_analysis.DOC_TOKEN_RARITY_SQL,
+        "ext: corpus-statistics quality filter (CCNet-perplexity "
+        "stand-in: exact mean token frequency + rare-token ratio)",
+        driver=False,
+    )
     q["doc_tfidf_topterms"] = QuerySpec(
         text_analysis.doc_tfidf_topterms,
         text_analysis.DOC_TFIDF_SQL,
@@ -161,6 +178,17 @@ def build() -> dict:
         tp.corpus_filter_funnel,
         tp.CORPUS_FILTER_FUNNEL_SQL,
         "ext: corpus filter funnel (per-stage survivor counts, one pass)",
+    )
+    # Round-5 additions: three training-data staples the pipeline pack
+    # lacked. Driver window is full, so all three are pytest-parity +
+    # bench (the oracle-parity test hash-checks every registry entry).
+    q["data_mixture_resample"] = QuerySpec(
+        tp.data_mixture_resample,
+        tp.DATA_MIXTURE_SQL,
+        "ext: mixture balancing — deterministic per-language downsample "
+        "to a target mix (one 5-row agg shuffle; map-side hash-threshold "
+        "keep, no sorts)",
+        driver=False,
     )
     # Promoted in the round-4 rotation (slot from semi_join_customers):
     # GPT-style concat-and-chunk sequence packing — sharded prefix-sum,

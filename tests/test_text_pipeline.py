@@ -180,3 +180,101 @@ def test_seq_packing_layout_invariants(spark, sf_dir):
             assert off % SEQ_LEN == r.offset_in_seq
             assert r.crosses_boundary == (r.offset_in_seq + r.n_tokens > SEQ_LEN)
             off += r.n_tokens
+
+
+# ------------------------------------------- round-5 ops: mixture / spans
+
+
+def test_data_mixture_hits_target_proportions(spark, sf_dir):
+    """The delivered mixture must track TARGET_MIX: each language's share
+    within the binomial tolerance of the hash-threshold keep, and no
+    language oversampled (keep rate is a downsample by construction)."""
+    from hadoop_hive_analysis_spark.operators.text_pipeline import (
+        TARGET_MIX,
+        data_mixture_resample,
+    )
+    from hadoop_hive_analysis_spark.sources.catalog import load_table
+
+    out = data_mixture_resample(spark, sf_dir)
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    avail = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    total = sum(got.values())
+    assert total > 0
+    for lang, pct in TARGET_MIX:
+        assert got.get(lang, 0) <= avail[lang]  # never upsample
+        share = got.get(lang, 0) / total
+        # 5 sigma of Binomial(n_l, p) on the share, plus integer slack
+        assert abs(share - pct / 100) < 0.05 + 5 / max(total, 1) ** 0.5, (
+            f"{lang}: delivered share {share:.3f} vs target {pct/100:.3f} "
+            f"(total={total}, avail={avail})"
+        )
+
+
+def test_data_mixture_is_deterministic_subset(spark, sf_dir):
+    from hadoop_hive_analysis_spark.operators.text_pipeline import (
+        data_mixture_resample,
+    )
+
+    a = sorted(r["doc_id"] for r in data_mixture_resample(spark, sf_dir).collect())
+    b = sorted(r["doc_id"] for r in data_mixture_resample(spark, sf_dir).collect())
+    assert a == b  # hash-threshold membership: no RNG state anywhere
+
+
+def test_duplicated_spans_flags_shared_passage(spark, tmp_path):
+    """Two docs sharing a verbatim 12-token passage are both flagged with
+    the exact duplicated-span count; an unrelated doc stays clean."""
+    from hadoop_hive_analysis_spark.operators.dedup import (
+        SPAN_TOKENS,
+        duplicated_spans,
+    )
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    rows = [
+        (1, "intro one two three " + shared + " outro red blue"),
+        (2, "different lead in words " + shared + " and a tail here"),
+        (3, "completely unrelated text with no overlap whatsoever in any span "
+            "of tokens at all nope nothing shared"),
+    ]
+    d = tmp_path / "mini"
+    d.mkdir()
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+        str(d / "documents.parquet")
+    )
+    out = {r["doc_id"]: r for r in duplicated_spans(spark, str(d)).collect()}
+    # the shared passage has 12 tokens -> 12 - SPAN_TOKENS + 1 shared spans
+    n_shared = 12 - SPAN_TOKENS + 1
+    assert out[1]["n_dup_spans"] == n_shared
+    assert out[2]["n_dup_spans"] == n_shared
+    assert out[3]["n_dup_spans"] == 0
+    assert 0 < out[1]["dup_ratio"] < 1
+
+
+def test_token_rarity_orders_planted_outlier(spark, tmp_path):
+    """A doc of corpus-unique gibberish must score minimal mean_df and
+    rare_ratio 1.0; a doc repeating the corpus's commonest tokens scores
+    high mean_df."""
+    from hadoop_hive_analysis_spark.operators.text_analysis import (
+        doc_token_rarity,
+    )
+
+    common = "the quick brown fox jumps over the lazy dog the end"
+    rows = [(i, common) for i in range(1, 6)] + [
+        (6, "zxqv wvuts rqponm lkjihg fedcba qwerty uiopas dfghjk")
+    ]
+    d = tmp_path / "mini2"
+    d.mkdir()
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+        str(d / "documents.parquet")
+    )
+    out = {r["doc_id"]: r for r in doc_token_rarity(spark, str(d)).collect()}
+    assert out[6]["rare_ratio"] == 1.0  # every token unique corpus-wide
+    assert out[6]["mean_df"] == 1.0
+    assert out[1]["mean_df"] > 4  # common tokens appear in all 5 copies
+    assert out[1]["rare_ratio"] == 0.0
