@@ -217,3 +217,52 @@ DEDUP_CLUSTERS_SQL = f"""
     FROM reach
     GROUP BY u
 """
+
+
+def dedup_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end dedup DELIVERABLE: the surviving corpus after
+    near-dup collapse — every document that is either untouched by any
+    dup cluster or its cluster's canonical representative (min doc_id;
+    the policy hook where a production pipeline would plug quality-score
+    argmax instead).
+
+    Composition: MinHash-LSH pairs -> large-star/small-star components ->
+    non-canonical members removed from the corpus by LEFT ANTI join. The
+    loser set is |dup docs| - |clusters| rows (tiny vs the corpus:
+    exactly the documents being deleted), so the anti join broadcasts and
+    the corpus is scanned once, never shuffled. This is the operator a
+    reference user actually schedules; the pair/cluster queries upstream
+    are its observability surface.
+    """
+    from ..sources.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    losers = (
+        dedup_clusters_bigstar(spark, sf_dir)
+        .filter(~F.col("is_canonical"))
+        .select("doc_id")
+    )
+    return d.join(F.broadcast(losers), "doc_id", "left_anti")
+
+
+DEDUP_COLLAPSE_SQL = f"""
+    WITH RECURSIVE pairs AS ({DEDUP_MINHASH_LSH_SQL}),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION
+        SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    losers AS (
+        SELECT u AS doc_id FROM reach GROUP BY u HAVING u <> min(v)
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+"""

@@ -91,6 +91,15 @@ def build() -> dict:
         "propagation vs recursive-CTE oracle)",
         driver=False,
     )
+    # Round-5 addition: the end-to-end deliverable (surviving corpus
+    # after collapse). pytest-parity + bench (driver window full).
+    q["dedup_collapse"] = QuerySpec(
+        components.dedup_collapse,
+        components.DEDUP_COLLAPSE_SQL,
+        "ext: near-dup collapse to the surviving corpus (LSH pairs -> "
+        "star-contraction components -> broadcast anti join)",
+        driver=False,
+    )
     q["dedup_clusters_bigstar"] = QuerySpec(
         components.dedup_clusters_bigstar,
         components.DEDUP_CLUSTERS_SQL,  # same contract, different algorithm
