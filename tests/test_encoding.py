@@ -54,6 +54,14 @@ def test_fixture_encoding_canary(spark, sf, name):
     }
     loaded = load_table(spark, sf, name).schema
     declared = TESTDATA_SCHEMAS[name]
+    # A column missing from the FILE would silently read as all-NULL under
+    # the declared-schema read — catch the rename/removal here instead.
+    missing = [f.name for f in declared.fields if f.name not in physical]
+    assert not missing, (
+        f"{path} no longer contains declared column(s) {missing}; footer has "
+        f"{sorted(physical)} — the driver renamed or dropped them, update "
+        "schemas.TESTDATA_SCHEMAS and every consumer"
+    )
     assert [(f.name, f.dataType) for f in loaded.fields] == [
         (f.name, f.dataType) for f in declared.fields
     ], (
