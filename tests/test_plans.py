@@ -225,3 +225,42 @@ def test_no_redundant_corpus_scans_in_dedup_and_text_ops(plans):
         p = plans(name)
         assert p.count(needle) <= mx, (name, p.count(needle))
         assert "Scan ExistingRDD" in p, name  # the materialized frame
+
+
+def test_mixture_resample_has_no_sort_and_broadcasts_rates(plans):
+    # Mixture balancing must be the zero-sort shape: the only exchanges
+    # belong to the tiny per-language count aggregation; the rate table
+    # broadcasts back and the keep is a map-side filter. A Sort or a
+    # window over the corpus means someone reintroduced exact-quota
+    # ranking — the scale-killer form.
+    p = plans("data_mixture_resample")
+    assert "Window" not in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_duplicated_spans_single_span_explode(plans):
+    # The stride-1 span frame feeds both the dup-set aggregation and the
+    # mark-back join: it must be materialized (one explode, RDD-scan
+    # consumers), not re-exploded per branch.
+    p = plans("duplicated_spans")
+    assert p.count("documents.parquet") == 0
+    assert "Scan ExistingRDD" in p
+
+
+def test_token_rarity_single_explode_and_partial_aggs(plans):
+    # One materialized explode; the token-count aggregation and the
+    # per-doc rollup must both partial-aggregate map-side (the Zipf head
+    # would otherwise ship every token instance to one reducer).
+    p = plans("doc_token_rarity")
+    assert p.count("documents.parquet") == 0
+    assert "Scan ExistingRDD" in p
+    assert "partial_count" in p or "Partial" in p
+
+
+def test_dedup_collapse_anti_join_broadcasts_losers(plans):
+    # The corpus-side scan must flow into a BroadcastHashJoin LeftAnti
+    # against the (tiny) loser set — the corpus is never shuffled.
+    p = plans("dedup_collapse")
+    assert "LeftAnti, BuildRight" in p
+    assert "BroadcastHashJoin" in p
