@@ -106,13 +106,21 @@ def events_partitioned_path(spark: SparkSession, sf_dir: str) -> str:
     Concurrency-safe publish: build into a private mkdtemp, then a single
     atomic rename to the final path — the layout is either absent or
     complete, and a losing racer discards its build.
+
+    The cache tag fingerprints the SOURCE FILE (size + mtime), not just
+    its path: the driver regenerates fixtures between rounds (round 4
+    changed the events timestamp encoding in place), and a path-only key
+    would silently serve a layout built from the previous data.
     """
     import hashlib
-    import os
     import shutil
     import tempfile
 
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
     final = os.path.join(tempfile.gettempdir(), f"hha_events_day_{tag}")
     if os.path.exists(os.path.join(final, "_SUCCESS")):
         return final
