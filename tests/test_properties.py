@@ -208,3 +208,60 @@ def test_asof_join_matches_python_bisect(spark, data):
         if pos:
             want.append((i, cands[pos - 1][1]))
     assert got == sorted(want)
+
+
+@given(
+    counts=st.lists(
+        st.integers(min_value=0, max_value=25), min_size=5, max_size=5
+    )
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_mixture_resample_matches_python(spark, tmp_path_factory, counts):
+    """Differential test of the WHOLE mixture operator — feasible-total
+    arithmetic, ppm thresholds, and the portable hash — against a pure-
+    Python replica, over random per-language corpus sizes (including
+    zero-count languages: absent groups drop out of the feasibility min,
+    so delivered proportions hold among the PRESENT languages)."""
+    import hashlib
+    import uuid
+
+    from hadoop_hive_analysis_spark.operators.text_pipeline import (
+        _MIX_PPM,
+        TARGET_MIX,
+        data_mixture_resample,
+    )
+
+    rows = []
+    doc_id = 0
+    for (lang, _), n in zip(TARGET_MIX, counts):
+        for _ in range(n):
+            rows.append((doc_id, f"text {doc_id}", lang, "srcX", 10))
+            doc_id += 1
+
+    def h64_py(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    present = {lang: n for (lang, _), n in zip(TARGET_MIX, counts) if n > 0}
+    weights = dict(TARGET_MIX)
+    if present:
+        t = min(n * 100 // weights[l] for l, n in present.items())
+        ppm = {
+            l: min(_MIX_PPM, weights[l] * t * 10000 // n)
+            for l, n in present.items()
+        }
+        want = {
+            i
+            for i, _, lang, _, _ in rows
+            if lang in ppm and h64_py(f"mix:{i}") % _MIX_PPM < ppm[lang]
+        }
+    else:
+        want = set()
+
+    d = tmp_path_factory.mktemp(f"mix_{uuid.uuid4().hex[:8]}")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    got = {r["doc_id"] for r in data_mixture_resample(spark, str(d)).collect()}
+    assert got == want
