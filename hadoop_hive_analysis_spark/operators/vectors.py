@@ -76,3 +76,108 @@ EMBEDDING_GROUP_CENTROID_SQL = f"""
     FROM e
     GROUP BY label, dim
 """
+
+
+# ----------------------------------------------------- distributed k-means
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def _kmeans_assign(q: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """E-step as pure codegen: squared-L2 distance to each broadcast
+    centroid LITERAL via zip_with/aggregate, argmin by (distance,
+    centroid index) struct-min — a deterministic tie-break with no UDF,
+    no explode, no shuffle."""
+    structs = ", ".join(
+        "named_struct('d', aggregate(zip_with(q, array({lits}), "
+        "(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x), "
+        "'i', {i})".format(lits=", ".join(f"{v}L" for v in c), i=i)
+        for i, c in enumerate(cents)
+    )
+    return q.withColumn("__best", F.expr(f"array_min(array({structs}))")).select(
+        "*",
+        F.col("__best.i").alias("cluster"),
+        F.col("__best.d").alias("dist"),
+    ).drop("__best")
+
+
+def kmeans_fit(spark: SparkSession, sf_dir: str) -> list[list[int]]:
+    """Distributed Lloyd's iterations in exact quantized-integer space.
+
+    * init: the KMEANS_K vectors with the smallest portable hash of
+      their id — deterministic, data-independent of ordering, and
+      replicable by any engine (no RNG, no first-partition dependence);
+    * E-step: :func:`_kmeans_assign` — map-side only;
+    * M-step: posexplode + groupBy(cluster, dim) partial-agg sums (the
+      :func:`embedding_group_centroid` shape) — the only shuffle per
+      iteration, carrying k x DIM x partitions rows at most;
+    * centroid update: integer floor-division mean, computed driver-side
+      from the k x DIM collected sums (bounded like the IVF fit sample;
+      the corpus itself never moves). Empty clusters keep their previous
+      centroid.
+
+    Everything is int64 (|q| <= ~410 -> squared diff x 64 dims < 2^26),
+    so the whole TRAJECTORY — not just the final state — is exactly
+    reproducible; `tests/test_similarity.py` re-runs the identical loop
+    in numpy and requires bit-equality of the final partition.
+    """
+    from ..functions.hashing import h64
+    from .similarity import _quantized
+
+    q = _quantized(spark, sf_dir)
+    init = (
+        q.select(
+            "q",
+            h64(F.concat(F.lit("km:"), F.col("vec_id").cast("string"))).alias(
+                "hk"
+            ),
+            "vec_id",
+        )
+        .orderBy("hk", "vec_id")
+        .limit(KMEANS_K)
+        .collect()
+    )
+    cents = [list(r["q"]) for r in init]
+    for _ in range(KMEANS_ITERS):
+        assigned = _kmeans_assign(q, cents)
+        sums = (
+            assigned.select("cluster", F.posexplode("q").alias("d", "val"))
+            .groupBy("cluster", "d")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        for r in sums:
+            new[r["cluster"]][r["d"]] = r["s"] // r["n"]
+        cents = new
+    return cents
+
+
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full distributed k-means (Lloyd's) over the embeddings table:
+    KMEANS_ITERS exact-integer E/M rounds, then the final partition
+    summary (cluster, n_vectors, wcss) with ``wcss`` the exact summed
+    squared distance — the convergence metric a production job monitors.
+
+    Rows-only in the driver registry (the fit is iterative, not a single
+    SQL expression); the pytest differential re-runs the whole loop in
+    numpy and checks this output bit-for-bit.
+    """
+    from .similarity import _quantized
+
+    cents = kmeans_fit(spark, sf_dir)
+    assigned = _kmeans_assign(_quantized(spark, sf_dir), cents)
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum("dist").alias("wcss"),
+        )
+        .orderBy("cluster")
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            "n_vectors",
+            "wcss",
+        )
+    )

@@ -409,6 +409,17 @@ def build() -> dict:
         vectors.EMBEDDING_GROUP_CENTROID_SQL,
         "ext: per-group embedding centroid (exact quantized sums)",
     )
+    # Round-5 addition: full distributed Lloyd's (iterative E/M rounds in
+    # exact quantized-integer space — the trajectory, not just the final
+    # state, is reproducible). Rows-only (iterative fit has no single SQL
+    # form); the pytest differential re-runs the loop in numpy bit-exact.
+    q["embedding_kmeans"] = QuerySpec(
+        vectors.embedding_kmeans,
+        None,
+        "ext: distributed k-means (deterministic init, codegen E-step "
+        "on broadcast centroid literals, partial-agg M-step)",
+        driver=False,
+    )
     q["ann_bruteforce_topk"] = QuerySpec(
         similarity.ann_bruteforce_topk,
         similarity.ANN_BRUTEFORCE_SQL,

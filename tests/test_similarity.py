@@ -176,3 +176,59 @@ def test_ann_ivf_topk_matches_duckdb_given_centroid_literals(spark, sf_dir):
     want = sorted(tuple(r) for r in con.execute(sql).fetchall())
     con.close()
     assert got == want
+
+
+def test_kmeans_loop_matches_numpy_replica(spark, sf_dir):
+    """Full-trajectory differential: the distributed Lloyd's loop (Spark
+    E/M jobs) must equal an independent numpy implementation of the same
+    exact-integer math — same init, same argmin tie-break (lowest index
+    on equal distance), same floor-division M-step — bit for bit on the
+    final (cluster, n_vectors, wcss) partition."""
+    import hashlib
+
+    import numpy as np
+
+    from hadoop_hive_analysis_spark.operators.vectors import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        embedding_kmeans,
+    )
+
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) "
+        f"FROM read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    X = np.array([r[1] for r in rows], dtype=np.int64)
+
+    def h64_py(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    hk = np.array([h64_py(f"km:{i}") for i in ids])
+    order = np.lexsort((ids, hk))
+    C = X[order[:KMEANS_K]].copy()
+
+    for _ in range(KMEANS_ITERS):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)  # exact int64
+        a = d.argmin(axis=1)  # first minimum = lowest index tie-break
+        for c in range(KMEANS_K):
+            m = X[a == c]
+            if len(m):
+                C[c] = m.sum(axis=0) // len(m)
+
+    d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    a = d.argmin(axis=1)
+    want = sorted(
+        (int(c), int((a == c).sum()), int(d[a == c, c].sum()))
+        for c in range(KMEANS_K)
+        if (a == c).sum() > 0
+    )
+    got = sorted(
+        (r["cluster"], r["n_vectors"], r["wcss"])
+        for r in embedding_kmeans(spark, sf_dir).collect()
+    )
+    assert got == want
