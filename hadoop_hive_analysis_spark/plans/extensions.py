@@ -419,6 +419,11 @@ def build() -> dict:
         "ext: distributed k-means (deterministic init, codegen E-step "
         "on broadcast centroid literals, partial-agg M-step)",
         driver=False,
+        bench=False,  # an ITERATIVE FIT (3 E/M rounds = ~8 sequential
+        # jobs), not a single-plan query: benching it times job-scheduling
+        # overhead x iterations, not an operator — its scale metric is
+        # per-iteration shuffle volume (k x dim), pinned by the numpy
+        # differential + the centroid plan test instead.
     )
     q["ann_bruteforce_topk"] = QuerySpec(
         similarity.ann_bruteforce_topk,
