@@ -533,6 +533,24 @@ def build() -> dict:
         "ext: watermarked stream-stream join (click->purchase "
         "attribution), batch-replayed against the batch oracle",
     )
+    # Round-5 addition, staged for a future rotation: the streaming
+    # ingest-dedup face as a driver-ready AvailableNow replay (digest-set
+    # equality vs batch DISTINCT). pytest-parity for now (window full).
+    from ..streaming.dedup import (
+        DOCUMENTS_DEDUP_REPLAY_SQL,
+        documents_dedup_replay,
+    )
+
+    q["documents_dedup_replay"] = QuerySpec(
+        documents_dedup_replay,
+        DOCUMENTS_DEDUP_REPLAY_SQL,
+        "ext: streaming first-seen content dedup (dropDuplicates on "
+        "digest state), batch-replayed against DISTINCT",
+        driver=False,
+        bench=False,  # streaming drain of a 500-row table times harness
+        # overhead, not the operator; the three events replays already
+        # carry streaming cost in the pack
+    )
     # Promoted in the round-5 rotation (slot from events_sessionize):
     # native session_window MERGING state drained AvailableNow — the
     # third and last stateful streaming shape as a driver hash.

@@ -68,3 +68,39 @@ def streaming_dedup_within_watermark(events: DataFrame) -> DataFrame:
     return events.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+DOCUMENTS_DEDUP_REPLAY_SQL = """
+    SELECT DISTINCT md5(text) AS digest, n_chars FROM documents
+"""
+
+
+def documents_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-ready replay: drain the documents table as a finite stream
+    through :func:`streaming_dedup_digests` and return the DETERMINISTIC
+    projection of the result — the distinct digest set (+ ``n_chars``,
+    which is functionally dependent on the text). ``doc_id`` is dropped:
+    which duplicate arrives first is an arrival-order fact of the stream,
+    not a property of the data, so it is excluded from the hashed
+    contract (same reasoning the docstring above records).
+
+    Oracle: ``SELECT DISTINCT md5(text), n_chars`` — streaming first-seen
+    dedup and batch DISTINCT must agree exactly on the surviving set.
+    """
+    import atexit
+    import shutil
+    import tempfile
+    import uuid
+
+    from .events import run_available_now
+
+    tag = uuid.uuid4().hex[:12]
+    ckpt = tempfile.mkdtemp(prefix=f"hha_docdedup_ckpt_{tag}_")
+    atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
+    out = run_available_now(
+        streaming_dedup_digests(read_documents_stream(spark, sf_dir)),
+        query_name=f"docdedup_replay_{tag}",
+        checkpoint_dir=ckpt,
+        output_mode="append",
+    )
+    return out.select("digest", "n_chars")
