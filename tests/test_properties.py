@@ -265,3 +265,67 @@ def test_mixture_resample_matches_python(spark, tmp_path_factory, counts):
     ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
     got = {r["doc_id"] for r in data_mixture_resample(spark, str(d)).collect()}
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "bb", "ccc", "dd", "e", "ff", "g"]),
+            min_size=0,
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_duplicated_spans_matches_python(spark, tmp_path_factory, docs):
+    """Differential test of the span-duplication profile against a pure-
+    Python replica over random small-vocabulary corpora (tiny alphabet =
+    dense genuine cross-doc span collisions, the regime that matters)."""
+    import uuid
+    from collections import Counter, defaultdict
+
+    from hadoop_hive_analysis_spark.operators.dedup import (
+        SPAN_TOKENS,
+        STOP_SPAN_DF,
+        duplicated_spans,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+
+    # python replica: span text -> set of docs; dup iff 2..STOP_SPAN_DF docs
+    span_docs = defaultdict(set)
+    doc_spans = {}
+    for i, toks in enumerate(docs):
+        spans = [
+            " ".join(toks[s : s + SPAN_TOKENS])
+            for s in range(len(toks) - SPAN_TOKENS + 1)
+        ]
+        if spans:
+            doc_spans[i] = spans
+            for sp in spans:
+                span_docs[sp].add(i)
+    dup = {
+        sp for sp, ds in span_docs.items() if 1 < len(ds) <= STOP_SPAN_DF
+    }
+    want = sorted(
+        (
+            i,
+            len(spans),
+            sum(1 for sp in spans if sp in dup),
+        )
+        for i, spans in doc_spans.items()
+    )
+
+    d = tmp_path_factory.mktemp(f"spans_{uuid.uuid4().hex[:8]}")
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(d / "documents.parquet"))
+    got = sorted(
+        (r["doc_id"], r["n_spans"], r["n_dup_spans"])
+        for r in duplicated_spans(spark, str(d)).collect()
+    )
+    assert got == want
