@@ -104,3 +104,40 @@ def documents_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
     )
     return out.select("digest", "n_chars")
+
+
+def snapshot_digests(docs: DataFrame) -> DataFrame:
+    """The periodic state snapshot: distinct content digests of the
+    corpus so far, written to parquet by a maintenance job. One small row
+    per distinct document — the compact form of the streaming query's
+    dropDuplicates state."""
+    return docs.select(F.md5("text").alias("digest")).distinct()
+
+
+def streaming_dedup_against_snapshot(
+    docs_stream: DataFrame, snapshot: DataFrame
+) -> DataFrame:
+    """Content dedup for UNBOUNDED streams: the docstring's snapshot
+    pattern made concrete. Plain streaming ``dropDuplicates`` state grows
+    with corpus cardinality forever; instead, a periodic maintenance job
+    persists :func:`snapshot_digests` and the ingest query restarts as
+
+        new-arrivals stream
+          -> stream-static LEFT ANTI join against the snapshot
+             (duplicates of HISTORY dropped with zero streaming state --
+             the static side is just a table, broadcast or shuffled by
+             Catalyst like any batch join)
+          -> dropDuplicates on digest
+             (duplicates WITHIN the new window; state resets to empty at
+             each restart, so it is bounded by the snapshot period's
+             arrival volume, not corpus history)
+
+    Exactly the rollup/compaction idea applied to dedup state: stream
+    state holds only the current window; everything older lives in
+    storage in mergeable form.
+    """
+    return (
+        docs_stream.withColumn("digest", F.md5("text"))
+        .join(snapshot, "digest", "left_anti")
+        .dropDuplicates(["digest"])
+    )

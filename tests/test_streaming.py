@@ -7,6 +7,7 @@ batch operator's results exactly.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from hadoop_hive_analysis_spark.operators.events import (
     events_sessionize,
@@ -250,3 +251,50 @@ def test_foreach_batch_etl_lands_partitioned_parquet(spark, sf_dir, tmp_path):
     import os
 
     assert any(d.startswith("day=") for d in os.listdir(out))
+
+
+def test_snapshot_seeded_dedup_bounds_state(spark, sf_dir, tmp_path):
+    """The snapshot pattern: history's digests come from parquet (zero
+    stream state), the stream drops history-dups via stream-static anti
+    join and window-dups via in-stream state; the surviving set must
+    equal the batch answer (digests in the new window minus history)."""
+    from hadoop_hive_analysis_spark.sources.catalog import load_table
+    from hadoop_hive_analysis_spark.streaming.dedup import (
+        snapshot_digests,
+        streaming_dedup_against_snapshot,
+    )
+    from hadoop_hive_analysis_spark.streaming.events import run_available_now
+
+    docs = load_table(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 2 == 0)
+    arrivals = docs.filter(F.col("doc_id") % 2 == 1)
+    # doubled delivery: the new window itself contains duplicates
+    arrivals_dup = arrivals.union(arrivals)
+
+    snap_path = str(tmp_path / "digest_snapshot")
+    snapshot_digests(history).write.parquet(snap_path)
+
+    arr_path = str(tmp_path / "arrivals")
+    arrivals_dup.write.parquet(str(arr_path) + "/documents.parquet")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(str(arr_path) + "/documents.parquet")
+    )
+    got = run_available_now(
+        streaming_dedup_against_snapshot(
+            stream, spark.read.parquet(snap_path)
+        ),
+        query_name="snap_dedup",
+        checkpoint_dir=str(tmp_path / "ck_snap"),
+        output_mode="append",
+    )
+    want = (
+        arrivals.select(F.md5("text").alias("digest"))
+        .exceptAll(snapshot_digests(history))
+        .distinct()
+    )
+    got_set = {r["digest"] for r in got.select("digest").collect()}
+    want_set = {r["digest"] for r in want.collect()}
+    assert got_set == want_set
+    assert len(got_set) > 0
