@@ -247,12 +247,20 @@ def _regressions_vs_prior(timings: dict[str, float], sf: float) -> dict:
     import glob
     import re
 
+    here = os.path.dirname(os.path.abspath(__file__))
     candidates = []
-    for p in glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")):
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"r(\d+)", os.path.basename(p))
         if m:  # skip non-numeric suffixes (e.g. BENCH_rerun.json)
             candidates.append((int(m.group(1)), p))
     prior_files = [p for _, p in sorted(candidates)]
+    # The committed full sidecar from the previous round carries the
+    # COMPLETE query map (the driver-recorded artifact's stdout line is
+    # core-restricted since r5) — prefer it so pytest-only queries keep
+    # regression coverage; fall back to the round artifacts.
+    full = os.path.join(here, "BENCH_FULL.json")
+    if os.path.exists(full):
+        prior_files.append(full)
     for path in reversed(prior_files):
         try:
             with open(path) as f:

@@ -109,3 +109,16 @@ def test_emit_small_output_untouched(tmp_path, capsys):
     parsed = json.loads(_emit_line(capsys, out, tmp_path))
     # nothing pruned when the line already fits
     assert parsed["regressions_vs_prior"] == {"q1a": {"ratio": 2.0}}
+
+
+def test_full_sidecar_preferred_over_round_artifacts(tmp_path, monkeypatch):
+    # BENCH_FULL.json (previous round's complete map) must win over the
+    # core-restricted BENCH_r*.json so pytest-only queries keep coverage.
+    with open(tmp_path / "BENCH_r04.json", "w") as f:
+        json.dump({"sf": 0.1, "queries": {"q0": 5.0}}, f)  # stale/pruned
+    with open(tmp_path / "BENCH_FULL.json", "w") as f:
+        json.dump({"sf": 0.1, "queries": {"q0": 1.0, "extra_q": 1.0}}, f)
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    out = bench._regressions_vs_prior({"q0": 1.4, "extra_q": 2.8}, 0.1)
+    assert out.pop("_host_speed_factor") == 1.4  # ratios vs FULL, not r04
+    assert list(out) == ["extra_q"]  # pytest-only query still flagged
