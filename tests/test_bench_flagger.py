@@ -116,9 +116,14 @@ def test_full_sidecar_preferred_over_round_artifacts(tmp_path, monkeypatch):
     # core-restricted BENCH_r*.json so pytest-only queries keep coverage.
     with open(tmp_path / "BENCH_r04.json", "w") as f:
         json.dump({"sf": 0.1, "queries": {"q0": 5.0}}, f)  # stale/pruned
+    full_prior = {f"q{i}": 1.0 for i in range(9)}
+    full_prior["extra_q"] = 1.0  # pytest-only: absent from BENCH_r04
     with open(tmp_path / "BENCH_FULL.json", "w") as f:
-        json.dump({"sf": 0.1, "queries": {"q0": 1.0, "extra_q": 1.0}}, f)
+        json.dump({"sf": 0.1, "queries": full_prior}, f)
     monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
-    out = bench._regressions_vs_prior({"q0": 1.4, "extra_q": 2.8}, 0.1)
-    assert out.pop("_host_speed_factor") == 1.4  # ratios vs FULL, not r04
+    now = {f"q{i}": 1.0 for i in range(9)}
+    now["extra_q"] = 2.8
+    out = bench._regressions_vs_prior(now, 0.1)
+    # ratios computed vs FULL (q0 would be 0.2 vs the stale r04 value)
+    assert out.pop("_host_speed_factor") == 1.0
     assert list(out) == ["extra_q"]  # pytest-only query still flagged
