@@ -124,8 +124,26 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions with a running sum — one shuffle on user_id, no self-join.
     The same semantics stream via ``applyInPandasWithState`` /
     ``session_window`` in the streaming module.
+
+    Boundary rule (shared by every session operator in the package):
+    timestamps are truncated to WHOLE SECONDS, and a truncated gap
+    ``> SESSION_GAP_SEC`` starts a new session. This is exactly Spark's
+    native ``session_window`` semantics over second-truncated input —
+    session windows MERGE when they touch (an event at last + gap
+    extends the session; measured, not assumed, in
+    ``tests/test_streaming.py::test_session_boundary_canary``) — so
+    batch, streaming, and both DuckDB oracles agree on every input,
+    with no ambiguous sub-second band around the gap.
     """
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    return sessionize_df(ev)
+
+
+def sessionize_df(ev: DataFrame) -> DataFrame:
+    """Sessionize an arbitrary events DataFrame (event_id, user_id, ts,
+    value) with the package-wide boundary rule — factored out of
+    :func:`events_sessionize` so tests can drive adversarial near-gap
+    timestamps through the exact production expressions."""
     order = Window.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = ev.withColumn(
         "is_new",
@@ -185,7 +203,12 @@ EVENTS_SESSIONIZE_SQL = f"""
 
 # Session aggregates WITHOUT the session ordinal — the shape Spark's
 # native session_window emits (streaming replay shares this oracle; the
-# ordinal-carrying form above stays the batch query's oracle).
+# ordinal-carrying form above stays the batch query's oracle). Boundary
+# alignment: session_window over SECOND-TRUNCATED timestamps splits
+# exactly when the floored-epoch diff is > the gap (touching windows
+# merge — measured in tests/test_streaming.py), which is precisely this
+# oracle's flag rule — so oracle and streaming replay agree on EVERY
+# input, not just fixtures without near-gap spacings.
 EVENTS_SESSION_AGG_SQL = f"""
     WITH flagged AS (
         SELECT user_id, event_id, ts, value,

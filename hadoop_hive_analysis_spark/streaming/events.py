@@ -126,9 +126,21 @@ def streaming_sliding_counts(events: DataFrame) -> DataFrame:
 
 
 def streaming_session_aggregates(events: DataFrame) -> DataFrame:
-    """Native gap-session windows (30-min inactivity) per user."""
+    """Native gap-session windows (30-min inactivity) per user.
+
+    Timestamps are truncated to whole seconds BEFORE windowing so the
+    split rule is identical to the batch sessionization and its DuckDB
+    oracle, which flag on floored-epoch diffs ``> SESSION_GAP``. Spark
+    merges session windows that touch (an event at exactly last + gap
+    extends the session — measured in the boundary canary), so over
+    truncated input ``session_window`` splits exactly when the floored
+    diff exceeds the gap. Without the truncation, a microsecond gap in
+    ``(gap, gap + 1s)`` could split here but merge in the
+    second-resolution oracle.
+    """
     return (
-        events.withWatermark("ts", WATERMARK)
+        events.withColumn("ts", F.date_trunc("second", F.col("ts")))
+        .withWatermark("ts", WATERMARK)
         .groupBy(F.session_window("ts", SESSION_GAP).alias("sw"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
@@ -285,12 +297,14 @@ def events_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     With tumbling (windowed state) and click→purchase (join state)
     already driver-replayed, this covers the third stateful shape:
-    MERGING window state. Boundary semantics: ``session_window`` closes a
-    session when the next event is >= gap after the last (half-open
-    windows); the batch rule keeps a gap of exactly ``SESSION_GAP_SEC``
-    in-session. Fixture timestamps are microsecond-random, so exact-gap
-    ties do not occur; the pytest equivalence test would catch a fixture
-    that introduces one.
+    MERGING window state. Boundary semantics are aligned EXACTLY with
+    the oracle, not probabilistically: the streaming side truncates
+    timestamps to whole seconds, after which ``session_window`` splits
+    precisely when the floored-epoch gap is > ``SESSION_GAP_SEC`` —
+    the oracle's flag rule — so no fixture regen can land in a mismatch
+    band. The boundary canary in ``tests/test_streaming.py`` drives
+    gaps of 1799/1800/1801 s (± sub-second jitter) through streaming,
+    batch, and the oracle SQL.
     """
     import atexit
     import shutil

@@ -80,6 +80,90 @@ def test_streaming_sessions_equal_batch(spark, sf_dir, tmp_path):
     assert _rows(got, cols) == _rows(want, cols)
 
 
+def test_session_boundary_canary(spark, tmp_path):
+    """Adversarial near-gap timestamps through ALL THREE session engines
+    — native session_window (streamed), batch lag/cumsum, and the DuckDB
+    oracle SQL — must sessionize identically.
+
+    Before round 6 the streaming side windowed RAW microsecond
+    timestamps while the oracle flags on second-truncated diffs
+    > 1800 s, leaving a sub-second mismatch band around the gap
+    (ADVICE r5). The aligned rule — measured here, not assumed — is:
+    truncate to whole seconds first; Spark merges touching session
+    windows, so ``session_window`` then splits exactly at floored diff
+    > 1800, the oracle's rule. Cumulative gaps driven per user (base
+    fraction .3 s):
+
+    * +1799.4 s (floored diff 1799) → merge
+    * +1799.9 s crossing a second boundary (floored diff 1800) → merge
+      (touching windows merge; raw-microsecond code would also merge)
+    * +1800.0 s (floored diff 1800 again) → merge
+    * +1800.5 s (floored diff 1801; raw gap in the old ambiguous band)
+      → split — the case that exposed the r5 mismatch
+    * +1801.2 s (floored diff 1801) → split
+    """
+    import datetime as dt
+
+    import duckdb
+
+    from hadoop_hive_analysis_spark.operators.events import (
+        EVENTS_SESSION_AGG_SQL,
+        sessionize_df,
+    )
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0, 300000)  # .3 s fraction
+    gaps = [1799.4, 1799.9, 1800.0, 1800.5, 1801.2]
+    rows, t, eid = [], base, 0
+    for u in (1, 2):
+        t = base
+        for g in [0.0] + gaps:
+            t = t + dt.timedelta(seconds=g)
+            rows.append((eid, t, u, "click", 1.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    src = str(tmp_path / "canary_events")
+    ev.coalesce(1).write.parquet(src)
+
+    # 1) streaming: native session_window, AvailableNow drain
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    got_stream = run_available_now(
+        streaming_session_aggregates(stream),
+        "t_canary_sessions",
+        str(tmp_path / "ck_canary"),
+    )
+    cols = ["user_id", "session_start_epoch", "n_events", "sum_value"]
+    stream_rows = _rows(got_stream, cols)
+
+    # expected: floored epochs, split at diff > 1800 → sessions are
+    # [e0..e3], [e4], [e5] per user
+    def fe(i):  # floored epoch of event i's ts (per user, same offsets)
+        return int(rows[i][1].timestamp())
+
+    want = sorted(
+        (u, start, n, float(n))
+        for u in (1, 2)
+        for start, n in [(fe(0), 4), (fe(4), 1), (fe(5), 1)]
+    )
+    assert stream_rows == want, f"streaming: {stream_rows} != {want}"
+
+    # 2) batch lag/cumsum (production expressions)
+    batch = sessionize_df(ev.select("event_id", "user_id", "ts", "value"))
+    assert _rows(batch, cols[:1] + ["session_start_epoch", "n_events", "sum_value"]) == want
+
+    # 3) the DuckDB oracle text the driver actually runs
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{src}/*.parquet')"
+    )
+    o = con.execute(EVENTS_SESSION_AGG_SQL).fetchall()
+    con.close()
+    oracle_rows = sorted((r[0], r[1], r[2], r[3]) for r in o)
+    assert oracle_rows == want, f"oracle: {oracle_rows} != {want}"
+
+
 def test_stateful_running_counts_match_groupby(spark, sf_dir, tmp_path):
     stream = read_events_stream(spark, sf_dir)
     got = run_available_now(
