@@ -48,10 +48,15 @@ def build() -> dict:
     q["dedup_exact"] = QuerySpec(
         dedup.dedup_exact, dedup.DEDUP_EXACT_SQL, "ext: exact dedup"
     )
+    # Rotated out of the driver window in round 6 (slot went to
+    # duplicated_spans): MinHash-LSH keeps banded shingle-dedup signal
+    # driver-visible, and this query's stop-shingle anti-join cut stays
+    # plan-pinned in tests/test_plans.py. Keeps pytest parity + bench.
     q["dedup_ngram_jaccard"] = QuerySpec(
         dedup.dedup_ngram_jaccard,
         dedup.DEDUP_NGRAM_JACCARD_SQL,
         "ext: n-gram Jaccard near-dup",
+        driver=False,
     )
     q["dedup_minhash_lsh"] = QuerySpec(
         dedup.dedup_minhash_lsh,
@@ -62,14 +67,13 @@ def build() -> dict:
         dedup.dedup_simhash, dedup.DEDUP_SIMHASH_SQL, "ext: SimHash near-dup"
     )
     # Round-5 addition: partial-overlap coverage the doc-level strategies
-    # miss (Lee-et-al-style exact-substring profile). pytest-parity +
-    # bench (driver window full).
+    # miss (Lee-et-al-style exact-substring profile). Promoted in the
+    # round-6 rotation (slot from dedup_ngram_jaccard).
     q["duplicated_spans"] = QuerySpec(
         dedup.duplicated_spans,
         dedup.DUPLICATED_SPANS_SQL,
         "ext: cross-document exact-substring duplication profile "
         "(stride-1 token-window hashes, df-capped dup set)",
-        driver=False,
     )
     q["dedup_embedding_lsh"] = QuerySpec(
         similarity.dedup_embedding_lsh,
@@ -92,19 +96,26 @@ def build() -> dict:
         driver=False,
     )
     # Round-5 addition: the end-to-end deliverable (surviving corpus
-    # after collapse). pytest-parity + bench (driver window full).
+    # after collapse). Promoted in the round-6 rotation (slot from
+    # dedup_clusters_bigstar, which it RUNS internally).
     q["dedup_collapse"] = QuerySpec(
         components.dedup_collapse,
         components.DEDUP_COLLAPSE_SQL,
         "ext: near-dup collapse to the surviving corpus (LSH pairs -> "
         "star-contraction components -> broadcast anti join)",
-        driver=False,
     )
+    # Rotated out of the driver window in round 6 (slot went to
+    # dedup_collapse): collapse executes this exact star-contraction
+    # pipeline internally — pairs, O(log n) rounds, fixpoint detection —
+    # then adds the anti-join collapse, so the physical path stays
+    # driver-visible end to end. Cluster-assignment contract keeps
+    # pytest parity (recursive-CTE oracle) + bench.
     q["dedup_clusters_bigstar"] = QuerySpec(
         components.dedup_clusters_bigstar,
         components.DEDUP_CLUSTERS_SQL,  # same contract, different algorithm
         "ext: same clusters via large-star/small-star alternation "
         "(O(log n) rounds — diameter-safe where min-label is not)",
+        driver=False,
     )
 
     # --- Pipeline composition ---
@@ -118,11 +129,17 @@ def build() -> dict:
         "ext: composed cleaning pipeline (quality → dedup → near-dup drop)",
         driver=False,
     )
+    # Rotated out of the driver window in round 6 (slot went to
+    # data_mixture_resample): its stage signals are driver-visible
+    # through corpus_filter_funnel (the same filters as conditional
+    # sums) and the dedup rows; the staged-materialization plan stays
+    # pinned in tests. Keeps pytest parity + bench.
     q["corpus_clean_staged"] = QuerySpec(
         pipeline.corpus_clean_staged,
         pipeline.CORPUS_CLEAN_SQL,  # identical semantics, staged execution
         "ext: staged cleaning pipeline (shingle table materialized once, "
         "reused by every dedup consumer — the 100 TB run shape)",
+        driver=False,
     )
 
     # --- LLM-pipeline text ops: contamination / chunking / PII / split ---
@@ -152,15 +169,14 @@ def build() -> dict:
         text_analysis.DOC_REPETITION_SQL,
         "ext: repetition quality filter (top-unigram/bigram share)",
     )
-    # Promoted in the round-4 rotation (slot from
-    # events_top3_by_hotkey_salted): inverted-index build + fixed-point
-    # tf/df ranking — the corpus-level term-statistics op.
+    # Promoted in the round-6 rotation (slot from events_props_extract):
+    # inverted-index build + corpus-level term statistics — the CCNet-
+    # style quality filter, exact-int64 so partition order can't drift it.
     q["doc_token_rarity"] = QuerySpec(
         text_analysis.doc_token_rarity,
         text_analysis.DOC_TOKEN_RARITY_SQL,
         "ext: corpus-statistics quality filter (CCNet-perplexity "
         "stand-in: exact mean token frequency + rare-token ratio)",
-        driver=False,
     )
     q["doc_tfidf_topterms"] = QuerySpec(
         text_analysis.doc_tfidf_topterms,
@@ -191,13 +207,13 @@ def build() -> dict:
     # Round-5 additions: three training-data staples the pipeline pack
     # lacked. Driver window is full, so all three are pytest-parity +
     # bench (the oracle-parity test hash-checks every registry entry).
+    # Promoted in the round-6 rotation (slot from corpus_clean_staged).
     q["data_mixture_resample"] = QuerySpec(
         tp.data_mixture_resample,
         tp.DATA_MIXTURE_SQL,
         "ext: mixture balancing — deterministic per-language downsample "
         "to a target mix (one 5-row agg shuffle; map-side hash-threshold "
         "keep, no sorts)",
-        driver=False,
     )
     # Promoted in the round-4 rotation (slot from semi_join_customers):
     # GPT-style concat-and-chunk sequence packing — sharded prefix-sum,
@@ -327,10 +343,16 @@ def build() -> dict:
         rollups.EVENTS_PIVOT_SQL,
         "ext: pivot long→wide",
     )
+    # Rotated out of the driver window in round 6 (slot went to
+    # doc_token_rarity): scalar JSON extraction is a single-expression
+    # projection with no shuffle/join shape of its own, and pii_scrub +
+    # doc_chunks keep string-kernel projection driver-visible. Keeps
+    # pytest parity + bench + raw-SQL signal via its oracle.
     q["events_props_extract"] = QuerySpec(
         rollups.events_props_extract,
         rollups.EVENTS_PROPS_SQL,
         "ext: JSON property extraction (schema-on-use)",
+        driver=False,
     )
 
     # --- Skew handling + sketches ---
@@ -430,11 +452,17 @@ def build() -> dict:
         similarity.ANN_BRUTEFORCE_SQL,
         "ext: brute-force top-K similarity (quantized MIPS)",
     )
+    # Rotated out of the driver window in round 6 (slot went to
+    # documents_dedup_replay): ann_lsh_recall RUNS this same bucketed
+    # LSH path end-to-end AND hash-asserts its quality floor, so the
+    # top-K row duplicated the driver signal. Keeps pytest parity +
+    # bench.
     q["ann_lsh_topk"] = QuerySpec(
         similarity.ann_lsh_topk,
         similarity.ANN_LSH_SQL,
         "ext: multi-table hyperplane-LSH bucketed top-K (8x12 planes, "
         "OR-construction, radius-2 probes)",
+        driver=False,
     )
     q["ann_lsh_recall"] = QuerySpec(
         similarity.ann_lsh_recall,
@@ -533,9 +561,11 @@ def build() -> dict:
         "ext: watermarked stream-stream join (click->purchase "
         "attribution), batch-replayed against the batch oracle",
     )
-    # Round-5 addition, staged for a future rotation: the streaming
-    # ingest-dedup face as a driver-ready AvailableNow replay (digest-set
-    # equality vs batch DISTINCT). pytest-parity for now (window full).
+    # Round-5 addition, promoted in the round-6 rotation (slot from
+    # ann_lsh_topk): the streaming ingest-dedup face as a driver-scored
+    # AvailableNow replay (digest-set equality vs batch DISTINCT) — the
+    # fourth stateful streaming shape (first-seen dedup state) beside
+    # tumbling/session/join.
     from ..streaming.dedup import (
         DOCUMENTS_DEDUP_REPLAY_SQL,
         documents_dedup_replay,
@@ -546,7 +576,6 @@ def build() -> dict:
         DOCUMENTS_DEDUP_REPLAY_SQL,
         "ext: streaming first-seen content dedup (dropDuplicates on "
         "digest state), batch-replayed against DISTINCT",
-        driver=False,
         bench=False,  # streaming drain of a 500-row table times harness
         # overhead, not the operator; the three events replays already
         # carry streaming cost in the pack
