@@ -216,7 +216,7 @@ def run_available_now(
     query_name: str,
     checkpoint_dir: str,
     output_mode: str = "complete",
-    shuffle_partitions: int = 32,
+    shuffle_partitions: int = 8,
 ) -> DataFrame:
     """Drain the whole source as a finite stream into a memory sink and
     return the materialized result (test/batch-replay harness).
@@ -232,6 +232,13 @@ def run_available_now(
     stateful operator for a fixtures-scale drain. The engine must not
     depend on session-level tuning (each call uses a fresh checkpoint, so
     pinning here is safe and self-contained).
+
+    Default 8 (was 32): per-microbatch state-store open/commit overhead
+    scales with partition count and dominates fixture-scale drains —
+    interleaved A/B on the sf0.1 stream-stream join drain measured
+    32→8 partitions as 7.2 s → 2.3 s (×3, n=3 each, identical output;
+    4 partitions saved only ~0.3 s more). A production drain of real
+    volume should pass an explicit value sized to executor count.
     """
     spark = sdf.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions", None)
