@@ -18,19 +18,39 @@ from pyspark.sql.types import LongType, StructField, StructType, TimestampType
 
 from ..schemas import TESTDATA_SCHEMAS, TESTDATA_TABLES
 
-# Footer-derived schema per absolute parquet path — sniffed once per
-# process so repeated load_table calls don't re-list the file.
-_FOOTER_CACHE: dict[str, StructType] = {}
+# Footer-derived schema per parquet file — sniffed once per process so
+# repeated load_table calls don't re-list the file. Keyed by
+# (abspath, size, mtime_ns), NOT path alone: the driver regenerates
+# fixtures in place between rounds (and tests rewrite files at the same
+# path), and a path-only key would serve the previous file's schema
+# across a rewrite — the same fingerprint discipline as
+# events_partitioned_path.
+_FOOTER_CACHE: dict[tuple[str, int, int], StructType] = {}
 
 
 def _footer_schema(spark: SparkSession, path: str) -> StructType:
     """The schema Spark derives from the parquet footer (with nanosAsLong
     on, so TIMESTAMP(NANOS) columns surface as raw LongType instead of
-    failing the vectorized reader)."""
-    key = os.path.abspath(path)
+    failing the vectorized reader).
+
+    The flag is set only around the EAGER footer inference and restored
+    after: explicit-schema scans (every actual data read in this module)
+    decide the nanos→long conversion from the requested read schema and
+    do not consult the flag at execution time (verified empirically), so
+    nothing leaks into the shared session conf.
+    """
+    st = os.stat(path)
+    key = (os.path.abspath(path), st.st_size, st.st_mtime_ns)
     if key not in _FOOTER_CACHE:
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        _FOOTER_CACHE[key] = spark.read.parquet(path).schema
+        try:
+            _FOOTER_CACHE[key] = spark.read.parquet(path).schema
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
     return _FOOTER_CACHE[key]
 
 
@@ -87,8 +107,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     declared = TESTDATA_SCHEMAS.get(name)
     if declared is None:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(path)
+        # Undeclared table: no declared types to normalize to, so read
+        # with the footer-inferred schema (nanos surface as raw long;
+        # the sniff sets/restores the legacy flag itself).
+        return spark.read.schema(_footer_schema(spark, path)).parquet(path)
     return _read_with_declared(spark, path, declared)
 
 
@@ -184,13 +206,13 @@ def register_external_tables(spark: SparkSession, sf_dir: str) -> None:
     table registers with its DECLARED column types (so a micros/NTZ/LTZ
     timestamp converts at the scan, pushdown intact). The one case
     schema-on-read DDL can't express is TIMESTAMP(NANOS) — there the raw
-    table registers as ``ext.{name}_raw`` (``ts`` read as raw nanos under
-    ``nanosAsLong``) and a catalog VIEW ``ext.{name}`` applies the same
-    integer-division conversion :func:`load_table` uses. Idempotent:
-    re-registration replaces, and stale views from the other branch are
-    dropped.
+    table registers as ``ext.{name}_raw`` (``ts`` declared BIGINT, which
+    the scan honors without any session flag — the conversion is decided
+    by the DDL-declared type, like every explicit-schema read) and a
+    catalog VIEW ``ext.{name}`` applies the same integer-division
+    conversion :func:`load_table` uses. Idempotent: re-registration
+    replaces, and stale views from the other branch are dropped.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {EXT_DB}")
     for name in TESTDATA_TABLES:
         path = f"{sf_dir}/{name}.parquet"

@@ -53,7 +53,8 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.catalog import _footer_schema
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # _footer_schema sets/restores the nanosAsLong flag around its eager
+    # sniff; the explicit-schema stream scan below never consults it.
     footer = {
         f.name: f.dataType
         for f in _footer_schema(spark, f"{sf_dir}/events.parquet").fields

@@ -118,6 +118,64 @@ def test_batch_queries_encoding_agnostic(spark, tmp_path):
             )
 
 
+def test_no_lingering_session_conf_mutation(spark, tmp_path):
+    """Encoding handling must not leave nanosAsLong set on the shared
+    session: the flag is scoped to the eager footer sniff (explicit-
+    schema scans decide nanos->long from the read schema and never
+    consult it at execution time — ADVICE r5)."""
+    from hadoop_hive_analysis_spark.sources.catalog import _FOOTER_CACHE
+    from hadoop_hive_analysis_spark.streaming.events import read_events_stream
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    # start from an unset session, through BOTH read paths, on a FRESH
+    # nanos-encoded file (cold footer cache so the sniff really runs)
+    try:
+        spark.conf.unset(key)
+    except Exception:
+        pass
+    dirs = _write_encodings(tmp_path)
+    _FOOTER_CACHE.clear()
+    df = load_table(spark, dirs["nanos"], "events")
+    assert df.count() > 0  # execute the lazy declared-schema scan flag-off
+    read_events_stream(spark, dirs["nanos"])
+    assert spark.conf.get(key, None) is None, (
+        f"{key} leaked into the shared session conf"
+    )
+
+
+def test_footer_cache_invalidates_on_rewrite(spark, tmp_path):
+    """A fixture rewritten IN PLACE (same path, new encoding) must be
+    re-sniffed: the footer cache fingerprints size+mtime, not path alone
+    (ADVICE r5 — a path-only key served the stale schema across the
+    driver's between-round fixture regeneration)."""
+    import shutil
+    import time
+
+    from pyspark.sql.types import TimestampType
+
+    dirs = _write_encodings(tmp_path)
+    live = tmp_path / "live"
+    live.mkdir()
+    dst = str(live / "events.parquet")
+    shutil.copy(str(tmp_path / "micros_ltz" / "events.parquet"), dst)
+    assert isinstance(
+        load_table(spark, str(live), "events").schema["ts"].dataType,
+        TimestampType,
+    )
+    time.sleep(0.01)  # distinct mtime_ns even on coarse filesystems
+    shutil.copy(str(tmp_path / "nanos" / "events.parquet"), dst)
+    # stale cache would claim the footer still stores micros and skip the
+    # nanos->micros integer-division branch, exploding the timeline 1000x
+    from pyspark.sql import functions as F
+
+    df = load_table(spark, str(live), "events")
+    assert isinstance(df.schema["ts"].dataType, TimestampType)
+    years = {
+        r.y for r in df.select(F.year("ts").alias("y")).distinct().collect()
+    }
+    assert years == {2024}, f"stale footer cache mis-decoded ts: years={years}"
+
+
 def test_streaming_reader_encoding_agnostic(spark, tmp_path):
     """The streaming reader derives its schema from the footer: a finite
     drain over each encoding yields the same windowed counts as the batch
