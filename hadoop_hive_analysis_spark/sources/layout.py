@@ -36,16 +36,32 @@ def compact_parquet_dir(
     spark: SparkSession,
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
 ) -> int:
     """Rewrite a parquet directory into ~``target_file_bytes`` files.
 
     Returns the resulting file count. Sizing: actual on-disk bytes /
     target, so compression ratio is accounted for by construction.
-    Publish is atomic (build aside, swap via rename) — readers never see
-    a half-written directory; concurrent writers are the caller's
-    concern, as with any non-transactional table format (the streaming
-    sink's ``batch_id`` partitions are compacted per closed partition in
-    production, never the live one).
+
+    Pass ``sort_cols`` when compacting a range-clustered directory
+    (:func:`write_range_clustered`): the rewrite then re-ranges and
+    re-sorts on the same keys, so row-group min/max locality — and the
+    pruning it buys — survives compaction. Without it, the plain
+    ``repartition`` scatters the clustering. Either way the write pins
+    stats-bearing ``TIMESTAMP_MICROS`` (Spark's default INT96 carries no
+    column statistics, which would silently disable timestamp row-group
+    pruning on the compacted copy).
+
+    Publish discipline, stated honestly: the fully-built copy is staged
+    as a sibling, then swapped in with two renames. POSIX cannot
+    atomically exchange two non-empty directories, so there is a
+    microseconds-wide window where ``path`` does not exist and a
+    concurrent reader would get a FileNotFound — run compaction in the
+    table's maintenance window, against CLOSED partitions only (the
+    streaming sink's ``batch_id=``/``day=`` partitions, never the live
+    one), exactly as any non-transactional table format requires. A
+    leftover ``<path>.old`` from a previously crashed run is removed
+    before the swap (a rename onto a non-empty directory would fail).
     """
     total = sum(
         os.path.getsize(os.path.join(r, f))
@@ -58,8 +74,25 @@ def compact_parquet_dir(
     build = tempfile.mkdtemp(
         prefix="hha_compact_", dir=os.path.dirname(os.path.abspath(path))
     )
-    df.repartition(n_files).write.mode("overwrite").parquet(build)
+    key = "spark.sql.parquet.outputTimestampType"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try:
+        part = (
+            df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+                *sort_cols
+            )
+            if sort_cols
+            else df.repartition(n_files)
+        )
+        part.write.mode("overwrite").parquet(build)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
     old = path.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)  # crashed-run leftover
     os.rename(path, old)
     os.rename(build, path)
     shutil.rmtree(old, ignore_errors=True)

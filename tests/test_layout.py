@@ -4,6 +4,7 @@ via scan metrics (row-group pruning), not asserted by intent."""
 from __future__ import annotations
 
 import glob
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -58,6 +59,99 @@ def test_compaction_preserves_data_and_reduces_files(spark, sf_dir, tmp_path):
         after_df.exceptAll(src).count() == 0
         and src.exceptAll(after_df).count() == 0
     )
+
+
+def test_compaction_survives_stale_old_dir(spark, sf_dir, tmp_path):
+    """A leftover '<path>.old' from a crashed previous run must not make
+    the publish swap fail (POSIX rename onto a non-empty dir errors —
+    ADVICE r5)."""
+    src = load_table(spark, sf_dir, "events").limit(1000)
+    frag = str(tmp_path / "frag")
+    src.repartition(8).write.parquet(frag)
+    stale = frag + ".old"
+    os.makedirs(stale)
+    with open(os.path.join(stale, "junk.parquet"), "w") as f:
+        f.write("crashed run leftover")
+    before = spark.read.parquet(frag).count()
+    n = compact_parquet_dir(spark, frag, target_file_bytes=1 << 30)
+    assert n == 1
+    assert spark.read.parquet(frag).count() == before
+    assert not os.path.exists(stale)
+
+
+def test_compaction_preserves_clustered_pruning(spark, sf_dir, tmp_path, no_aqe):
+    """Compacting a range-clustered directory with the same sort_cols
+    keeps row-group pruning effective: the compacted layout's scan must
+    still emit only a fraction of the table for a one-day filter, and
+    timestamps must stay stats-bearing micros, not INT96 (ADVICE r5 —
+    the default-encoding rewrite silently pruned nothing)."""
+    import pyarrow.parquet as pq
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    clustered = str(tmp_path / "clustered")
+    write_range_clustered(
+        ev,
+        clustered,
+        ["ts"],
+        n_files=8,
+        **{"parquet.block.size": str(64 * 1024)},
+    )
+    total = ev.count()
+    compact_parquet_dir(
+        spark,
+        clustered,
+        # keep several files so range layout is observable after compaction
+        target_file_bytes=max(1, sum(
+            os.path.getsize(p) for p in glob.glob(f"{clustered}/*.parquet")
+        ) // 4),
+        sort_cols=["ts"],
+    )
+    files = glob.glob(f"{clustered}/*.parquet")
+    assert len(files) >= 2
+    # physical encoding stayed stats-bearing micros
+    for p in files:
+        t = pq.ParquetFile(p).schema_arrow.field("ts").type
+        assert str(t).startswith("timestamp[us"), f"{p}: ts is {t}"
+    pred = (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp")) & (
+        F.col("ts") < F.lit("2024-01-11 00:00:00").cast("timestamp")
+    )
+    day_rows = ev.filter(pred).count()
+    got = _scan_output_rows(spark, spark.read.parquet(clustered).filter(pred))
+    # pruning still effective: scan emits well under the full table
+    assert day_rows <= got <= total // 2, (day_rows, got, total)
+
+
+def test_compaction_composes_with_streaming_sink(spark, sf_dir, tmp_path):
+    """The two features that claim to compose, composed: the foreachBatch
+    streaming ETL lands day-partitioned parquet; compacting one CLOSED
+    ``day=`` partition in place (the documented production pattern) must
+    reduce its file count without changing the table the readers see."""
+    from hadoop_hive_analysis_spark.streaming.events import (
+        read_events_stream,
+        run_foreach_batch_etl,
+    )
+
+    out = str(tmp_path / "etl_out")
+    run_foreach_batch_etl(
+        read_events_stream(spark, sf_dir), out, str(tmp_path / "ck_etl")
+    )
+    days = sorted(d for d in os.listdir(out) if d.startswith("day="))
+    assert days, "ETL sink landed no day partitions"
+    target = os.path.join(out, days[0])
+    # fragment the closed partition the way many micro-batches would
+    frag_src = spark.read.parquet(target)
+    n_before_rows = frag_src.count()
+    frag_src.repartition(12).write.mode("overwrite").parquet(target)
+    assert len(glob.glob(f"{target}/*.parquet")) == 12
+
+    before_table = sorted(
+        tuple(r) for r in spark.read.parquet(out).collect()
+    )
+    n = compact_parquet_dir(spark, target, target_file_bytes=1 << 30)
+    assert n == 1
+    assert spark.read.parquet(target).count() == n_before_rows
+    after_table = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert after_table == before_table
 
 
 def test_range_clustering_prunes_row_groups(spark, sf_dir, tmp_path, no_aqe):
