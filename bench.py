@@ -214,19 +214,25 @@ def _store_sales_section(spark) -> dict:
             read_store_sales(s, sales_path), read_store(s, store_path), 10, DATE_LO, DATE_HI
         )
 
+    # n=3 medians with per-run detail: single runs on sub-4s queries moved
+    # 5-25% between r4/r5 artifacts with no code change (VERDICT r5) — the
+    # median + recorded spread separates host noise from real movement.
     timings = {}
+    runs_detail = {}
     for name, fn in [("q1a", q1a), ("q1b", q1b), ("q1c", q1c), ("q2", q2)]:
-        best = float("inf")
-        for _ in range(2):
+        samples = []
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            samples.append(round(time.perf_counter() - t0, 4))
+        timings[name] = sorted(samples)[1]  # median of 3
+        runs_detail[name] = samples
     return {
         "rows": n_rows,
         "dat_bytes": n_bytes,
         "gen_sec": gen_sec,
         "queries": timings,
+        "runs": runs_detail,
     }
 
 
@@ -257,11 +263,16 @@ def _regressions_vs_prior(timings: dict[str, float], sf: float) -> dict:
     # The committed full sidecar from the previous round carries the
     # COMPLETE query map (the driver-recorded artifact's stdout line is
     # core-restricted since r5) — prefer it so pytest-only queries keep
-    # regression coverage; fall back to the round artifacts.
+    # regression coverage. But the sidecar is overwritten on EVERY run,
+    # including partial/error-heavy ones (ADVICE r5), so baselines MERGE
+    # per-name across priors, newest first: a name missing from a sparse
+    # sidecar falls back to the newest round artifact that has it instead
+    # of silently dropping out of coverage.
     full = os.path.join(here, "BENCH_FULL.json")
     if os.path.exists(full):
         prior_files.append(full)
-    for path in reversed(prior_files):
+    baseline: dict[str, tuple[float, str]] = {}
+    for path in reversed(prior_files):  # newest first fills first
         try:
             with open(path) as f:
                 prior = json.load(f)
@@ -272,32 +283,34 @@ def _regressions_vs_prior(timings: dict[str, float], sf: float) -> dict:
             prior = prior["parsed"]
         if prior.get("sf") != sf or not isinstance(prior.get("queries"), dict):
             continue
-        ratios = {}
-        for name, now in timings.items():
-            before = prior["queries"].get(name)
-            if isinstance(before, (int, float)) and before > 0:
-                ratios[name] = now / before
-        if not ratios:
-            return {}
-        ordered = sorted(ratios.values())
-        median = ordered[len(ordered) // 2]
-        # Never normalize a genuine pack-wide slowdown away as "the host
-        # got faster would hide it" — only divide out factors > 1, and
-        # carry the factor in the artifact either way.
-        norm = max(median, 1.0)
-        flagged = {}
-        for name, ratio in ratios.items():
-            if ratio / norm > 1.2:
-                flagged[name] = {
-                    "prior": prior["queries"][name],
-                    "now": timings[name],
-                    "ratio": round(ratio, 2),
-                    "ratio_vs_pack": round(ratio / norm, 2),
-                    "baseline": os.path.basename(path),
-                }
-        flagged["_host_speed_factor"] = round(median, 2)
-        return flagged
-    return {}
+        for name, before in prior["queries"].items():
+            if name not in baseline and isinstance(before, (int, float)) and before > 0:
+                baseline[name] = (float(before), os.path.basename(path))
+    ratios = {
+        name: now / baseline[name][0]
+        for name, now in timings.items()
+        if name in baseline
+    }
+    if not ratios:
+        return {}
+    ordered = sorted(ratios.values())
+    median = ordered[len(ordered) // 2]
+    # Never normalize a genuine pack-wide slowdown away as "the host
+    # got faster would hide it" — only divide out factors > 1, and
+    # carry the factor in the artifact either way.
+    norm = max(median, 1.0)
+    flagged = {}
+    for name, ratio in ratios.items():
+        if ratio / norm > 1.2:
+            flagged[name] = {
+                "prior": baseline[name][0],
+                "now": timings[name],
+                "ratio": round(ratio, 2),
+                "ratio_vs_pack": round(ratio / norm, 2),
+                "baseline": baseline[name][1],
+            }
+    flagged["_host_speed_factor"] = round(median, 2)
+    return flagged
 
 
 def _executor_metrics(spark) -> dict:

@@ -111,6 +111,30 @@ def test_emit_small_output_untouched(tmp_path, capsys):
     assert parsed["regressions_vs_prior"] == {"q1a": {"ratio": 2.0}}
 
 
+def test_sparse_sidecar_falls_back_per_name(tmp_path, monkeypatch):
+    # An error-heavy run overwrites BENCH_FULL.json with a SPARSE queries
+    # map (ADVICE r5). Baselines must merge per-name: sidecar values win
+    # where present, names missing from it fall back to the newest round
+    # artifact instead of shrinking regression coverage to the
+    # intersection.
+    with open(tmp_path / "BENCH_r05.json", "w") as f:
+        json.dump(
+            {"sf": 0.1, "queries": {f"q{i}": 1.0 for i in range(10)}}, f
+        )
+    with open(tmp_path / "BENCH_FULL.json", "w") as f:
+        # sparse: the errored run only recorded q0..q4 (at a faster 0.5s)
+        json.dump({"sf": 0.1, "queries": {f"q{i}": 0.5 for i in range(5)}}, f)
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    now = {f"q{i}": 0.5 for i in range(10)}
+    now["q9"] = 2.8  # vs round-artifact baseline 1.0 -> 2.8x
+    out = bench._regressions_vs_prior(now, 0.1)
+    out.pop("_host_speed_factor")
+    # q9's baseline came from the round artifact, not dropped
+    assert list(out) == ["q9"]
+    assert out["q9"]["baseline"] == "BENCH_r05.json"
+    assert out["q9"]["prior"] == 1.0
+
+
 def test_full_sidecar_preferred_over_round_artifacts(tmp_path, monkeypatch):
     # BENCH_FULL.json (previous round's complete map) must win over the
     # core-restricted BENCH_r*.json so pytest-only queries keep coverage.
