@@ -1,0 +1,108 @@
+"""Real image decode: the minimal PPM/BMP parser against constructed
+images with known statistics, directly and through the Spark
+mapInPandas pipeline (poison payloads quarantined, not fatal)."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from hadoop_hive_analysis_spark.operators.multimodal import (
+    decode_image_batch,
+    decode_images,
+)
+
+
+def make_ppm(width: int, height: int, pixel: bytes = None) -> tuple[bytes, float]:
+    """Binary PPM with a header comment; returns (payload, mean_pixel)."""
+    n = width * height * 3
+    pixels = bytes((i * 7 + 13) % 256 for i in range(n)) if pixel is None else (
+        pixel * (n // len(pixel) + 1)
+    )[:n]
+    payload = b"P6\n# synthetic test image\n%d %d\n255\n" % (width, height) + pixels
+    return payload, sum(pixels) / n
+
+
+def make_bmp(
+    width: int, height: int, bpp: int = 24
+) -> tuple[bytes, float]:
+    """Uncompressed bottom-up BMP (BITMAPINFOHEADER); returns
+    (payload, mean over pixel bytes excluding row padding)."""
+    channels = bpp // 8
+    row_bytes = width * channels
+    stride = (row_bytes + 3) & ~3
+    rows = []
+    total = 0
+    for r in range(height):
+        row = bytes((r * 31 + c * 11 + 5) % 256 for c in range(row_bytes))
+        total += sum(row)
+        rows.append(row + b"\x00" * (stride - row_bytes))
+    data = b"".join(rows)
+    data_off = 14 + 40
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", data_off + len(data), 0, 0, data_off)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, bpp, 0, len(data), 2835, 2835, 0, 0
+        )
+    )
+    return header + data, total / (row_bytes * height)
+
+
+def test_decode_ppm_direct():
+    payload, mean = make_ppm(4, 3)
+    assert decode_image_batch(payload) == (4, 3, 3, mean)
+
+
+def test_decode_ppm_comment_and_odd_dims():
+    payload, mean = make_ppm(7, 5, pixel=b"\x10\x80\xf0")
+    w, h, c, m = decode_image_batch(payload)
+    assert (w, h, c) == (7, 5, 3)
+    assert m == pytest.approx(mean)
+
+
+def test_decode_bmp_24bpp_with_padding():
+    # width 5 * 3 = 15 bytes/row -> 1 padding byte per row, which must
+    # NOT contaminate the mean
+    payload, mean = make_bmp(5, 2, bpp=24)
+    assert decode_image_batch(payload) == (5, 2, 3, mean)
+
+
+def test_decode_bmp_32bpp():
+    payload, mean = make_bmp(3, 4, bpp=32)
+    assert decode_image_batch(payload) == (3, 4, 4, mean)
+
+
+def test_decode_rejects_unknown_and_truncated():
+    with pytest.raises(ValueError, match="unsupported image format"):
+        decode_image_batch(b"GIF89a not supported")
+    ppm, _ = make_ppm(4, 4)
+    with pytest.raises(ValueError, match="truncated PPM"):
+        decode_image_batch(ppm[:-5])
+    bmp, _ = make_bmp(4, 4)
+    with pytest.raises(ValueError, match="truncated BMP"):
+        decode_image_batch(bmp[:-3])
+
+
+def test_decode_images_pipeline(spark):
+    """The mapInPandas path: real decodes land real features; poison
+    payloads keep their row with NULLs + the error message."""
+    ppm, ppm_mean = make_ppm(4, 3)
+    bmp, bmp_mean = make_bmp(5, 2)
+    rows = [
+        (1, bytearray(ppm)),
+        (2, bytearray(bmp)),
+        (3, bytearray(b"not an image at all")),
+        (4, bytearray(ppm[:-5])),  # truncated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in decode_images(df).collect()}
+    assert (got[1].width, got[1].height, got[1].channels) == (4, 3, 3)
+    assert got[1].mean_pixel == pytest.approx(ppm_mean)
+    assert got[1].decode_error is None
+    assert (got[2].width, got[2].height, got[2].channels) == (5, 2, 3)
+    assert got[2].mean_pixel == pytest.approx(bmp_mean)
+    assert got[3].width is None and "unsupported" in got[3].decode_error
+    assert got[4].width is None and "truncated PPM" in got[4].decode_error
+    assert got[3].n_bytes == len(b"not an image at all")
