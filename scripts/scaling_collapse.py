@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Measured scale-up proof for ``dedup_collapse`` — the end-to-end
+composite (MinHash-LSH pairs → star-contraction components → broadcast
+anti-join) a user actually schedules (SCALING.md §Dedup).
+
+Reuses ``scaling_minhash.build_scaled_corpus``: k renamed copies of the
+sf0.1 corpus preserve each copy's internal dup structure exactly with
+zero cross-copy overlap, so docs, true dup pairs, clusters, and losers
+all grow exactly linearly — constant dup-rate growth. The surviving
+corpus must therefore be exactly ``multiplier × base_survivors``, and a
+sub-quadratic wall curve is the measured form of SCALING.md's analytic
+claim (pairs linear ⇒ CC rounds O(log n) over linear edges ⇒ loser
+broadcast linear in dups, corpus scanned once).
+
+Usage: python scripts/scaling_collapse.py [multipliers...]
+Prints one JSON line per scale plus a summary line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from scaling_minhash import build_scaled_corpus, cpu_seconds, peak_mem_mb
+
+
+def main() -> None:
+    multipliers = [int(a) for a in sys.argv[1:]] or [1, 2, 5, 10]
+
+    from hadoop_hive_analysis_spark.operators.components import dedup_collapse
+    from hadoop_hive_analysis_spark.session import get_spark
+
+    spark = get_spark("hha-scaling-collapse", extra_conf={"spark.driver.memory": "8g"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results = []
+    for m in multipliers:
+        d = build_scaled_corpus(spark, m)
+        try:
+            best, survivors = float("inf"), None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                cpu0 = cpu_seconds(spark)
+                df = dedup_collapse(spark, d)
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+                cpu = cpu_seconds(spark) - cpu0
+                if survivors is None:
+                    survivors = df.count()
+            row = {
+                "multiplier": m,
+                "docs": 5000 * m,
+                "survivors": survivors,
+                "wall_sec": round(best, 3),
+                "cpu_sec": round(cpu, 2),
+                "peak_mem_mb": peak_mem_mb(spark),
+            }
+            results.append(row)
+            print(json.dumps(row), flush=True)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    base = results[0]
+    summary = {
+        "metric": "dedup_collapse_scaling",
+        "wall_ratio_at_max": round(results[-1]["wall_sec"] / base["wall_sec"], 2),
+        "size_ratio_at_max": results[-1]["multiplier"] / base["multiplier"],
+        # the vocabulary rename is a bijection per copy: survivors must be
+        # EXACTLY linear up to banding noise in the candidate stage (±1%)
+        "survivors_linear": all(
+            abs(r["survivors"] - base["survivors"] * r["multiplier"])
+            <= max(2, 0.01 * base["survivors"] * r["multiplier"])
+            for r in results
+        ),
+    }
+    print(json.dumps(summary), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
