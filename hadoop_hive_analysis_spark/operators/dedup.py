@@ -470,6 +470,35 @@ SPAN_TOKENS = 8  # exact-substring window length (tokens), stride 1
 STOP_SPAN_DF = 64
 
 
+def _span_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s, span_h) for every stride-1 SPAN_TOKENS window — the
+    shared frame under the whole span family (profile, top-K report,
+    scrub). ``s`` is the 1-based token index of the span start.
+    Materialized once (localCheckpoint) for multi-consumer plans."""
+    from ..functions.hashing import h64
+    from ..functions.text import tokens
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", tokens("text").alias("toks"))
+        .filter(F.size("toks") >= SPAN_TOKENS)
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {SPAN_TOKENS} + 1), "
+                    f"s -> struct(s AS s, concat_ws(' ', slice(toks, s, "
+                    f"{SPAN_TOKENS})) AS span))"
+                )
+            ).alias("x"),
+        )
+        .select("doc_id", F.col("x.s").alias("s"), h64(F.col("x.span")).alias("span_h"))
+        .localCheckpoint(eager=False)
+    )
+
+
 def duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document EXACT-SUBSTRING duplication profile, per document.
 
@@ -495,27 +524,7 @@ def duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded. Final per-doc rollup is one map-side-combined shuffle.
     Sub-quadratic throughout: no pair enumeration anywhere.
     """
-    from ..functions.hashing import h64
-    from ..functions.text import tokens
-
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", tokens("text").alias("toks"))
-        .filter(F.size("toks") >= SPAN_TOKENS)
-    )
-    sp = (
-        d.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, size(toks) - {SPAN_TOKENS} + 1), "
-                    f"s -> concat_ws(' ', slice(toks, s, {SPAN_TOKENS})))"
-                )
-            ).alias("span"),
-        )
-        .select("doc_id", h64(F.col("span")).alias("span_h"))
-        .localCheckpoint(eager=False)
-    )
+    sp = _span_hashes(spark, sf_dir).select("doc_id", "span_h")
     dup = (
         sp.groupBy("span_h")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -566,4 +575,168 @@ DUPLICATED_SPANS_SQL = rf"""
            CAST(sum(COALESCE(is_dup, 0)) AS DOUBLE) / count(*) AS dup_ratio
     FROM sp LEFT JOIN dup USING (span_h)
     GROUP BY sp.doc_id
+"""
+
+
+TOPK_SPANS = 20
+
+
+def duplicated_spans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus observability on top of the span profile: the TOPK_SPANS
+    most widely duplicated exact substrings — by distinct-document
+    spread, then total occurrences — with an example document to pull
+    the actual passage from. This is the "what IS all this duplicated
+    text" report an engineer runs before choosing scrub thresholds;
+    unlike :func:`duplicated_spans` it deliberately keeps boilerplate
+    (no df cap): the hottest spans are exactly what the report is for.
+
+    Scale shape: one shuffle on span_h with map-side partial aggs, then
+    TakeOrderedAndProject for the top-K — no global sort. Ordering is
+    fully deterministic (span_h is unique per row, so the three-level
+    tie-break admits exactly one answer).
+    """
+    sp = _span_hashes(spark, sf_dir)
+    return (
+        sp.groupBy("span_h")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min("doc_id").alias("example_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy(
+            F.col("n_docs").desc(),
+            F.col("n_occurrences").desc(),
+            F.col("span_h").asc(),
+        )
+        .limit(TOPK_SPANS)
+    )
+
+
+DUPLICATED_SPANS_TOPK_SQL = rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+    ),
+    sp AS (
+        SELECT doc_id,
+               {h64_sql(f"array_to_string(list_slice(t, s, s + {SPAN_TOKENS} - 1), ' ')")}
+               AS span_h
+        FROM (
+            SELECT doc_id, t, unnest(range(1, len(t) - {SPAN_TOKENS} + 2)) AS s
+            FROM toks WHERE len(t) >= {SPAN_TOKENS}
+        )
+    )
+    SELECT span_h,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           count(*) AS n_occurrences,
+           min(doc_id) AS example_doc
+    FROM sp
+    GROUP BY span_h
+    HAVING count(DISTINCT doc_id) > 1
+    ORDER BY n_docs DESC, n_occurrences DESC, span_h ASC
+    LIMIT {TOPK_SPANS}
+"""
+
+
+def span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL half of Lee et al.'s exact-substring deduplication:
+    delete every token covered by a cross-document duplicated span
+    (same df-capped dup set as :func:`duplicated_spans`) and emit the
+    scrubbed document — here as (token counts + md5 of the scrubbed
+    text) so the driver exchange stays scalar; the production variant
+    writes the scrubbed text column itself.
+
+    Plan: span starts join the dup set (one shuffle on span_h), collapse
+    to a per-doc sorted start-position array (bounded by doc length),
+    then ONE pass over each document's token array with higher-order
+    functions — no token-level explode, no second corpus scan, corpus
+    text never shuffles (the start arrays join back to the corpus by
+    doc_id). Coverage test per token is exists() over the doc's dup
+    starts — O(tokens × starts) worst case per doc, fine at fixture doc
+    lengths; a production corpus with pathological per-doc dup density
+    would fold the sorted starts into merged intervals first (same
+    aggregate() machinery, kept simple here).
+    """
+    from ..functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    spd = _span_hashes(spark, sf_dir)
+    dup = (
+        spd.groupBy("span_h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter((F.col("nd") > 1) & (F.col("nd") <= STOP_SPAN_DF))
+        .select("span_h")
+    )
+    starts = (
+        spd.join(dup, "span_h")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("s")).alias("starts"))
+    )
+    scrubbed = (
+        d.join(starts, "doc_id", "left")
+        .withColumn("starts", F.coalesce("starts", F.expr("array()")))
+        .withColumn(
+            "kept",
+            F.expr(
+                f"filter(sequence(1, size(toks)), i -> "
+                f"NOT exists(starts, s -> i >= s AND i < s + {SPAN_TOKENS}))"
+            ),
+        )
+        .withColumn(
+            "scrub_text",
+            F.expr("concat_ws(' ', transform(kept, i -> element_at(toks, i)))"),
+        )
+    )
+    return scrubbed.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size("toks") - F.size("kept")).cast("long").alias("n_removed"),
+        (F.size("kept").cast("double") / F.size("toks")).alias("keep_ratio"),
+        F.md5("scrub_text").alias("scrub_md5"),
+    )
+
+
+SPAN_SCRUB_SQL = rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+    ),
+    spd AS (
+        SELECT doc_id, s,
+               {h64_sql(f"array_to_string(list_slice(t, s, s + {SPAN_TOKENS} - 1), ' ')")}
+               AS span_h
+        FROM (
+            SELECT doc_id, t, unnest(range(1, len(t) - {SPAN_TOKENS} + 2)) AS s
+            FROM toks WHERE len(t) >= {SPAN_TOKENS}
+        )
+    ),
+    dup AS (
+        SELECT span_h
+        FROM (SELECT span_h, count(DISTINCT doc_id) AS nd FROM spd GROUP BY 1)
+        WHERE nd > 1 AND nd <= {STOP_SPAN_DF}
+    ),
+    starts AS (
+        SELECT doc_id, list_sort(list(s)) AS starts
+        FROM spd JOIN dup USING (span_h)
+        GROUP BY doc_id
+    ),
+    scrub AS (
+        SELECT t.doc_id, t.t,
+               COALESCE(st.starts, []) AS starts,
+               list_filter(range(1, len(t.t) + 1),
+                   i -> len(list_filter(COALESCE(st.starts, []),
+                       s -> i >= s AND i < s + {SPAN_TOKENS})) = 0) AS kept
+        FROM toks t LEFT JOIN starts st USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(t) - len(kept) AS BIGINT) AS n_removed,
+           CAST(len(kept) AS DOUBLE) / len(t) AS keep_ratio,
+           -- array_to_string([]) is NULL in DuckDB, '' under Spark's
+           -- concat_ws: coalesce so a fully-scrubbed doc hashes alike
+           md5(COALESCE(
+               array_to_string(list_transform(kept, i -> t[i]), ' '), ''))
+               AS scrub_md5
+    FROM scrub
 """

@@ -181,3 +181,87 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wcss",
         )
     )
+
+
+# ------------------------------------------------ int8 vector quantization
+
+INT8_MAX = 127
+
+
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization — the storage/serving
+    compression step (FAISS SQ8-style) a 100 TB embedding store applies
+    before indexing: code_i = round(INT8_MAX * x_i / max|x|), plus exact
+    reconstruction-error accounting per vector.
+
+    All arithmetic stays in the integer domain so the result is exact
+    under any partitioning and engine: inputs are the same round(x*1000)
+    int64 quantization the ANN pack uses; the code rounding is
+    implemented as sign(v) * ((2*INT8_MAX*|v| + m) DIV (2*m)) — integer
+    round-half-up on non-negative operands, so Spark's DIV and DuckDB's
+    // agree — and the error term |INT8_MAX*v - code*m| is an exact
+    int64. Output is one scalar row per vector (id, norm, code checksum,
+    error sums); the production variant emits the code array itself.
+    Pure whole-stage codegen, one pass, no shuffle, no Python.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_QUANT).alias("q")
+    )
+    m = "aggregate(q, 0L, (a, x) -> greatest(a, abs(x)))"
+    codes = (
+        f"transform(q, x -> CASE WHEN {m} = 0 THEN 0L ELSE "
+        f"CAST(sign(x) AS BIGINT) * ((2*{INT8_MAX}*abs(x) + {m}) "
+        f"DIV (2*{m})) END)"
+    )
+    err = (
+        f"aggregate(zip_with(q, {codes}, (x, c) -> abs({INT8_MAX}*x - c*{m})), "
+        f"0L, (a, e) -> a + e)"
+    )
+    return emb.select(
+        "vec_id",
+        F.size("q").cast("long").alias("n_dims"),
+        F.expr(m).alias("max_abs_q"),
+        F.expr(f"aggregate({codes}, 0L, (a, c) -> a + c)").alias("sum_codes"),
+        F.expr(
+            f"aggregate({codes}, 0L, (a, c) -> a + abs(c))"
+        ).alias("sum_abs_codes"),
+        F.expr(err).alias("sum_abs_err_q"),
+        F.expr(
+            f"CASE WHEN {m} = 0 THEN 0.0 ELSE "
+            f"CAST({err} AS DOUBLE) / (CAST(size(q) AS DOUBLE) * {INT8_MAX} * {m}) END"
+        ).alias("mean_rel_err"),
+    )
+
+
+EMBEDDING_INT8_QUANTIZE_SQL = f"""
+    WITH q AS (
+        SELECT vec_id, {_QUANT_SQL} AS qv FROM embeddings
+    ),
+    m AS (
+        SELECT vec_id, qv,
+               list_aggregate(list_transform(qv, x -> abs(x)), 'max') AS mx
+        FROM q
+    ),
+    c AS (
+        SELECT vec_id, qv, mx,
+               list_transform(qv, x -> CASE WHEN mx = 0 THEN 0
+                   ELSE CAST(sign(x) AS BIGINT)
+                        * ((2*{INT8_MAX}*abs(x) + mx) // (2*mx)) END) AS codes
+        FROM m
+    )
+    SELECT vec_id,
+           CAST(len(qv) AS BIGINT) AS n_dims,
+           CAST(COALESCE(mx, 0) AS BIGINT) AS max_abs_q,
+           CAST(list_sum(codes) AS BIGINT) AS sum_codes,
+           CAST(list_sum(list_transform(codes, x -> abs(x))) AS BIGINT)
+               AS sum_abs_codes,
+           CAST(list_sum(list_transform(range(1, len(qv) + 1),
+               i -> abs({INT8_MAX}*qv[i] - codes[i]*mx))) AS BIGINT)
+               AS sum_abs_err_q,
+           CASE WHEN mx = 0 THEN 0.0 ELSE
+               CAST(list_sum(list_transform(range(1, len(qv) + 1),
+                   i -> abs({INT8_MAX}*qv[i] - codes[i]*mx))) AS DOUBLE)
+               / (CAST(len(qv) AS DOUBLE) * {INT8_MAX} * mx) END
+               AS mean_rel_err
+    FROM c
+"""

@@ -75,6 +75,24 @@ def build() -> dict:
         "ext: cross-document exact-substring duplication profile "
         "(stride-1 token-window hashes, df-capped dup set)",
     )
+    # Round-6 additions, staged for the r7 rotation (window full): the
+    # observability and REMOVAL halves of exact-substring dedup — the
+    # profile (duplicated_spans) says how much text is copied, the top-K
+    # report says WHAT it is, the scrub actually deletes it.
+    q["duplicated_spans_topk"] = QuerySpec(
+        dedup.duplicated_spans_topk,
+        dedup.DUPLICATED_SPANS_TOPK_SQL,
+        "ext: top-K most-duplicated exact substrings (corpus "
+        "observability; deterministic three-level tie-break)",
+        driver=False,
+    )
+    q["span_scrub"] = QuerySpec(
+        dedup.span_scrub,
+        dedup.SPAN_SCRUB_SQL,
+        "ext: Lee-et-al exact-substring REMOVAL (duplicated-span tokens "
+        "deleted, scrubbed text hashed; corpus text never shuffles)",
+        driver=False,
+    )
     q["dedup_embedding_lsh"] = QuerySpec(
         similarity.dedup_embedding_lsh,
         similarity.DEDUP_EMBEDDING_LSH_SQL,
@@ -446,6 +464,16 @@ def build() -> dict:
         # overhead x iterations, not an operator — its scale metric is
         # per-iteration shuffle volume (k x dim), pinned by the numpy
         # differential + the centroid plan test instead.
+    )
+    # Round-6 addition, staged for the r7 rotation: the SQ8 compression
+    # step an embedding store applies before indexing, with exact
+    # integer reconstruction-error accounting.
+    q["embedding_int8_quantize"] = QuerySpec(
+        vectors.embedding_int8_quantize,
+        vectors.EMBEDDING_INT8_QUANTIZE_SQL,
+        "ext: per-vector symmetric int8 quantization (exact integer "
+        "rounding + reconstruction-error sums, pure codegen)",
+        driver=False,
     )
     q["ann_bruteforce_topk"] = QuerySpec(
         similarity.ann_bruteforce_topk,

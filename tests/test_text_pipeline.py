@@ -256,6 +256,111 @@ def test_duplicated_spans_flags_shared_passage(spark, tmp_path):
     assert 0 < out[1]["dup_ratio"] < 1
 
 
+def test_span_scrub_removes_exactly_the_shared_passage(spark, tmp_path):
+    """The removal half of exact-substring dedup: both docs sharing a
+    verbatim 12-token passage lose exactly those 12 tokens (dup spans
+    overlap, coverage must union, not double-count); the clean doc and a
+    too-short doc are untouched; the scrubbed text hash equals the md5
+    of the doc with the passage cut out."""
+    import hashlib
+
+    from hadoop_hive_analysis_spark.operators.dedup import span_scrub
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    pre1, post1 = "intro one two three", "outro red blue"
+    pre2, post2 = "different lead in words", "and a tail here"
+    rows = [
+        (1, f"{pre1} {shared} {post1}"),
+        (2, f"{pre2} {shared} {post2}"),
+        (3, "completely unrelated text with no overlap whatsoever in any "
+            "span of tokens at all nope nothing shared"),
+        (4, "too short"),
+    ]
+    d = tmp_path / "mini_scrub"
+    d.mkdir()
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+        str(d / "documents.parquet")
+    )
+    out = {r["doc_id"]: r for r in span_scrub(spark, str(d)).collect()}
+    assert out[1]["n_removed"] == 12
+    assert out[2]["n_removed"] == 12
+    assert out[3]["n_removed"] == 0
+    assert out[4]["n_removed"] == 0 and out[4]["keep_ratio"] == 1.0
+    want1 = hashlib.md5(f"{pre1} {post1}".encode()).hexdigest()
+    want2 = hashlib.md5(f"{pre2} {post2}".encode()).hexdigest()
+    assert out[1]["scrub_md5"] == want1
+    assert out[2]["scrub_md5"] == want2
+
+
+def test_duplicated_spans_topk_ranks_hottest_passage(spark, tmp_path):
+    """The observability report: a passage shared by 3 docs outranks one
+    shared by 2; singleton spans never appear."""
+    from hadoop_hive_analysis_spark.operators.dedup import (
+        SPAN_TOKENS,
+        duplicated_spans_topk,
+    )
+
+    hot = "one two three four five six seven eight"  # exactly SPAN_TOKENS
+    warm = "aaa bbb ccc ddd eee fff ggg hhh"
+    assert len(hot.split()) == SPAN_TOKENS == len(warm.split())
+    rows = [
+        (1, f"lead {hot} tail111"),
+        (2, f"other {hot} tail222"),
+        (3, f"third {hot} tail333"),
+        (4, f"prefix {warm} suffix444"),
+        (5, f"prefix2 {warm} suffix555"),
+        (6, "nothing shared here at all between any of these documents ok"),
+    ]
+    d = tmp_path / "mini_topk"
+    d.mkdir()
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+        str(d / "documents.parquet")
+    )
+    got = duplicated_spans_topk(spark, str(d)).collect()
+    assert got[0]["n_docs"] == 3 and got[0]["example_doc"] == 1
+    assert all(r["n_docs"] > 1 for r in got)
+    assert any(r["n_docs"] == 2 for r in got)
+    # every listed span has n_occurrences >= n_docs by construction
+    assert all(r["n_occurrences"] >= r["n_docs"] for r in got)
+
+
+def test_int8_quantize_reconstruction_bound(spark, sf_dir):
+    """SQ8 invariants on the real fixture: codes bounded by INT8_MAX (via
+    the |codes| sum), per-element error bounded by half a quantization
+    step (mean_rel_err <= 0.5/INT8_MAX), and a numpy differential
+    reproduces the exact integer error sums bit-for-bit."""
+    import numpy as np
+
+    from hadoop_hive_analysis_spark.operators.vectors import (
+        INT8_MAX,
+        embedding_int8_quantize,
+    )
+    from hadoop_hive_analysis_spark.sources.catalog import load_table
+
+    rows = embedding_int8_quantize(spark, sf_dir).collect()
+    assert all(r["sum_abs_codes"] <= r["n_dims"] * INT8_MAX for r in rows)
+    assert all(r["mean_rel_err"] <= 0.5 / INT8_MAX + 1e-12 for r in rows)
+
+    src = {
+        r["vec_id"]: r["embedding"]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    for r in rows[:50]:
+        x = np.array(src[r["vec_id"]], dtype=np.float64) * 1000
+        # HALF_UP (away from zero), matching Spark/DuckDB round() — np.rint
+        # is half-to-even and would flake on an exact .5 after a fixture
+        # regen
+        q = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+        m = int(np.max(np.abs(q))) if len(q) else 0
+        assert m == r["max_abs_q"]
+        if m == 0:
+            continue
+        codes = np.sign(q) * ((2 * INT8_MAX * np.abs(q) + m) // (2 * m))
+        assert int(codes.sum()) == r["sum_codes"]
+        err = np.abs(INT8_MAX * q - codes * m)
+        assert int(err.sum()) == r["sum_abs_err_q"]
+
+
 def test_token_rarity_orders_planted_outlier(spark, tmp_path):
     """A doc of corpus-unique gibberish must score minimal mean_df and
     rare_ratio 1.0; a doc repeating the corpus's commonest tokens scores
