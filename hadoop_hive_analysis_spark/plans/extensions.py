@@ -608,6 +608,24 @@ def build() -> dict:
         # overhead, not the operator; the three events replays already
         # carry streaming cost in the pack
     )
+    # Round-6 addition, staged for the r7 rotation: the NEAR-dup ingest
+    # face — stream-static LSH band join against a batch-built snapshot,
+    # stateless per-row signatures (proven equal to the batch groupBy
+    # signatures bit-for-bit in tests), signature-agreement verify.
+    from ..streaming.dedup import (
+        DOCUMENTS_NEARDUP_REPLAY_SQL,
+        documents_neardup_replay,
+    )
+
+    q["documents_neardup_replay"] = QuerySpec(
+        documents_neardup_replay,
+        DOCUMENTS_NEARDUP_REPLAY_SQL,
+        "ext: streaming near-dup ingest vs LSH snapshot (stream-static "
+        "band equi-join + signature-agreement verify), replayed against "
+        "a pure-SQL signature oracle",
+        driver=False,
+        bench=False,  # same rationale as the digest replay above
+    )
     # Promoted in the round-5 rotation (slot from events_sessionize):
     # native session_window MERGING state drained AvailableNow — the
     # third and last stateful streaming shape as a driver hash.

@@ -141,3 +141,239 @@ def streaming_dedup_against_snapshot(
         .join(snapshot, "digest", "left_anti")
         .dropDuplicates(["digest"])
     )
+
+
+# ---------------------------------------------- near-dup vs LSH snapshot
+
+# Signature-agreement threshold for declaring an arriving doc a near-dup
+# of a history doc: matching MinHash components / NUM_HASHES estimates
+# Jaccard, and the fixture's planted near-dups (j≈0.98) sit at ~1.0
+# agreement while background pairs (j<0.1) sit near 0 — 0.5 separates
+# them by a wide margin in both directions.
+EST_JACCARD_THRESHOLD = 0.5
+
+
+def with_minhash_bands(docs: DataFrame) -> DataFrame:
+    """Per-ROW MinHash signature + LSH band keys — no explode/groupBy, so
+    the same expression tree runs stateless under Structured Streaming
+    (the batch MinHash computes identical values via groupBy(min); this
+    form folds the min over the row's own shingle array with
+    higher-order functions instead).
+
+    Adds: ``sig`` array<long> (NUM_HASHES mins) and ``bands``
+    array<struct<band int, band_sig string>> with the same
+    comma-joined band keys the batch banded table uses. Docs too short
+    to shingle (< 3 tokens) are dropped, exactly like the batch path.
+    """
+    from ..functions.hashing import h31, minhash_expr, minhash_params
+    from ..functions.text import tokens
+    from ..operators.dedup import BAND_SIZE, NUM_HASHES
+
+    params = minhash_params(NUM_HASHES)
+    d = (
+        docs.withColumn("_toks", tokens("text"))
+        .filter(F.size("_toks") >= 3)
+        .withColumn(
+            "_hs",
+            F.transform(
+                F.expr(
+                    "transform(sequence(1, size(_toks) - 2), "
+                    "i -> concat_ws(' ', slice(_toks, i, 3)))"
+                ),
+                lambda s: h31(s),
+            ),
+        )
+        .withColumn(
+            "sig",
+            F.array(
+                *[
+                    F.array_min(
+                        F.transform(F.col("_hs"), lambda h: minhash_expr(h, a, b))
+                    )
+                    for a, b in params
+                ]
+            ),
+        )
+    )
+    n_bands = NUM_HASHES // BAND_SIZE
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at("sig", band * BAND_SIZE + r + 1).cast("string")
+                        for r in range(BAND_SIZE)
+                    ],
+                ).alias("band_sig"),
+            )
+            for band in range(n_bands)
+        ]
+    )
+    return d.withColumn("bands", bands).drop("_toks", "_hs")
+
+
+def neardup_snapshot(docs: DataFrame) -> DataFrame:
+    """The periodic LSH state snapshot a maintenance job persists: the
+    corpus's banded signature table (doc_id, band, band_sig, sig) —
+    near-dup analog of :func:`snapshot_digests`. One row per doc × band;
+    carries the full signature so the ingest query can verify candidates
+    without touching history text."""
+    return (
+        with_minhash_bands(docs)
+        .select("doc_id", F.explode("bands").alias("b"), "sig")
+        .select(
+            "doc_id",
+            F.col("b.band").alias("band"),
+            F.col("b.band_sig").alias("band_sig"),
+            "sig",
+        )
+    )
+
+
+def neardup_hits_against_snapshot(
+    arrivals: DataFrame, snapshot: DataFrame
+) -> DataFrame:
+    """NEAR-dup analog of :func:`streaming_dedup_against_snapshot`: flag
+    arriving documents that are near-duplicates of the historical corpus
+    without any streaming state for history.
+
+    Written in pure DataFrame ops so the SAME function is the batch twin
+    and the streaming operator (pass a streaming ``arrivals`` and it
+    plans a stream-static equi-join): arriving docs compute their
+    signature per-row (stateless), candidates come from the (band,
+    band_sig) equi-join against the snapshot — Catalyst treats the
+    static side like any batch relation (broadcast or shuffled by size)
+    — and verification is signature agreement via zip_with, stateless
+    again. The only streaming state is the final per-(digest, history
+    doc) dropDuplicates, bounded by the window's hit count, evicted at
+    snapshot-refresh restarts like the exact-dedup pattern above.
+
+    Output: (digest, hist_doc_id, est_jaccard) — one row per arriving
+    content × matched history doc.
+    """
+    from ..operators.dedup import NUM_HASHES
+
+    arr = (
+        with_minhash_bands(arrivals)
+        .withColumn("digest", F.md5("text"))
+        .select(
+            "digest",
+            F.col("sig").alias("arr_sig"),
+            F.explode("bands").alias("b"),
+        )
+        .select(
+            "digest",
+            "arr_sig",
+            F.col("b.band").alias("band"),
+            F.col("b.band_sig").alias("band_sig"),
+        )
+    )
+    hist = snapshot.select(
+        F.col("doc_id").alias("hist_doc_id"),
+        "band",
+        "band_sig",
+        F.col("sig").alias("hist_sig"),
+    )
+    agree = F.expr(
+        "aggregate(zip_with(arr_sig, hist_sig, (x, y) -> IF(x = y, 1, 0)), "
+        "0, (acc, v) -> acc + v)"
+    )
+    return (
+        arr.join(hist, ["band", "band_sig"])
+        .withColumn(
+            "est_jaccard", agree.cast("double") / F.lit(NUM_HASHES)
+        )
+        .filter(F.col("est_jaccard") >= EST_JACCARD_THRESHOLD)
+        .dropDuplicates(["digest", "hist_doc_id"])
+        .select("digest", "hist_doc_id", "est_jaccard")
+    )
+
+
+def _neardup_replay_sql() -> str:
+    """Oracle for :func:`documents_neardup_replay`: the same MinHash
+    signatures (shared SQL machinery with the batch MinHash oracle),
+    banded, split even (history) / odd (arrivals), candidates from the
+    band equi-join, verified by counting agreeing signature components."""
+    from ..operators.dedup import (
+        NUM_HASHES,
+        _band_sql,
+        _minhash_sql_cols,
+        _SHINGLE_SQL,
+    )
+    from ..functions.hashing import h31_sql
+
+    agree = " + ".join(
+        f"CAST(a.mh_{j} = e.mh_{j} AS INT)" for j in range(NUM_HASHES)
+    )
+    min_agree = -(-NUM_HASHES // 2)  # ceil: n_agree/NUM_HASHES >= 0.5
+    return f"""
+    {_SHINGLE_SQL},
+    hashed AS (SELECT doc_id, {h31_sql('shingle')} AS h31 FROM sh),
+    sig AS (SELECT doc_id, {_minhash_sql_cols()} FROM hashed GROUP BY doc_id),
+    banded AS ({_band_sql()}),
+    cand AS (
+        SELECT DISTINCT bo.doc_id AS odd_doc, be.doc_id AS hist_doc_id
+        FROM banded bo
+        JOIN banded be ON bo.band = be.band AND bo.band_sig = be.band_sig
+        WHERE bo.doc_id % 2 = 1 AND be.doc_id % 2 = 0
+    ),
+    agreed AS (
+        SELECT c.odd_doc, c.hist_doc_id, ({agree}) AS n_agree
+        FROM cand c
+        JOIN sig a ON a.doc_id = c.odd_doc
+        JOIN sig e ON e.doc_id = c.hist_doc_id
+    )
+    SELECT DISTINCT md5(d.text) AS digest,
+           hist_doc_id,
+           CAST(n_agree AS DOUBLE) / {NUM_HASHES} AS est_jaccard
+    FROM agreed
+    JOIN documents d ON d.doc_id = agreed.odd_doc
+    WHERE n_agree >= {min_agree}
+    """
+
+
+DOCUMENTS_NEARDUP_REPLAY_SQL = _neardup_replay_sql()
+
+
+def documents_neardup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-ready replay of the near-dup-ingest pattern: history = even
+    doc_ids (their LSH snapshot built batch-side, as the maintenance job
+    would), arrivals = odd doc_ids drained as a finite stream through
+    :func:`neardup_hits_against_snapshot` — a stream-static band
+    equi-join + stateless signature verify, the near-dup analog of the
+    digest replay above. Output: (digest, hist_doc_id, est_jaccard),
+    hash-checked against a pure-SQL oracle that recomputes the same
+    signatures and agreement counts (planted fixture near-dups straddle
+    the parity split, so the hit set is non-trivial)."""
+    import atexit
+    import shutil
+    import tempfile
+    import uuid
+
+    from .events import run_available_now
+
+    snapshot = neardup_snapshot(
+        read_documents_table_even(spark, sf_dir)
+    )
+    arrivals = read_documents_stream(spark, sf_dir).filter(
+        F.col("doc_id") % 2 == 1
+    )
+    tag = uuid.uuid4().hex[:12]
+    ckpt = tempfile.mkdtemp(prefix=f"hha_neardup_ckpt_{tag}_")
+    atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
+    return run_available_now(
+        neardup_hits_against_snapshot(arrivals, snapshot),
+        query_name=f"neardup_replay_{tag}",
+        checkpoint_dir=ckpt,
+        output_mode="append",
+    )
+
+
+def read_documents_table_even(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import load_table
+
+    return load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 2 == 0
+    )

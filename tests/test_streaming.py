@@ -267,6 +267,113 @@ def test_streaming_watermark_dedup_drops_retransmissions(spark, sf_dir, tmp_path
     assert got.select("event_id").distinct().count() == ev.count()
 
 
+def test_row_minhash_sig_equals_batch_groupby_sig(spark, sf_dir):
+    """The per-row higher-order-function signature (streamable,
+    stateless) must equal the batch explode+groupBy(min) signature
+    exactly — the property that lets a batch-built LSH snapshot verify
+    streaming arrivals."""
+    from hadoop_hive_analysis_spark.functions.hashing import (
+        h31, minhash_expr, minhash_params,
+    )
+    from hadoop_hive_analysis_spark.operators.dedup import (
+        NUM_HASHES, _doc_shingles,
+    )
+    from hadoop_hive_analysis_spark.sources.catalog import load_table
+    from hadoop_hive_analysis_spark.streaming.dedup import with_minhash_bands
+
+    params = minhash_params(NUM_HASHES)
+    batch = (
+        _doc_shingles(spark, sf_dir)
+        .withColumn("h31", h31(F.col("shingle")))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(minhash_expr(F.col("h31"), a, b)).alias(f"mh_{j}")
+                for j, (a, b) in enumerate(params)
+            ]
+        )
+    )
+    want = {
+        r["doc_id"]: [r[f"mh_{j}"] for j in range(NUM_HASHES)]
+        for r in batch.collect()
+    }
+    got = {
+        r["doc_id"]: list(r["sig"])
+        for r in with_minhash_bands(
+            load_table(spark, sf_dir, "documents")
+        ).select("doc_id", "sig").collect()
+    }
+    assert got == want
+
+
+def test_streaming_neardup_hits_snapshot(spark, sf_dir, tmp_path):
+    """NEAR-dup ingest against an LSH snapshot: arriving modified copies
+    of history docs are flagged (high signature agreement), novel docs
+    are not, redelivered arrivals dedup to one hit row — and the drained
+    stream equals the batch twin exactly (same function, two modes)."""
+    from hadoop_hive_analysis_spark.sources.catalog import load_table
+    from hadoop_hive_analysis_spark.streaming.dedup import (
+        neardup_hits_against_snapshot,
+        neardup_snapshot,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    snap_path = str(tmp_path / "lsh_snapshot")
+    neardup_snapshot(docs).write.parquet(snap_path)
+    snapshot = spark.read.parquet(snap_path)
+
+    # arrivals: near-dups of history (one appended token) + novel docs
+    near = (
+        docs.filter(F.col("doc_id") < 20)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" trailingnoveltoken")).alias("text"),
+            "lang", "source", "n_chars",
+        )
+    )
+    novel = spark.createDataFrame(
+        [
+            (2_000_000 + i,
+             f"zzq{i} wvut{i} rqpo{i} nmlk{i} jihg{i} fedc{i} baqw{i} erty{i}",
+             "en", "synthetic", 50)
+            for i in range(5)
+        ],
+        docs.schema,
+    )
+    arrivals = near.unionByName(novel)
+    arrivals_dup = arrivals.union(arrivals)  # redelivery
+
+    want = sorted(
+        (r.digest, r.hist_doc_id, r.est_jaccard)
+        for r in neardup_hits_against_snapshot(arrivals_dup, snapshot).collect()
+    )
+    assert len({d for d, _, _ in want}) == 20  # every near-dup flagged
+    novel_digests = {
+        r.digest
+        for r in novel.select(F.md5("text").alias("digest")).collect()
+    }
+    assert not novel_digests & {d for d, _, _ in want}
+    assert all(e >= 0.5 for _, _, e in want)
+
+    arr_path = str(tmp_path / "neardup_arrivals")
+    arrivals_dup.write.parquet(str(arr_path) + "/documents.parquet")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(str(arr_path) + "/documents.parquet")
+    )
+    got = run_available_now(
+        neardup_hits_against_snapshot(stream, snapshot),
+        "t_neardup_snap",
+        str(tmp_path / "ck_neardup"),
+        output_mode="append",
+    )
+    got_rows = sorted(
+        (r.digest, r.hist_doc_id, r.est_jaccard) for r in got.collect()
+    )
+    assert got_rows == want
+
+
 def test_incremental_rollup_equals_batch_and_is_idempotent(spark, sf_dir, tmp_path):
     """Multi-batch incremental rollup == full batch groupBy, and
     re-delivering a batch's partial (retry simulation) changes nothing."""
