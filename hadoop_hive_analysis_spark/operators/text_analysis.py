@@ -444,3 +444,122 @@ DOC_TOKEN_RARITY_SQL = rf"""
     FROM ex JOIN counts USING (tok)
     GROUP BY doc_id
 """
+
+
+# ------------------------------------------- sparse TF-IDF similarity
+
+# Weight scale: w = SCALE DIV df (pure idf — shingle features are
+# distinct-per-doc, so tf is binary); 1e4 keeps worst-case dot-product
+# sums far inside int64 while preserving ranking resolution.
+TFIDF_SIM_SCALE = 10_000
+SPARSE_COS_THRESHOLD = 0.5
+# Genuine-lexical-overlap floor: a pair sharing a single rare shingle
+# has a degenerate cosine near 1.0 when that shingle dominates both
+# docs' informative vocabularies; requiring several shared shingles
+# keeps the report about real passage overlap.
+MIN_SHARED_TERMS = 3
+
+
+def doc_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARSE-vector document similarity: related/near-dup pairs by
+    idf-weighted cosine over SHINGLE features — the lexical complement
+    of both the dense-embedding LSH pack (exact term-level overlap that
+    embedding geometry can blur) and n-gram Jaccard (which counts every
+    shared shingle equally; this weights shared shingles by rarity, so
+    two docs sharing distinctive passages outrank two docs sharing
+    generic ones at equal overlap).
+
+    Features are the same distinct 3-token shingles as the dedup pack
+    (token-level features are degenerate on purpose-small vocabularies:
+    the fixture corpus has 31 distinct tokens but ~19k distinct
+    shingles). Weights are the exact rational ``SCALE DIV df``; dot
+    products and squared norms stay exact int64 over the df-capped
+    (``STOP_SHINGLE_DF``, mirrored in the oracle) vocabulary; only the
+    final cosine is floating point, a fixed IEEE expression of exact
+    integers — identical bits in both engines.
+
+    Scale shape: shingle df (one shuffle on shingle), pair enumeration
+    via the posting-list self-join with every list bounded by the df
+    cap (O(corpus x cap), never quadratic in a hot shingle), partial-agg
+    dot products, broadcast-friendly norms join.
+    """
+    from ..operators.dedup import STOP_SHINGLE_DF, _doc_shingles
+
+    sh = _doc_shingles(spark, sf_dir)
+    df = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    w = (
+        sh.join(df.filter(F.col("df") <= STOP_SHINGLE_DF), "shingle")
+        .withColumn("w", F.expr(f"{TFIDF_SIM_SCALE} DIV df"))
+        .select("doc_id", "shingle", "w")
+        .localCheckpoint(eager=False)
+    )
+    norms = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.sum(F.col("a.w") * F.col("b.w")).alias("dot"),
+            F.count("*").alias("n_shared"),
+        )
+        .filter(F.col("n_shared") >= MIN_SHARED_TERMS)
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "cosine",
+            F.col("dot").cast("double")
+            / (
+                F.sqrt(F.col("na2").cast("double"))
+                * F.sqrt(F.col("nb2").cast("double"))
+            ),
+        )
+        .filter(F.col("cosine") >= SPARSE_COS_THRESHOLD)
+        .select("doc_a", "doc_b", "n_shared", "dot", "cosine")
+    )
+
+
+def _tfidf_cosine_sql() -> str:
+    from ..operators.dedup import STOP_SHINGLE_DF, _SHINGLE_SQL
+
+    return rf"""
+    {_SHINGLE_SQL},
+    dft AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+    w AS (
+        SELECT sh.doc_id, sh.shingle, {TFIDF_SIM_SCALE} // dft.df AS w
+        FROM sh JOIN dft USING (shingle)
+        WHERE dft.df <= {STOP_SHINGLE_DF}
+    ),
+    norms AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY doc_id),
+    dots AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               sum(a.w * b.w) AS dot, count(*) AS n_shared
+        FROM w a JOIN w b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= {MIN_SHARED_TERMS}
+    )
+    SELECT doc_a, doc_b,
+           n_shared,
+           CAST(dot AS BIGINT) AS dot,
+           CAST(dot AS DOUBLE)
+               / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+               AS cosine
+    FROM dots
+    JOIN norms na ON na.doc_id = doc_a
+    JOIN norms nb ON nb.doc_id = doc_b
+    WHERE CAST(dot AS DOUBLE)
+          / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+          >= {SPARSE_COS_THRESHOLD}
+"""
+
+
+DOC_TFIDF_COSINE_SQL = _tfidf_cosine_sql()

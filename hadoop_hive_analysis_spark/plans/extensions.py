@@ -201,6 +201,16 @@ def build() -> dict:
         text_analysis.DOC_TFIDF_SQL,
         "ext: TF-IDF-style top-K terms per doc (fixed-point, log-free)",
     )
+    # Round-6 addition, staged for the r7 rotation: SPARSE-vector
+    # similarity — the lexical complement of the dense-embedding ANN
+    # pack and the rarity-weighted refinement of Jaccard.
+    q["doc_tfidf_cosine_pairs"] = QuerySpec(
+        text_analysis.doc_tfidf_cosine_pairs,
+        text_analysis.DOC_TFIDF_COSINE_SQL,
+        "ext: idf-weighted cosine pairs over shingle features (exact "
+        "int64 dots/norms, bounded posting-list join)",
+        driver=False,
+    )
     q["train_val_split"] = QuerySpec(
         tp.train_val_split,
         tp.TRAIN_VAL_SPLIT_SQL,
@@ -464,6 +474,21 @@ def build() -> dict:
         # overhead x iterations, not an operator — its scale metric is
         # per-iteration shuffle volume (k x dim), pinned by the numpy
         # differential + the centroid plan test instead.
+    )
+    # Round-6 addition, staged for the r7 rotation: the vector pack's
+    # streaming face — the centroid table maintained under continuous
+    # ingest, drained AvailableNow against the BATCH centroid's oracle
+    # (integer sums commute, so stream == batch exactly).
+    from ..streaming.vectors import embedding_centroid_replay
+
+    q["embedding_centroid_replay"] = QuerySpec(
+        embedding_centroid_replay,
+        vectors.EMBEDDING_GROUP_CENTROID_SQL,
+        "ext: streaming per-group centroid maintenance (algebraic "
+        "state, O(groups x dims)), replayed against the batch oracle",
+        driver=False,
+        bench=False,  # replay harness; the events replays carry
+        # streaming cost in the pack
     )
     # Round-6 addition, staged for the r7 rotation: the SQ8 compression
     # step an embedding store applies before indexing, with exact

@@ -361,6 +361,32 @@ def test_int8_quantize_reconstruction_bound(spark, sf_dir):
         assert int(err.sum()) == r["sum_abs_err_q"]
 
 
+def test_tfidf_cosine_ranks_planted_neardups_top(spark, sf_dir):
+    """The sparse-similarity report must surface the fixture's planted
+    near-dups at high cosine, agree with the Jaccard ground truth on
+    who the top pairs are, and never emit a sub-floor pair."""
+    from hadoop_hive_analysis_spark.operators.dedup import dedup_minhash_lsh
+    from hadoop_hive_analysis_spark.operators.text_analysis import (
+        MIN_SHARED_TERMS,
+        SPARSE_COS_THRESHOLD,
+        doc_tfidf_cosine_pairs,
+    )
+
+    got = doc_tfidf_cosine_pairs(spark, sf_dir).collect()
+    assert len(got) > 0
+    assert all(r.cosine >= SPARSE_COS_THRESHOLD for r in got)
+    assert all(r.n_shared >= MIN_SHARED_TERMS for r in got)
+    planted = {
+        (r.doc_a, r.doc_b) for r in dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    cos_pairs = {(r.doc_a, r.doc_b) for r in got}
+    # every planted near-dup pair (jaccard >= 0.8 ground truth) appears
+    assert planted <= cos_pairs
+    # and planted pairs sit at the top of the cosine ranking
+    by_cos = sorted(got, key=lambda r: -r.cosine)
+    assert {(r.doc_a, r.doc_b) for r in by_cos[: len(planted)]} == planted
+
+
 def test_token_rarity_orders_planted_outlier(spark, tmp_path):
     """A doc of corpus-unique gibberish must score minimal mean_df and
     rare_ratio 1.0; a doc repeating the corpus's commonest tokens scores
