@@ -207,28 +207,44 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr(_QUANT).alias("q")
     )
-    m = "aggregate(q, 0L, (a, x) -> greatest(a, abs(x)))"
-    codes = (
-        f"transform(q, x -> CASE WHEN {m} = 0 THEN 0L ELSE "
-        f"CAST(sign(x) AS BIGINT) * ((2*{INT8_MAX}*abs(x) + {m}) "
-        f"DIV (2*{m})) END)"
+    # Named intermediates, NOT re-inlined subexpressions: each lambda
+    # consumer referencing an attribute from the previous Project
+    # evaluates it once per row. The first cut inlined the max/codes
+    # expressions into every consumer, recomputing the max per ELEMENT
+    # of the codes transform - O(dims^2) per row, measured 4.5s vs
+    # ~0.5s for this form at sf0.1.
+    staged = (
+        emb.withColumn(
+            "m", F.expr("aggregate(q, 0L, (a, x) -> greatest(a, abs(x)))")
+        )
+        .withColumn(
+            "codes",
+            F.expr(
+                f"transform(q, x -> CASE WHEN m = 0 THEN 0L ELSE "
+                f"CAST(sign(x) AS BIGINT) * ((2*{INT8_MAX}*abs(x) + m) "
+                f"DIV (2*m)) END)"
+            ),
+        )
+        .withColumn(
+            "err",
+            F.expr(
+                f"aggregate(zip_with(q, codes, "
+                f"(x, c) -> abs({INT8_MAX}*x - c*m)), 0L, (a, e) -> a + e)"
+            ),
+        )
     )
-    err = (
-        f"aggregate(zip_with(q, {codes}, (x, c) -> abs({INT8_MAX}*x - c*{m})), "
-        f"0L, (a, e) -> a + e)"
-    )
-    return emb.select(
+    return staged.select(
         "vec_id",
         F.size("q").cast("long").alias("n_dims"),
-        F.expr(m).alias("max_abs_q"),
-        F.expr(f"aggregate({codes}, 0L, (a, c) -> a + c)").alias("sum_codes"),
+        F.col("m").alias("max_abs_q"),
+        F.expr("aggregate(codes, 0L, (a, c) -> a + c)").alias("sum_codes"),
+        F.expr("aggregate(codes, 0L, (a, c) -> a + abs(c))").alias(
+            "sum_abs_codes"
+        ),
+        F.col("err").alias("sum_abs_err_q"),
         F.expr(
-            f"aggregate({codes}, 0L, (a, c) -> a + abs(c))"
-        ).alias("sum_abs_codes"),
-        F.expr(err).alias("sum_abs_err_q"),
-        F.expr(
-            f"CASE WHEN {m} = 0 THEN 0.0 ELSE "
-            f"CAST({err} AS DOUBLE) / (CAST(size(q) AS DOUBLE) * {INT8_MAX} * {m}) END"
+            f"CASE WHEN m = 0 THEN 0.0 ELSE "
+            f"CAST(err AS DOUBLE) / (CAST(size(q) AS DOUBLE) * {INT8_MAX} * m) END"
         ).alias("mean_rel_err"),
     )
 
