@@ -470,19 +470,26 @@ SPAN_TOKENS = 8  # exact-substring window length (tokens), stride 1
 STOP_SPAN_DF = 64
 
 
-def _span_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _span_hashes(
+    spark: SparkSession, sf_dir: str, toks_df: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, s, span_h) for every stride-1 SPAN_TOKENS window — the
     shared frame under the whole span family (profile, top-K report,
     scrub). ``s`` is the 1-based token index of the span start.
-    Materialized once (localCheckpoint) for multi-consumer plans."""
+    Materialized once (localCheckpoint) for multi-consumer plans.
+
+    ``toks_df`` (doc_id, toks), if given, replaces the parquet scan —
+    span_scrub passes its own materialized tokenized corpus so the whole
+    operator reads the documents table exactly once.
+    """
     from ..functions.hashing import h64
     from ..functions.text import tokens
 
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", tokens("text").alias("toks"))
-        .filter(F.size("toks") >= SPAN_TOKENS)
-    )
+    if toks_df is None:
+        toks_df = load_table(spark, sf_dir, "documents").select(
+            "doc_id", tokens("text").alias("toks")
+        )
+    d = toks_df.filter(F.size("toks") >= SPAN_TOKENS)
     return (
         d.select(
             "doc_id",
@@ -646,23 +653,28 @@ def span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     text) so the driver exchange stays scalar; the production variant
     writes the scrubbed text column itself.
 
-    Plan: span starts join the dup set (one shuffle on span_h), collapse
-    to a per-doc sorted start-position array (bounded by doc length),
-    then ONE pass over each document's token array with higher-order
-    functions — no token-level explode, no second corpus scan, corpus
-    text never shuffles (the start arrays join back to the corpus by
-    doc_id). Coverage test per token is exists() over the doc's dup
-    starts — O(tokens × starts) worst case per doc, fine at fixture doc
-    lengths; a production corpus with pathological per-doc dup density
-    would fold the sorted starts into merged intervals first (same
-    aggregate() machinery, kept simple here).
+    Plan: the tokenized corpus is materialized ONCE (localCheckpoint)
+    and feeds both span generation and the final scrub pass — the
+    documents parquet is read exactly once (plan-pinned). Span starts
+    join the dup set (one shuffle on span_h), collapse to a per-doc
+    sorted start-position array (bounded by doc length), then ONE pass
+    over each document's token array with higher-order functions — no
+    token-level explode, corpus tokens never shuffle (the start arrays
+    join back by doc_id, broadcast side = dup docs only). Coverage test
+    per token is exists() over the doc's dup starts — O(tokens × starts)
+    worst case per doc, fine at fixture doc lengths; a production corpus
+    with pathological per-doc dup density would fold the sorted starts
+    into merged intervals first (same aggregate() machinery, kept
+    simple here).
     """
     from ..functions.text import tokens
 
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", tokens("text").alias("toks")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", tokens("text").alias("toks"))
+        .localCheckpoint(eager=False)
     )
-    spd = _span_hashes(spark, sf_dir)
+    spd = _span_hashes(spark, sf_dir, toks_df=d)
     dup = (
         spd.groupBy("span_h")
         .agg(F.count_distinct("doc_id").alias("nd"))

@@ -248,6 +248,20 @@ def test_duplicated_spans_single_span_explode(plans):
     assert "Scan ExistingRDD" in p
 
 
+def test_span_scrub_single_corpus_scan_and_broadcast_starts(plans):
+    # The tokenized corpus is materialized once and feeds BOTH span
+    # generation and the scrub pass (zero parquet re-scans in the final
+    # plan); the per-doc dup-start arrays come back via a broadcast
+    # join, so corpus tokens never shuffle.
+    p = plans("span_scrub")
+    assert p.count("documents.parquet") == 0
+    assert "Scan ExistingRDD" in p
+    assert "BroadcastHashJoin" in p
+    # the corpus side must not be sort-merge joined (that would shuffle
+    # every token array)
+    assert "SortMergeJoin" not in p
+
+
 def test_token_rarity_single_explode_and_partial_aggs(plans):
     # One materialized explode; the token-count aggregation and the
     # per-doc rollup must both partial-aggregate map-side (the Zipf head
