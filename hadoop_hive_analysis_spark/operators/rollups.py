@@ -120,3 +120,57 @@ EVENTS_PROPS_SQL = """
     WHERE k IS NOT NULL
     GROUP BY event_type
 """
+
+
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the canonical events-warehouse report
+    the pack lacked: users bucketed by FIRST-SEEN day (their cohort),
+    counted as active per day-offset from that cohort day.
+
+    Output: (cohort_epoch_day, day_offset, n_active_users) where
+    ``n_active_users`` counts DISTINCT users of the cohort active
+    exactly ``day_offset`` days after their first appearance. Days are
+    exchanged as epoch days (bigint) — no cross-engine date-type
+    coupling.
+
+    Scale shape: first-seen is one shuffle on user_id (map-side partial
+    min); the join back to events is on the SAME key, so it reuses the
+    partitioning (co-partitioned, or broadcast while the user dimension
+    fits); distinct (cohort, offset, user) then the final count are
+    partial-agg-bounded. Nothing touches more than (user, day) pairs
+    after the first projection.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("unix_date(to_date(ts))").cast("long").alias("d")
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
+    return (
+        ev.join(first, "user_id")
+        .select(
+            "cohort_d", (F.col("d") - F.col("cohort_d")).alias("day_offset"), "user_id"
+        )
+        .distinct()
+        .groupBy("cohort_d", "day_offset")
+        .agg(F.count("*").alias("n_active_users"))
+        .select(
+            F.col("cohort_d").alias("cohort_epoch_day"),
+            "day_offset",
+            "n_active_users",
+        )
+    )
+
+
+EVENTS_COHORT_RETENTION_SQL = """
+    WITH ev AS (
+        SELECT user_id,
+               CAST(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INT) AS BIGINT)
+                   AS d
+        FROM events
+    ),
+    first AS (SELECT user_id, min(d) AS cohort_d FROM ev GROUP BY user_id)
+    SELECT cohort_d AS cohort_epoch_day,
+           d - cohort_d AS day_offset,
+           CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_active_users
+    FROM ev JOIN first USING (user_id)
+    GROUP BY 1, 2
+"""

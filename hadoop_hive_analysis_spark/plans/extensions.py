@@ -371,6 +371,16 @@ def build() -> dict:
         rollups.EVENTS_PIVOT_SQL,
         "ext: pivot long→wide",
     )
+    # Round-6 addition, staged for the r7 rotation: the canonical
+    # events-warehouse report the pack lacked — first-seen cohorts x
+    # day-offset activity, self-join on the already-partitioned key.
+    q["events_cohort_retention"] = QuerySpec(
+        rollups.events_cohort_retention,
+        rollups.EVENTS_COHORT_RETENTION_SQL,
+        "ext: cohort retention matrix (first-seen day x offset, "
+        "distinct active users; partitioning reused across agg+join)",
+        driver=False,
+    )
     # Rotated out of the driver window in round 6 (slot went to
     # doc_token_rarity): scalar JSON extraction is a single-expression
     # projection with no shuffle/join shape of its own, and pii_scrub +
