@@ -248,6 +248,15 @@ def test_duplicated_spans_single_span_explode(plans):
     assert "Scan ExistingRDD" in p
 
 
+def test_tfidf_cosine_materializes_weight_frame(plans):
+    # The df-capped weight frame feeds three branches (norms + both
+    # self-join sides): it must be materialized, not re-derived from the
+    # corpus per branch.
+    p = plans("doc_tfidf_cosine_pairs")
+    assert p.count("documents.parquet") == 0
+    assert "Scan ExistingRDD" in p
+
+
 def test_span_scrub_single_corpus_scan_and_broadcast_starts(plans):
     # The tokenized corpus is materialized once and feeds BOTH span
     # generation and the scrub pass (zero parquet re-scans in the final
