@@ -591,16 +591,22 @@ TOPK_SPANS = 20
 def duplicated_spans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus observability on top of the span profile: the TOPK_SPANS
     most widely duplicated exact substrings — by distinct-document
-    spread, then total occurrences — with an example document to pull
-    the actual passage from. This is the "what IS all this duplicated
-    text" report an engineer runs before choosing scrub thresholds;
-    unlike :func:`duplicated_spans` it deliberately keeps boilerplate
-    (no df cap): the hottest spans are exactly what the report is for.
+    spread, then total occurrences — with an (example_doc,
+    example_start) pointer that locates the actual passage: slice the
+    example document's tokens at [example_start, example_start +
+    SPAN_TOKENS) to read the duplicated text, no corpus re-scan. This
+    is the "what IS all this duplicated text" report an engineer runs
+    before choosing scrub thresholds; unlike :func:`duplicated_spans`
+    it deliberately keeps boilerplate (no df cap): the hottest spans
+    are exactly what the report is for.
 
-    Scale shape: one shuffle on span_h with map-side partial aggs, then
-    TakeOrderedAndProject for the top-K — no global sort. Ordering is
-    fully deterministic (span_h is unique per row, so the three-level
-    tie-break admits exactly one answer).
+    Scale shape: one shuffle on span_h with map-side partial aggs
+    (min over a (doc_id, s) struct is as partial-aggregable as min over
+    a scalar), then TakeOrderedAndProject for the top-K — no global
+    sort. Ordering is fully deterministic (span_h is unique per row, so
+    the three-level tie-break admits exactly one answer), and so is the
+    pointer (lexicographic struct-min picks the lowest (doc, start)
+    occurrence).
     """
     sp = _span_hashes(spark, sf_dir)
     return (
@@ -608,7 +614,7 @@ def duplicated_spans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count_distinct("doc_id").alias("n_docs"),
             F.count("*").alias("n_occurrences"),
-            F.min("doc_id").alias("example_doc"),
+            F.min(F.struct("doc_id", "s")).alias("ex"),
         )
         .filter(F.col("n_docs") > 1)
         .orderBy(
@@ -617,6 +623,13 @@ def duplicated_spans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("span_h").asc(),
         )
         .limit(TOPK_SPANS)
+        .select(
+            "span_h",
+            "n_docs",
+            "n_occurrences",
+            F.col("ex.doc_id").alias("example_doc"),
+            F.col("ex.s").cast("long").alias("example_start"),
+        )
     )
 
 
@@ -625,21 +638,28 @@ DUPLICATED_SPANS_TOPK_SQL = rf"""
         SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
     ),
     sp AS (
-        SELECT doc_id,
+        SELECT doc_id, s,
                {h64_sql(f"array_to_string(list_slice(t, s, s + {SPAN_TOKENS} - 1), ' ')")}
                AS span_h
         FROM (
             SELECT doc_id, t, unnest(range(1, len(t) - {SPAN_TOKENS} + 2)) AS s
             FROM toks WHERE len(t) >= {SPAN_TOKENS}
         )
+    ),
+    agg AS (
+        SELECT span_h,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               count(*) AS n_occurrences,
+               -- lexicographic struct-min == Spark's min(struct(doc_id, s))
+               min(struct_pack(doc_id := doc_id, s := s)) AS ex
+        FROM sp
+        GROUP BY span_h
+        HAVING count(DISTINCT doc_id) > 1
     )
-    SELECT span_h,
-           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-           count(*) AS n_occurrences,
-           min(doc_id) AS example_doc
-    FROM sp
-    GROUP BY span_h
-    HAVING count(DISTINCT doc_id) > 1
+    SELECT span_h, n_docs, n_occurrences,
+           ex.doc_id AS example_doc,
+           CAST(ex.s AS BIGINT) AS example_start
+    FROM agg
     ORDER BY n_docs DESC, n_occurrences DESC, span_h ASC
     LIMIT {TOPK_SPANS}
 """
@@ -660,12 +680,20 @@ def span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted start-position array (bounded by doc length), then ONE pass
     over each document's token array with higher-order functions — no
     token-level explode, corpus tokens never shuffle (the start arrays
-    join back by doc_id, broadcast side = dup docs only). Coverage test
-    per token is exists() over the doc's dup starts — O(tokens × starts)
-    worst case per doc, fine at fixture doc lengths; a production corpus
-    with pathological per-doc dup density would fold the sorted starts
-    into merged intervals first (same aggregate() machinery, kept
-    simple here).
+    join back by doc_id, broadcast side = dup docs only). The sorted
+    starts are first folded into MERGED coverage intervals (one
+    aggregate() pass, touching intervals coalesce), so the per-token
+    coverage test is exists() over the merged intervals — O(tokens ×
+    intervals), where a boilerplate-heavy doc with thousands of
+    overlapping starts collapses to a handful of intervals (the
+    pathological-density case the raw-starts form was quadratic on;
+    stress-pinned in tests/test_text_pipeline.py). The fold itself is
+    O(starts × intervals) ≤ O(tokens × intervals), so the merge never
+    costs more than the scan it accelerates. The interval column is a
+    STAGED named attribute, not a re-inlined subexpression — inlining
+    the aggregate() into the filter lambda would re-run the fold per
+    TOKEN (the measured O(d²) re-inlining trap from the int8
+    quantizer).
     """
     from ..functions.text import tokens
 
@@ -690,10 +718,25 @@ def span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.join(starts, "doc_id", "left")
         .withColumn("starts", F.coalesce("starts", F.expr("array()")))
         .withColumn(
+            "ivals",
+            F.expr(
+                f"aggregate(starts, "
+                f"CAST(array() AS array<struct<lo:int,hi:int>>), "
+                f"(acc, s) -> CASE WHEN size(acc) > 0 "
+                f"AND s <= element_at(acc, -1).hi + 1 THEN "
+                f"concat(slice(acc, 1, size(acc) - 1), "
+                f"array(named_struct('lo', element_at(acc, -1).lo, "
+                f"'hi', greatest(element_at(acc, -1).hi, "
+                f"s + {SPAN_TOKENS} - 1)))) "
+                f"ELSE concat(acc, array(named_struct('lo', s, "
+                f"'hi', s + {SPAN_TOKENS} - 1))) END)"
+            ),
+        )
+        .withColumn(
             "kept",
             F.expr(
-                f"filter(sequence(1, size(toks)), i -> "
-                f"NOT exists(starts, s -> i >= s AND i < s + {SPAN_TOKENS}))"
+                "filter(sequence(1, size(toks)), i -> "
+                "NOT exists(ivals, v -> i >= v.lo AND i <= v.hi))"
             ),
         )
         .withColumn(

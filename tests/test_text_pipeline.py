@@ -292,6 +292,35 @@ def test_span_scrub_removes_exactly_the_shared_passage(spark, tmp_path):
     assert out[2]["scrub_md5"] == want2
 
 
+def test_span_scrub_pathological_density_merges_intervals(spark, tmp_path):
+    """Stress the interval-merge fold: two near-identical 4000-token docs
+    where EVERY position starts a duplicated span — ~4000 overlapping
+    starts per doc that must collapse to a single merged interval. The
+    raw-starts coverage test was O(tokens x starts) ~ 16M lambda evals
+    per doc on this shape; the merged form is one interval, so the scan
+    is linear and the test completes in seconds. Correctness pinned
+    exactly: the shared 4000 tokens are fully removed, only each doc's
+    unique lead token survives."""
+    import hashlib
+
+    from hadoop_hive_analysis_spark.operators.dedup import span_scrub
+
+    common = " ".join(f"tok{i % 97}x{i % 89}" for i in range(4000))
+    rows = [(1, "uniqueleadone " + common), (2, "uniqueleadtwo " + common)]
+    d = tmp_path / "mini_dense"
+    d.mkdir()
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+        str(d / "documents.parquet")
+    )
+    out = {r["doc_id"]: r for r in span_scrub(spark, str(d)).collect()}
+    # every span inside `common` is shared -> coverage = tokens 2..4001,
+    # one merged interval; only the unique lead token survives
+    assert out[1]["n_tokens"] == 4001 and out[1]["n_removed"] == 4000
+    assert out[2]["n_removed"] == 4000
+    assert out[1]["scrub_md5"] == hashlib.md5(b"uniqueleadone").hexdigest()
+    assert out[2]["scrub_md5"] == hashlib.md5(b"uniqueleadtwo").hexdigest()
+
+
 def test_duplicated_spans_topk_ranks_hottest_passage(spark, tmp_path):
     """The observability report: a passage shared by 3 docs outranks one
     shared by 2; singleton spans never appear."""
@@ -318,6 +347,14 @@ def test_duplicated_spans_topk_ranks_hottest_passage(spark, tmp_path):
     )
     got = duplicated_spans_topk(spark, str(d)).collect()
     assert got[0]["n_docs"] == 3 and got[0]["example_doc"] == 1
+    # the (example_doc, example_start) pointer LOCATES the passage: doc 1
+    # is "lead {hot} tail111", so the hot span starts at token 2, and
+    # re-slicing the document's tokens at the pointer recovers the text
+    # without any corpus re-scan.
+    assert got[0]["example_start"] == 2
+    toks = rows[0][1].split()
+    s = got[0]["example_start"]
+    assert " ".join(toks[s - 1 : s - 1 + SPAN_TOKENS]) == hot
     assert all(r["n_docs"] > 1 for r in got)
     assert any(r["n_docs"] == 2 for r in got)
     # every listed span has n_occurrences >= n_docs by construction
