@@ -183,6 +183,115 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Driver-asserted k-means quality floor (exact integer cross-multiply, no
+# float compare — the ANN recall-floor contract applied to the clustering
+# path). Measured fit-vs-global-baseline WCSS ratios on the fixtures:
+# 0.930 / 0.931 / 0.952 at sf0.001/0.01/0.1 (near-orthogonal random
+# embeddings are the WORST case for k-means — little cluster structure to
+# find, so the reduction over the null model is modest). The floor sits
+# above the observed maximum with margin but below 1.0 — a broken E-step
+# argmin, drifted init, or M-step regression pushes the ratio to >= 1.0
+# (random assignment can't beat the global centroid); the ORACLE emits
+# literal TRUE, so that failure flips the hashed boolean and turns the
+# driver row red.
+KMEANS_WCSS_FLOOR = (49, 50)  # fit WCSS must be <= 0.98 x baseline
+
+
+def embedding_kmeans_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row, driver-hashable quality floor for the distributed k-means:
+    (n_vectors, n_assigned, baseline_wcss, wcss_floor_met).
+
+    The iterative fit itself is not SQL-expressible, so — exactly like
+    :func:`..similarity.ann_ivf_recall` — the oracle checks what IS
+    derivable from the data alone and asserts the quality boolean TRUE:
+
+    * ``n_vectors`` / ``n_assigned``: corpus size and E-step output size
+      (completeness: every vector must be assigned exactly once);
+    * ``baseline_wcss``: the exact integer WCSS around the single GLOBAL
+      centroid (floor-divided per-dim mean in the same quantized space —
+      the k=1 null model). This IS SQL-expressible, so the oracle
+      recomputes it to the bit;
+    * ``wcss_floor_met``: fit WCSS <= (49/50) x baseline by integer
+      cross-multiply — k=KMEANS_K must beat the null model by the
+      measured margin or the driver hash fails.
+
+    Scale shape: two extra corpus passes beyond the fit (baseline E-step
+    + the fit's final E-step), both pure codegen map-side with one-row
+    aggregates; the global centroid is a 1 x DIM driver-side reduction
+    (bounded like the fit's k x DIM M-step collect).
+    """
+    from .similarity import _quantized
+
+    q = _quantized(spark, sf_dir)
+
+    # global per-dim floor-div mean in quantized space — the k=1 centroid
+    dims = (
+        q.select(F.posexplode("q").alias("d", "val"))
+        .groupBy("d")
+        .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+        .collect()
+    )
+    global_cent = [0] * len(dims)
+    for r in dims:
+        global_cent[r["d"]] = r["s"] // r["n"]
+
+    cents = kmeans_fit(spark, sf_dir)
+    fit = _kmeans_assign(q, cents).agg(
+        F.count("*").cast("long").alias("n_assigned"),
+        F.sum("dist").alias("fit_wcss"),
+    )
+    base = _kmeans_assign(q, [global_cent]).agg(
+        F.sum("dist").alias("baseline_wcss")
+    )
+    num, den = KMEANS_WCSS_FLOOR
+    return (
+        q.agg(F.count("*").cast("long").alias("n_vectors"))
+        .crossJoin(fit)
+        .crossJoin(base)
+        .select(
+            "n_vectors",
+            "n_assigned",
+            "baseline_wcss",
+            (F.col("fit_wcss") * den <= F.col("baseline_wcss") * num).alias(
+                "wcss_floor_met"
+            ),
+        )
+    )
+
+
+# The oracle recomputes the k=1 baseline exactly: portable floor division
+# via the always-non-negative remainder ((s % n) + n) % n, so C-style and
+# Python-style % semantics agree and (s - r) / n divides evenly.
+EMBEDDING_KMEANS_QUALITY_SQL = f"""
+    WITH q AS (
+        SELECT vec_id, {_QUANT_SQL} AS qv FROM embeddings
+    ),
+    e AS (
+        SELECT vec_id,
+               unnest(generate_series(0, len(qv) - 1)) AS dim,
+               unnest(qv) AS v
+        FROM q
+    ),
+    cent AS (
+        SELECT dim,
+               (sum(v) - ((sum(v) % count(*)) + count(*)) % count(*))
+                   // count(*) AS c
+        FROM e
+        GROUP BY dim
+    ),
+    base AS (
+        SELECT CAST(sum((e.v - cent.c) * (e.v - cent.c)) AS BIGINT)
+            AS baseline_wcss
+        FROM e JOIN cent USING (dim)
+    )
+    SELECT (SELECT count(*) FROM q) AS n_vectors,
+           (SELECT count(*) FROM q) AS n_assigned,
+           base.baseline_wcss,
+           TRUE AS wcss_floor_met
+    FROM base
+"""
+
+
 # ------------------------------------------------ int8 vector quantization
 
 INT8_MAX = 127

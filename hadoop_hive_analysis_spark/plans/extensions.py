@@ -63,8 +63,15 @@ def build() -> dict:
         dedup.DEDUP_MINHASH_LSH_SQL,
         "ext: MinHash+LSH near-dup",
     )
+    # Rotated out of the driver window in round 7 (slot went to
+    # duplicated_spans_topk): MinHash-LSH keeps banded shingle near-dup
+    # driver-visible, and SimHash's one-pass signature + pigeonhole
+    # byte-band join stays pytest-parity + bench.
     q["dedup_simhash"] = QuerySpec(
-        dedup.dedup_simhash, dedup.DEDUP_SIMHASH_SQL, "ext: SimHash near-dup"
+        dedup.dedup_simhash,
+        dedup.DEDUP_SIMHASH_SQL,
+        "ext: SimHash near-dup",
+        driver=False,
     )
     # Round-5 addition: partial-overlap coverage the doc-level strategies
     # miss (Lee-et-al-style exact-substring profile). Promoted in the
@@ -75,23 +82,25 @@ def build() -> dict:
         "ext: cross-document exact-substring duplication profile "
         "(stride-1 token-window hashes, df-capped dup set)",
     )
-    # Round-6 additions, staged for the r7 rotation (window full): the
-    # observability and REMOVAL halves of exact-substring dedup — the
-    # profile (duplicated_spans) says how much text is copied, the top-K
-    # report says WHAT it is, the scrub actually deletes it.
+    # Promoted in the round-7 rotation (slots from dedup_simhash and
+    # multimodal_decode_stub): the observability and REMOVAL halves of
+    # exact-substring dedup — the profile (duplicated_spans) says how
+    # much text is copied, the top-K report says WHAT it is (with an
+    # (example_doc, example_start) pointer locating the passage), the
+    # scrub actually deletes it.
     q["duplicated_spans_topk"] = QuerySpec(
         dedup.duplicated_spans_topk,
         dedup.DUPLICATED_SPANS_TOPK_SQL,
         "ext: top-K most-duplicated exact substrings (corpus "
-        "observability; deterministic three-level tie-break)",
-        driver=False,
+        "observability; deterministic three-level tie-break + "
+        "(doc, start) passage pointer)",
     )
     q["span_scrub"] = QuerySpec(
         dedup.span_scrub,
         dedup.SPAN_SCRUB_SQL,
         "ext: Lee-et-al exact-substring REMOVAL (duplicated-span tokens "
-        "deleted, scrubbed text hashed; corpus text never shuffles)",
-        driver=False,
+        "deleted via merged coverage intervals, scrubbed text hashed; "
+        "corpus text never shuffles)",
     )
     q["dedup_embedding_lsh"] = QuerySpec(
         similarity.dedup_embedding_lsh,
@@ -168,10 +177,15 @@ def build() -> dict:
         tp.CONTAMINATION_SQL,
         "ext: benchmark-contamination scan (broadcast shingle semi-join)",
     )
+    # Rotated out of the driver window in round 7 (slot went to
+    # doc_tfidf_cosine_pairs): posexplode token-window projection is the
+    # same physical kernel seq_packing and duplicated_spans keep
+    # driver-visible; keeps pytest parity + bench.
     q["doc_chunks"] = QuerySpec(
         tp.doc_chunks,
         tp.DOC_CHUNKS_SQL,
         "ext: sliding-window token chunking (posexplode, pure codegen)",
+        driver=False,
     )
     q["pii_scrub"] = QuerySpec(
         tp.pii_scrub,
@@ -201,20 +215,25 @@ def build() -> dict:
         text_analysis.DOC_TFIDF_SQL,
         "ext: TF-IDF-style top-K terms per doc (fixed-point, log-free)",
     )
-    # Round-6 addition, staged for the r7 rotation: SPARSE-vector
-    # similarity — the lexical complement of the dense-embedding ANN
-    # pack and the rarity-weighted refinement of Jaccard.
+    # Promoted in the round-7 rotation (slot from doc_chunks):
+    # SPARSE-vector similarity — the lexical complement of the
+    # dense-embedding ANN pack and the rarity-weighted refinement of
+    # Jaccard.
     q["doc_tfidf_cosine_pairs"] = QuerySpec(
         text_analysis.doc_tfidf_cosine_pairs,
         text_analysis.DOC_TFIDF_COSINE_SQL,
         "ext: idf-weighted cosine pairs over shingle features (exact "
         "int64 dots/norms, bounded posting-list join)",
-        driver=False,
     )
+    # Rotated out of the driver window in round 7 (slot went to
+    # events_cohort_retention): the stable hash-bucket assignment signal
+    # stays driver-visible via train_stratified_sample (same portable
+    # hash machinery); keeps pytest parity + bench.
     q["train_val_split"] = QuerySpec(
         tp.train_val_split,
         tp.TRAIN_VAL_SPLIT_SQL,
         "ext: stable train/val split + reproducible shuffle key",
+        driver=False,
     )
     # Promoted in the round-4 rotation (slot from setop_nations):
     # deterministic per-stratum quota sample; map-side WindowGroupLimit
@@ -366,20 +385,26 @@ def build() -> dict:
         rollups.EVENTS_HIERARCHICAL_ROLLUP_SQL,
         "ext: continuous-aggregate rollup (daily from hourly partials)",
     )
+    # Rotated out of the driver window in round 7 (slot went to
+    # events_cohort_retention): pivot is a grouped conditional-agg
+    # projection whose physical shape (partial-agg groupBy over events)
+    # the rollup + salted rows keep driver-visible; keeps pytest parity
+    # + bench.
     q["events_pivot_by_type"] = QuerySpec(
         rollups.events_pivot_by_type,
         rollups.EVENTS_PIVOT_SQL,
         "ext: pivot long→wide",
+        driver=False,
     )
-    # Round-6 addition, staged for the r7 rotation: the canonical
-    # events-warehouse report the pack lacked — first-seen cohorts x
-    # day-offset activity, self-join on the already-partitioned key.
+    # Promoted in the round-7 rotation (slot from train_val_split): the
+    # canonical events-warehouse report the pack lacked — first-seen
+    # cohorts x day-offset activity, self-join on the already-
+    # partitioned key.
     q["events_cohort_retention"] = QuerySpec(
         rollups.events_cohort_retention,
         rollups.EVENTS_COHORT_RETENTION_SQL,
         "ext: cohort retention matrix (first-seen day x offset, "
         "distinct active users; partitioning reused across agg+join)",
-        driver=False,
     )
     # Rotated out of the driver window in round 6 (slot went to
     # doc_token_rarity): scalar JSON extraction is a single-expression
@@ -450,11 +475,17 @@ def build() -> dict:
         "ext: binary payload metadata",
         driver=False,
     )
+    # Rotated out of the driver window in round 7 (slot went to
+    # span_scrub): the REAL PPM/BMP decoder now carries the Arrow
+    # mapInPandas binary-decode path in pytest (valid/truncated/poison
+    # corpora), so the stand-in decoder's hash row was the weaker twin.
+    # Keeps pytest parity + bench.
     q["multimodal_decode_stub"] = QuerySpec(
         multimodal.multimodal_decode_stub,
         multimodal.MULTIMODAL_DECODE_SQL,  # hex-expansion byte twin
         "ext: Arrow-batched decode/feature extraction (deterministic "
         "stand-in decoder, hash-checked via byte-arithmetic DuckDB twin)",
+        driver=False,
     )
 
     # --- Similarity search (embeddings) ---
@@ -485,6 +516,20 @@ def build() -> dict:
         # per-iteration shuffle volume (k x dim), pinned by the numpy
         # differential + the centroid plan test instead.
     )
+    # Round-7 addition (slot from ann_bruteforce_topk): the k-means
+    # path's driver-visible quality signal — the iterative fit itself
+    # stays rows-only above, but its WCSS-vs-null-model floor is a
+    # one-row hash check exactly like the ANN recall floors (the oracle
+    # recomputes the k=1 baseline WCSS to the bit and asserts the
+    # floor boolean TRUE).
+    q["embedding_kmeans_quality"] = QuerySpec(
+        vectors.embedding_kmeans_quality,
+        vectors.EMBEDDING_KMEANS_QUALITY_SQL,
+        "ext: k-means quality floor (exact k=1 baseline WCSS + "
+        "fit-beats-null-model assertion, integer cross-multiply)",
+        bench=False,  # runs the iterative fit internally — same
+        # job-scheduling-overhead rationale as embedding_kmeans
+    )
     # Round-6 addition, staged for the r7 rotation: the vector pack's
     # streaming face — the centroid table maintained under continuous
     # ingest, drained AvailableNow against the BATCH centroid's oracle
@@ -510,10 +555,17 @@ def build() -> dict:
         "rounding + reconstruction-error sums, pure codegen)",
         driver=False,
     )
+    # Rotated out of the driver window in round 7 (slot went to
+    # embedding_kmeans_quality): ann_lsh_recall RUNS this exact
+    # brute-force path as its baseline side AND its oracle recomputes
+    # both sides exactly, so the standalone top-K row duplicated the
+    # driver signal (the same rationale that demoted ann_lsh_topk in
+    # round 6). Keeps pytest parity + bench.
     q["ann_bruteforce_topk"] = QuerySpec(
         similarity.ann_bruteforce_topk,
         similarity.ANN_BRUTEFORCE_SQL,
         "ext: brute-force top-K similarity (quantized MIPS)",
+        driver=False,
     )
     # Rotated out of the driver window in round 6 (slot went to
     # documents_dedup_replay): ann_lsh_recall RUNS this same bucketed
@@ -643,10 +695,12 @@ def build() -> dict:
         # overhead, not the operator; the three events replays already
         # carry streaming cost in the pack
     )
-    # Round-6 addition, staged for the r7 rotation: the NEAR-dup ingest
-    # face — stream-static LSH band join against a batch-built snapshot,
-    # stateless per-row signatures (proven equal to the batch groupBy
-    # signatures bit-for-bit in tests), signature-agreement verify.
+    # Promoted in the round-7 rotation (slot from events_pivot_by_type):
+    # the NEAR-dup ingest face — stream-static LSH band join against a
+    # batch-built snapshot, stateless per-row signatures (proven equal
+    # to the batch groupBy signatures bit-for-bit in tests), signature-
+    # agreement verify — the streaming shape none of the four stateful
+    # replays covers (stream-static join, zero state for history).
     from ..streaming.dedup import (
         DOCUMENTS_NEARDUP_REPLAY_SQL,
         documents_neardup_replay,
@@ -658,7 +712,6 @@ def build() -> dict:
         "ext: streaming near-dup ingest vs LSH snapshot (stream-static "
         "band equi-join + signature-agreement verify), replayed against "
         "a pure-SQL signature oracle",
-        driver=False,
         bench=False,  # same rationale as the digest replay above
     )
     # Promoted in the round-5 rotation (slot from events_sessionize):

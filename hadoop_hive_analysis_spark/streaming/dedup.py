@@ -233,11 +233,26 @@ def neardup_snapshot(docs: DataFrame) -> DataFrame:
 
 
 def neardup_hits_against_snapshot(
-    arrivals: DataFrame, snapshot: DataFrame
+    arrivals: DataFrame, snapshot: DataFrame, hit_state_ttl: str | None = None
 ) -> DataFrame:
     """NEAR-dup analog of :func:`streaming_dedup_against_snapshot`: flag
     arriving documents that are near-duplicates of the historical corpus
     without any streaming state for history.
+
+    **State bound — a continuous deployment MUST pick one of two
+    eviction strategies.** The final per-(digest, history doc)
+    dropDuplicates holds one row per distinct hit pair SINCE QUERY
+    START — fine for the AvailableNow replay, but unbounded between
+    restarts of a genuinely continuous query. Either (a) restart the
+    query at every snapshot refresh (the default form; state resets to
+    empty, so it is bounded by one refresh period's hit cardinality —
+    the same restart cadence the snapshot pattern already requires, and
+    the only form that is also a valid BATCH plan), or (b) pass
+    ``hit_state_ttl`` (e.g. ``"2 hours"``) to use an ingest-time
+    ``dropDuplicatesWithinWatermark`` instead — state is evicted by the
+    watermark clock regardless of restart cadence, at the cost that a
+    hit pair recurring after the TTL is re-emitted (downstream must
+    upsert, and the variant is streaming-only).
 
     Written in pure DataFrame ops so the SAME function is the batch twin
     and the streaming operator (pass a streaming ``arrivals`` and it
@@ -246,9 +261,7 @@ def neardup_hits_against_snapshot(
     band_sig) equi-join against the snapshot — Catalyst treats the
     static side like any batch relation (broadcast or shuffled by size)
     — and verification is signature agreement via zip_with, stateless
-    again. The only streaming state is the final per-(digest, history
-    doc) dropDuplicates, bounded by the window's hit count, evicted at
-    snapshot-refresh restarts like the exact-dedup pattern above.
+    again.
 
     Output: (digest, hist_doc_id, est_jaccard) — one row per arriving
     content × matched history doc.
@@ -280,15 +293,22 @@ def neardup_hits_against_snapshot(
         "aggregate(zip_with(arr_sig, hist_sig, (x, y) -> IF(x = y, 1, 0)), "
         "0, (acc, v) -> acc + v)"
     )
-    return (
+    hits = (
         arr.join(hist, ["band", "band_sig"])
         .withColumn(
             "est_jaccard", agree.cast("double") / F.lit(NUM_HASHES)
         )
         .filter(F.col("est_jaccard") >= EST_JACCARD_THRESHOLD)
-        .dropDuplicates(["digest", "hist_doc_id"])
-        .select("digest", "hist_doc_id", "est_jaccard")
     )
+    if hit_state_ttl is not None:
+        hits = (
+            hits.withColumn("ingest_ts", F.current_timestamp())
+            .withWatermark("ingest_ts", hit_state_ttl)
+            .dropDuplicatesWithinWatermark(["digest", "hist_doc_id"])
+        )
+    else:
+        hits = hits.dropDuplicates(["digest", "hist_doc_id"])
+    return hits.select("digest", "hist_doc_id", "est_jaccard")
 
 
 def _neardup_replay_sql() -> str:

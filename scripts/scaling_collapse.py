@@ -43,22 +43,31 @@ def main() -> None:
     for m in multipliers:
         d = build_scaled_corpus(spark, m)
         try:
-            best, survivors = float("inf"), None
+            # Per-run (wall, cpu) samples so the reported pair describes
+            # ONE execution (the best-wall run), and the survivor count
+            # runs AFTER both timed runs so it can't pollute either.
+            samples = []
+            df = None
             for _ in range(2):
                 t0 = time.perf_counter()
                 cpu0 = cpu_seconds(spark)
                 df = dedup_collapse(spark, d)
                 df.write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
-                cpu = cpu_seconds(spark) - cpu0
-                if survivors is None:
-                    survivors = df.count()
+                samples.append(
+                    {
+                        "wall_sec": round(time.perf_counter() - t0, 3),
+                        "cpu_sec": round(cpu_seconds(spark) - cpu0, 2),
+                    }
+                )
+            best = min(samples, key=lambda s: s["wall_sec"])
+            survivors = df.count()
             row = {
                 "multiplier": m,
                 "docs": 5000 * m,
                 "survivors": survivors,
-                "wall_sec": round(best, 3),
-                "cpu_sec": round(cpu, 2),
+                "wall_sec": best["wall_sec"],
+                "cpu_sec": best["cpu_sec"],
+                "samples": samples,
                 "peak_mem_mb": peak_mem_mb(spark),
             }
             results.append(row)
