@@ -76,8 +76,11 @@ def main() -> None:
         out["store_sales"] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
     regressions = _regressions_vs_prior(timings, sf)
     factor = regressions.pop("_host_speed_factor", None)
+    by_file = regressions.pop("_host_speed_factor_by_file", None)
     if factor is not None:
         out["host_speed_factor"] = factor
+    if by_file:
+        out["host_speed_factor_by_file"] = by_file
     if regressions:
         out["regressions_vs_prior"] = regressions
     # BASELINE.md comparables: the reference reports CPU-s and MB-s; Spark's
@@ -134,6 +137,7 @@ def _emit(
 
     slim = dict(out)
     for prune in (
+        lambda d: d.pop("host_speed_factor_by_file", None),
         lambda d: d.pop("regressions_vs_prior", None),
         lambda d: d.update(
             {"errors": sorted(d["errors"])} if "errors" in d else {}
@@ -293,14 +297,32 @@ def _regressions_vs_prior(timings: dict[str, float], sf: float) -> dict:
     }
     if not ratios:
         return {}
-    ordered = sorted(ratios.values())
-    median = ordered[len(ordered) // 2]
-    # Never normalize a genuine pack-wide slowdown away as "the host
-    # got faster would hide it" — only divide out factors > 1, and
-    # carry the factor in the artifact either way.
-    norm = max(median, 1.0)
+
+    def _median(vals: list[float]) -> float:
+        ordered = sorted(vals)
+        return ordered[len(ordered) // 2]
+
+    # Host-speed normalization is PER BASELINE FILE: each prior artifact
+    # was recorded under its own host conditions, so a query whose only
+    # baseline is an older round artifact must not be normalized by a
+    # factor dominated by sidecar-era ratios (ADVICE r6). Files that
+    # contribute too few names for a stable median fall back to the
+    # global median.
+    by_file: dict[str, list[float]] = {}
+    for name, ratio in ratios.items():
+        by_file.setdefault(baseline[name][1], []).append(ratio)
+    global_median = _median(list(ratios.values()))
+    MIN_NAMES_FOR_FILE_MEDIAN = 5
+    file_median = {
+        f: (_median(v) if len(v) >= MIN_NAMES_FOR_FILE_MEDIAN else global_median)
+        for f, v in by_file.items()
+    }
     flagged = {}
     for name, ratio in ratios.items():
+        # Never normalize a genuine pack-wide slowdown away as "the host
+        # got faster would hide it" — only divide out factors > 1, and
+        # carry the factor in the artifact either way.
+        norm = max(file_median[baseline[name][1]], 1.0)
         if ratio / norm > 1.2:
             flagged[name] = {
                 "prior": baseline[name][0],
@@ -309,7 +331,11 @@ def _regressions_vs_prior(timings: dict[str, float], sf: float) -> dict:
                 "ratio_vs_pack": round(ratio / norm, 2),
                 "baseline": baseline[name][1],
             }
-    flagged["_host_speed_factor"] = round(median, 2)
+    flagged["_host_speed_factor"] = round(global_median, 2)
+    if len(file_median) > 1:
+        flagged["_host_speed_factor_by_file"] = {
+            f: round(m, 2) for f, m in file_median.items()
+        }
     return flagged
 
 

@@ -72,32 +72,36 @@ MULTIMODAL_META_SQL = f"""
 
 
 def decode_image_batch(payload: bytes) -> tuple[int, int, int, float]:
-    """REAL minimal decoder for the two classic header+raster formats a
-    pure-stdlib environment can parse — binary PPM (``P6``) and
-    uncompressed 24/32-bit BMP (``BM``/BI_RGB). Returns
-    ``(width, height, channels, mean_pixel_byte)`` where the mean is over
-    PIXEL data only (BMP row padding excluded). Raises ``ValueError`` on
-    any other format — a real deployment widens the dispatch with
-    PIL/libvips, but the container has no image libraries, so these two
-    formats are what "real decode" can honestly mean here. The pipeline
-    entry point is :func:`decode_images`; :func:`_fake_decode` remains
-    the deterministic oracle twin for the hash-checked registry query
-    (fixture payloads are text bytes, not images).
+    """REAL minimal decoder for the classic header+raster formats a
+    pure-stdlib environment can parse — binary PPM (``P6``), binary
+    PGM (``P5``), and uncompressed 24/32-bit BMP (``BM``/BI_RGB).
+    Returns ``(width, height, channels, mean_pixel_byte)`` where the
+    mean is over PIXEL data only (BMP row padding excluded). Raises
+    ``ValueError`` on any other format — a real deployment widens the
+    dispatch with PIL/libvips, but the container has no image
+    libraries, so these formats are what "real decode" can honestly
+    mean here. The pipeline entry point is :func:`decode_images`;
+    :func:`_fake_decode` remains the deterministic oracle twin for the
+    hash-checked registry query (fixture payloads are text bytes, not
+    images).
     """
     if payload[:2] == b"P6":
-        return _decode_ppm(payload)
+        return _decode_pnm(payload, channels=3)
+    if payload[:2] == b"P5":
+        return _decode_pnm(payload, channels=1)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     raise ValueError(
         f"unsupported image format (magic {payload[:2]!r}); this minimal "
-        "decoder handles binary PPM (P6) and uncompressed 24/32-bit BMP"
+        "decoder handles binary PPM (P6), binary PGM (P5), and "
+        "uncompressed 24/32-bit BMP"
     )
 
 
-def _decode_ppm(payload: bytes) -> tuple[int, int, int, float]:
-    """Binary PPM: ``P6 <w> <h> <maxval>`` header tokens (whitespace-
-    separated, ``#`` comments allowed) then one whitespace byte and
-    ``w*h*3`` raw RGB bytes."""
+def _decode_pnm(payload: bytes, channels: int) -> tuple[int, int, int, float]:
+    """Binary PPM/PGM: ``P6``/``P5`` then ``<w> <h> <maxval>`` header
+    tokens (whitespace-separated, ``#`` comments allowed), one
+    whitespace byte, and ``w*h*channels`` raw pixel bytes."""
     pos = 2
     vals: list[int] = []
     while len(vals) < 3:
@@ -114,12 +118,12 @@ def _decode_ppm(payload: bytes) -> tuple[int, int, int, float]:
     pos += 1  # single whitespace after maxval
     width, height, maxval = vals
     if maxval > 255:
-        raise ValueError("16-bit PPM not supported by the minimal decoder")
-    n = width * height * 3
-    pixels = payload[pos : pos + n]
+        raise ValueError("16-bit PNM not supported by the minimal decoder")
+    n = width * height * channels
+    pixels = payload[pos : pos + n] if n >= 0 else b""
     if len(pixels) != n:
-        raise ValueError(f"truncated PPM: want {n} pixel bytes, have {len(pixels)}")
-    return width, height, 3, (sum(pixels) / n if n else 0.0)
+        raise ValueError(f"truncated PNM: want {n} pixel bytes, have {len(pixels)}")
+    return width, height, channels, (sum(pixels) / n if n else 0.0)
 
 
 def _decode_bmp(payload: bytes) -> tuple[int, int, int, float]:
@@ -171,7 +175,7 @@ REAL_DECODE_SCHEMA = (
 
 def decode_images(df: DataFrame) -> DataFrame:
     """REAL decode over a ``(doc_id, payload binary)`` DataFrame: parse
-    each payload as PPM/BMP (:func:`decode_image_batch` semantics) and
+    each payload as PPM/PGM/BMP (:func:`decode_image_batch` semantics) and
     emit dimensions + mean pixel byte; undecodable payloads keep their
     row with NULL features and the error message in ``decode_error``
     (at 100 TB a poison payload must not kill the stage — the error
@@ -187,7 +191,7 @@ def decode_images(df: DataFrame) -> DataFrame:
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
 
-        def parse_ppm(payload: bytes):
+        def parse_pnm(payload: bytes, channels: int):
             pos, vals = 2, []
             while len(vals) < 3:
                 while pos < len(payload) and payload[pos : pos + 1].isspace():
@@ -203,14 +207,14 @@ def decode_images(df: DataFrame) -> DataFrame:
             pos += 1
             width, height, maxval = vals
             if maxval > 255:
-                raise ValueError("16-bit PPM not supported")
-            n = width * height * 3
-            pixels = payload[pos : pos + n]
+                raise ValueError("16-bit PNM not supported")
+            n = width * height * channels
+            pixels = payload[pos : pos + n] if n >= 0 else b""
             if len(pixels) != n:
                 raise ValueError(
-                    f"truncated PPM: want {n} pixel bytes, have {len(pixels)}"
+                    f"truncated PNM: want {n} pixel bytes, have {len(pixels)}"
                 )
-            return width, height, 3, (sum(pixels) / n if n else 0.0)
+            return width, height, channels, (sum(pixels) / n if n else 0.0)
 
         def parse_bmp(payload: bytes):
             if len(payload) < 54:
@@ -244,7 +248,9 @@ def decode_images(df: DataFrame) -> DataFrame:
                 out["n_bytes"].append(len(payload))
                 try:
                     if payload[:2] == b"P6":
-                        w, h, c, m = parse_ppm(payload)
+                        w, h, c, m = parse_pnm(payload, 3)
+                    elif payload[:2] == b"P5":
+                        w, h, c, m = parse_pnm(payload, 1)
                     elif payload[:2] == b"BM":
                         w, h, c, m = parse_bmp(payload)
                     else:

@@ -129,10 +129,64 @@ def test_sparse_sidecar_falls_back_per_name(tmp_path, monkeypatch):
     now["q9"] = 2.8  # vs round-artifact baseline 1.0 -> 2.8x
     out = bench._regressions_vs_prior(now, 0.1)
     out.pop("_host_speed_factor")
+    out.pop("_host_speed_factor_by_file", None)
     # q9's baseline came from the round artifact, not dropped
     assert list(out) == ["q9"]
     assert out["q9"]["baseline"] == "BENCH_r05.json"
     assert out["q9"]["prior"] == 1.0
+
+
+def test_per_file_normalization_unmasks_old_artifact_regression(
+    tmp_path, monkeypatch
+):
+    # Mixed-provenance baselines (ADVICE r6): the sidecar era ran on a
+    # slower host (ratios ~1.5) while an older round artifact's host
+    # matched today's (ratios ~1.0). A real 1.7x regression among the
+    # old-artifact names is masked by the GLOBAL median (1.7/1.5 = 1.13
+    # < 1.2) but must flag against its own file's median (1.7/1.0).
+    with open(tmp_path / "BENCH_r03.json", "w") as f:
+        json.dump({"sf": 0.1, "queries": {f"old{i}": 1.0 for i in range(6)}}, f)
+    with open(tmp_path / "BENCH_FULL.json", "w") as f:
+        json.dump({"sf": 0.1, "queries": {f"new{i}": 1.0 for i in range(10)}}, f)
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    now = {f"new{i}": 1.5 for i in range(10)}  # sidecar-host factor
+    now.update({f"old{i}": 1.0 for i in range(5)})
+    now["old5"] = 1.7  # genuine regression vs its same-host baseline
+    out = bench._regressions_vs_prior(now, 0.1)
+    out.pop("_host_speed_factor")
+    by_file = out.pop("_host_speed_factor_by_file")
+    assert by_file["BENCH_FULL.json"] == 1.5
+    assert by_file["BENCH_r03.json"] == 1.0
+    assert list(out) == ["old5"]
+    assert out["old5"]["ratio_vs_pack"] == 1.7
+
+
+def test_driver_scored_names_survive_stdout_pruning(tmp_path, capsys):
+    # The rotation contract (VERDICT r6 item 7): when the stdout line is
+    # core-restricted to fit the driver's tail window, every DRIVER-SCORED
+    # name in the timings must survive — staged/pytest-only entries drop
+    # first. Uses the real registry so a future rotation that pushes the
+    # core set past the window fails here, not silently at the driver.
+    from hadoop_hive_analysis_spark.plans.registry import QUERIES
+
+    core = {n for n, s in QUERIES.items() if s.driver}
+    benched = {n for n, s in QUERIES.items() if s.bench}
+    timings = {n: 1.2345 for n in benched | core}
+    out = {
+        "metric": "query_pack_wall_clock",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": 0.1,
+        "store_sales": {"rows": 20000000, "gen_sec": 30.0,
+                        "queries": {"q1a": 3.1, "q1b": 2.2, "q1c": 2.5, "q2": 2.8}},
+    }
+    bench._emit(out, sidecar_dir=str(tmp_path), core_queries=core)
+    line = capsys.readouterr().out.strip()
+    assert len(line) <= 1800
+    parsed = json.loads(line)
+    missing = core - set(parsed["queries"])
+    assert not missing, f"driver-scored names pruned off stdout: {missing}"
 
 
 def test_full_sidecar_preferred_over_round_artifacts(tmp_path, monkeypatch):

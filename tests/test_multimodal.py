@@ -74,15 +74,111 @@ def test_decode_bmp_32bpp():
     assert decode_image_batch(payload) == (3, 4, 4, mean)
 
 
+def make_pgm(width: int, height: int) -> tuple[bytes, float]:
+    """Binary PGM (P5, single channel); returns (payload, mean_pixel)."""
+    n = width * height
+    pixels = bytes((i * 11 + 3) % 256 for i in range(n))
+    payload = b"P5\n# gray test\n%d %d\n255\n" % (width, height) + pixels
+    return payload, sum(pixels) / n
+
+
+def test_decode_pgm_direct():
+    payload, mean = make_pgm(6, 4)
+    assert decode_image_batch(payload) == (6, 4, 1, mean)
+
+
 def test_decode_rejects_unknown_and_truncated():
     with pytest.raises(ValueError, match="unsupported image format"):
         decode_image_batch(b"GIF89a not supported")
     ppm, _ = make_ppm(4, 4)
-    with pytest.raises(ValueError, match="truncated PPM"):
+    with pytest.raises(ValueError, match="truncated PNM"):
         decode_image_batch(ppm[:-5])
+    pgm, _ = make_pgm(4, 4)
+    with pytest.raises(ValueError, match="truncated PNM"):
+        decode_image_batch(pgm[:-2])
     bmp, _ = make_bmp(4, 4)
     with pytest.raises(ValueError, match="truncated BMP"):
         decode_image_batch(bmp[:-3])
+
+
+def _corrupt_corpus() -> list[bytes]:
+    """Deterministic corrupt-header fuzz corpus: valid PPM/PGM/BMP
+    payloads with single-byte header mutations at every header offset
+    (plus truncations and value-level edits) — the decoder must either
+    return a 4-tuple or raise ValueError, never anything else."""
+    base = [make_ppm(4, 3)[0], make_pgm(5, 2)[0], make_bmp(4, 3)[0],
+            make_bmp(3, 2, bpp=32)[0]]
+    corpus: list[bytes] = list(base)
+    for p in base:
+        header_len = min(56, len(p) - 1)
+        for off in range(header_len):
+            for delta in (1, 0x7F):
+                b = bytearray(p)
+                b[off] = (b[off] + delta) % 256
+                corpus.append(bytes(b))
+        corpus.extend(p[:k] for k in (0, 1, 2, 5, 13, len(p) - 1))
+    # value-level nasties for the PNM header parser
+    corpus.extend([
+        b"P6\n-4 3\n255\n" + b"\x00" * 36,       # negative width
+        b"P6\n4 3\n65535\n" + b"\x00" * 72,      # 16-bit maxval
+        b"P5\n999999999 999999999\n255\n\x00",   # huge dims
+        b"P6\n4 x\n255\n" + b"\x00" * 36,        # non-numeric token
+        b"P6",                                    # header only
+        b"P5\n# comment never ends",             # unterminated comment
+    ])
+    return corpus
+
+
+def test_decode_corrupt_header_fuzz():
+    """Every corrupt payload either decodes or raises ValueError — no
+    IndexError/struct.error/OverflowError/hang escapes the parser."""
+    for payload in _corrupt_corpus():
+        try:
+            w, h, c, m = decode_image_batch(payload)
+            assert isinstance(c, int) and c in (1, 3, 4)
+        except ValueError:
+            pass
+
+
+def test_decode_closure_parity_with_module(spark):
+    """The mapInPandas closure re-states the parsers locally (cloudpickle
+    ships local functions by value); this pins the two copies together:
+    over a shared corpus of valid + corrupt payloads, the closure path
+    and decode_image_batch must agree on every decoded tuple and on
+    exactly WHICH payloads fail (drift in one copy fails here)."""
+    corpus = [
+        make_ppm(4, 3)[0],
+        make_ppm(7, 5, pixel=b"\x10\x80\xf0")[0],
+        make_pgm(6, 4)[0],
+        make_bmp(5, 2, bpp=24)[0],
+        make_bmp(3, 4, bpp=32)[0],
+        make_ppm(4, 4)[0][:-5],      # truncated PNM
+        make_bmp(4, 4)[0][:-3],      # truncated BMP rows
+        make_bmp(4, 4)[0][:20],      # truncated BMP header
+        b"P6\n4 3\n65535\n" + b"\x00" * 72,  # 16-bit maxval
+        b"GIF89a not supported",
+        b"",
+    ]
+    expected = {}
+    for i, p in enumerate(corpus):
+        try:
+            expected[i] = decode_image_batch(p)
+        except ValueError:
+            expected[i] = None
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(corpus)],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r for r in decode_images(df).collect()}
+    assert set(got) == set(expected)
+    for i, exp in expected.items():
+        r = got[i]
+        if exp is None:
+            assert r.width is None and r.decode_error is not None, i
+        else:
+            assert r.decode_error is None, (i, r.decode_error)
+            assert (r.width, r.height, r.channels) == exp[:3], i
+            assert r.mean_pixel == pytest.approx(exp[3]), i
 
 
 def test_decode_images_pipeline(spark):
@@ -104,5 +200,5 @@ def test_decode_images_pipeline(spark):
     assert (got[2].width, got[2].height, got[2].channels) == (5, 2, 3)
     assert got[2].mean_pixel == pytest.approx(bmp_mean)
     assert got[3].width is None and "unsupported" in got[3].decode_error
-    assert got[4].width is None and "truncated PPM" in got[4].decode_error
+    assert got[4].width is None and "truncated PNM" in got[4].decode_error
     assert got[3].n_bytes == len(b"not an image at all")
