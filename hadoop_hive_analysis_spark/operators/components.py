@@ -266,3 +266,63 @@ DEDUP_COLLAPSE_SQL = f"""
     FROM documents d
     WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
 """
+
+
+def dedup_semantic_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC near-dup collapse — the embedding-space twin of
+    :func:`dedup_collapse`: vectors whose embeddings are near-identical
+    in cosine (paraphrases, re-encodes, translations an exact/lexical
+    dedup cannot see) collapse to one representative per transitive
+    cluster.
+
+    Composition: banded hyperplane-LSH pairs
+    (:func:`..similarity.dedup_embedding_lsh` — bucketed, exact int64
+    verify, never all-pairs) -> large-star/small-star components ->
+    non-canonical members removed from the embeddings table by broadcast
+    LEFT ANTI. Same scale shape as the lexical collapse: losers =
+    vectors being deleted (tiny vs corpus), corpus scanned once, never
+    shuffled; min vec_id is the pluggable quality-argmax policy hook.
+
+    Output: the surviving (vec_id, label) rows — scalar, exact-hashable;
+    the production variant keeps the embedding column (projection-only
+    change).
+    """
+    from ..sources.catalog import load_table
+    from .similarity import dedup_embedding_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("long").alias("label")
+    )
+    pairs = dedup_embedding_lsh(spark, sf_dir).select("va", "vb")
+    comp = connected_components_bigstar(pairs, "va", "vb")
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("vec_id")
+    )
+    return emb.join(F.broadcast(losers), "vec_id", "left_anti")
+
+
+def _semantic_collapse_sql() -> str:
+    from .similarity import DEDUP_EMBEDDING_LSH_SQL
+
+    return f"""
+    WITH RECURSIVE pairs AS ({DEDUP_EMBEDDING_LSH_SQL}),
+    edges AS (
+        SELECT va AS u, vb AS v FROM pairs
+        UNION
+        SELECT vb AS u, va AS v FROM pairs
+    ),
+    reach(u, v) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    losers AS (
+        SELECT u AS vec_id FROM reach GROUP BY u HAVING u <> min(v)
+    )
+    SELECT e.vec_id, CAST(e.label AS BIGINT) AS label
+    FROM embeddings e
+    WHERE e.vec_id NOT IN (SELECT vec_id FROM losers)
+"""
+
+
+DEDUP_SEMANTIC_COLLAPSE_SQL = _semantic_collapse_sql()

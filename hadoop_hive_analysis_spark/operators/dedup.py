@@ -714,6 +714,15 @@ def span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("s")).alias("starts"))
     )
+    return _scrub_against_starts(d, starts)
+
+
+def _scrub_against_starts(d: DataFrame, starts: DataFrame) -> DataFrame:
+    """Shared removal pass for the span-scrub family: (doc_id, toks)
+    LEFT-joined with per-doc sorted removal-start arrays; starts folded
+    into merged coverage intervals (staged attribute — see
+    :func:`span_scrub` docstring), one higher-order pass deletes covered
+    tokens. Emits (doc_id, n_tokens, n_removed, keep_ratio, scrub_md5)."""
     scrubbed = (
         d.join(starts, "doc_id", "left")
         .withColumn("starts", F.coalesce("starts", F.expr("array()")))
@@ -795,3 +804,88 @@ SPAN_SCRUB_SQL = rf"""
                AS scrub_md5
     FROM scrub
 """
+
+
+def decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level benchmark DECONTAMINATION — :func:`span_scrub` aimed at
+    an eval suite instead of the corpus itself: every SPAN_TOKENS-token
+    window of a training document that appears verbatim anywhere in the
+    benchmark set is deleted (the GPT-3-style n-gram decontamination
+    applied as exact-substring removal, vs ``contamination_ngram`` which
+    only FLAGS whole documents — this salvages the document by cutting
+    the leaked passage).
+
+    Benchmark set: the same deterministic ~5% doc_id slice
+    ``contamination_ngram`` uses (``text_pipeline.BENCH_MOD``), standing
+    in for an external eval suite. Its distinct span-hash set broadcasts
+    (an eval suite is small by construction); training docs semi-join
+    their span hashes against it — one shuffle on span_h at most, and
+    the corpus text never shuffles (same :func:`_scrub_against_starts`
+    machinery, merged-interval coverage). Output covers training docs
+    only, including too-short/untouched ones (kept whole).
+    """
+    from ..functions.text import tokens
+    from .text_pipeline import BENCH_MOD
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", tokens("text").alias("toks"))
+        .localCheckpoint(eager=False)
+    )
+    bench_pred = F.col("doc_id") % BENCH_MOD == 0
+    spd = _span_hashes(spark, sf_dir, toks_df=d)
+    bench = spd.filter(bench_pred).select("span_h").distinct()
+    starts = (
+        spd.filter(~bench_pred)
+        .join(F.broadcast(bench), "span_h")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("s")).alias("starts"))
+    )
+    return _scrub_against_starts(d.filter(~bench_pred), starts)
+
+
+def _decontaminate_sql() -> str:
+    from .text_pipeline import BENCH_MOD
+
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+    ),
+    spd AS (
+        SELECT doc_id, s,
+               {h64_sql(f"array_to_string(list_slice(t, s, s + {SPAN_TOKENS} - 1), ' ')")}
+               AS span_h
+        FROM (
+            SELECT doc_id, t, unnest(range(1, len(t) - {SPAN_TOKENS} + 2)) AS s
+            FROM toks WHERE len(t) >= {SPAN_TOKENS}
+        )
+    ),
+    bench AS (
+        SELECT DISTINCT span_h FROM spd WHERE doc_id % {BENCH_MOD} = 0
+    ),
+    starts AS (
+        SELECT doc_id, list_sort(list(s)) AS starts
+        FROM spd JOIN bench USING (span_h)
+        WHERE doc_id % {BENCH_MOD} <> 0
+        GROUP BY doc_id
+    ),
+    scrub AS (
+        SELECT t.doc_id, t.t,
+               list_filter(range(1, len(t.t) + 1),
+                   i -> len(list_filter(COALESCE(st.starts, []),
+                       s -> i >= s AND i < s + {SPAN_TOKENS})) = 0) AS kept
+        FROM toks t LEFT JOIN starts st USING (doc_id)
+        WHERE t.doc_id % {BENCH_MOD} <> 0
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(t) - len(kept) AS BIGINT) AS n_removed,
+           CAST(len(kept) AS DOUBLE) / len(t) AS keep_ratio,
+           md5(COALESCE(
+               array_to_string(list_transform(kept, i -> t[i]), ' '), ''))
+               AS scrub_md5
+    FROM scrub
+"""
+
+
+DECONTAMINATE_SPANS_SQL = _decontaminate_sql()

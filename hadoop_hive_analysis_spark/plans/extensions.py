@@ -144,6 +144,18 @@ def build() -> dict:
         "(O(log n) rounds — diameter-safe where min-label is not)",
         driver=False,
     )
+    # Round-7 addition, staged for the r8 rotation: the SEMANTIC
+    # (embedding-space) twin of dedup_collapse — paraphrase/re-encode
+    # duplicates lexical dedup cannot see, collapsed via hyperplane-LSH
+    # pairs + the same star-contraction CC + broadcast anti-join.
+    q["dedup_semantic_collapse"] = QuerySpec(
+        components.dedup_semantic_collapse,
+        components.DEDUP_SEMANTIC_COLLAPSE_SQL,
+        "ext: semantic near-dup collapse over embeddings (banded "
+        "hyperplane-LSH pairs -> star-contraction components -> "
+        "broadcast anti join; surviving vectors)",
+        driver=False,
+    )
 
     # --- Pipeline composition ---
     from . import pipeline
@@ -176,6 +188,19 @@ def build() -> dict:
         tp.contamination_ngram,
         tp.CONTAMINATION_SQL,
         "ext: benchmark-contamination scan (broadcast shingle semi-join)",
+    )
+    # Round-7 addition, staged for the r8 rotation: the REMOVAL follow-up
+    # to the contamination scan — span-level eval-set decontamination
+    # (contamination_ngram flags whole documents; this salvages them by
+    # cutting the leaked passage, GPT-3-style n-gram decontamination as
+    # exact-substring removal via the span_scrub machinery).
+    q["decontaminate_spans"] = QuerySpec(
+        dedup.decontaminate_spans,
+        dedup.DECONTAMINATE_SPANS_SQL,
+        "ext: span-level benchmark decontamination (broadcast eval-set "
+        "span hashes, merged-interval removal, corpus text never "
+        "shuffles)",
+        driver=False,
     )
     # Rotated out of the driver window in round 7 (slot went to
     # doc_tfidf_cosine_pairs): posexplode token-window projection is the

@@ -106,22 +106,30 @@ def main() -> None:
     for m in multipliers:
         d = build_scaled_corpus(spark, m)
         try:
-            best, pairs = float("inf"), None
+            # Per-run (wall, cpu) samples — the reported pair describes the
+            # best-wall run; the pair count runs after both timed runs.
+            samples = []
+            df = None
             for _ in range(2):
                 t0 = time.perf_counter()
                 cpu0 = cpu_seconds(spark)
                 df = dedup_minhash_lsh(spark, d)
                 df.write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
-                cpu = cpu_seconds(spark) - cpu0
-                if pairs is None:
-                    pairs = df.count()
+                samples.append(
+                    {
+                        "wall_sec": round(time.perf_counter() - t0, 3),
+                        "cpu_sec": round(cpu_seconds(spark) - cpu0, 2),
+                    }
+                )
+            best = min(samples, key=lambda s: s["wall_sec"])
+            pairs = df.count()
             row = {
                 "multiplier": m,
                 "docs": 5000 * m,
                 "pairs": pairs,
-                "wall_sec": round(best, 3),
-                "cpu_sec": round(cpu, 2),
+                "wall_sec": best["wall_sec"],
+                "cpu_sec": best["cpu_sec"],
+                "samples": samples,
                 "peak_mem_mb": peak_mem_mb(spark),
             }
             results.append(row)

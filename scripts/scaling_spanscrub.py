@@ -1,15 +1,16 @@
 #!/usr/bin/env python
-"""Measured scale-up proof for ``dedup.duplicated_spans`` (SCALING.md).
+"""Measured scale-up proof for ``dedup.span_scrub`` (SCALING.md).
 
 Same constant-dup-rate corpus growth as ``scaling_minhash.py`` (renamed
-copies of the sf0.1 documents table: intra-copy span duplication is
-preserved exactly, cross-copy span overlap is zero), timing the
-stride-1 exact-substring profile at each size. The operator's work is
-one span explode + one shuffle on span_h + the doc rollup, so the wall
-curve should be ~linear in corpus size — the measured form of the
-"sub-quadratic throughout" claim in its docstring.
+copies of the sf0.1 documents table: the per-copy vocabulary rename is a
+bijection on spans, so every copy's internal duplicated-span structure —
+and therefore its REMOVAL set — is preserved exactly, with zero
+cross-copy span overlap). Total removed tokens must be EXACTLY
+multiplier x base_removed; the wall curve should be ~linear (span
+explode + one shuffle on span_h + per-doc interval fold, no pair
+enumeration anywhere).
 
-Usage: python scripts/scaling_spans.py [multipliers...]
+Usage: python scripts/scaling_spanscrub.py [multipliers...]
 Prints one JSON line per scale plus a summary line.
 """
 
@@ -22,6 +23,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from scaling_minhash import build_scaled_corpus, cpu_seconds, peak_mem_mb  # noqa: E402
 
@@ -31,10 +33,10 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    from hadoop_hive_analysis_spark.operators.dedup import duplicated_spans
+    from hadoop_hive_analysis_spark.operators.dedup import span_scrub
     from hadoop_hive_analysis_spark.session import get_spark
 
-    spark = get_spark("hha-scaling-spans", extra_conf={"spark.driver.memory": "8g"})
+    spark = get_spark("hha-scaling-spanscrub", extra_conf={"spark.driver.memory": "8g"})
     spark.sparkContext.setLogLevel("ERROR")
 
     results = []
@@ -42,13 +44,13 @@ def main() -> None:
         d = build_scaled_corpus(spark, m)
         try:
             # Per-run (wall, cpu) samples — the reported pair describes the
-            # best-wall run; the dup-doc count runs after both timed runs.
+            # best-wall run; the removal rollup runs after both timed runs.
             samples = []
             df = None
             for _ in range(2):
                 t0 = time.perf_counter()
                 cpu0 = cpu_seconds(spark)
-                df = duplicated_spans(spark, d)
+                df = span_scrub(spark, d)
                 df.write.format("noop").mode("overwrite").save()
                 samples.append(
                     {
@@ -57,11 +59,15 @@ def main() -> None:
                     }
                 )
             best = min(samples, key=lambda s: s["wall_sec"])
-            dup_docs = df.filter(F.col("n_dup_spans") > 0).count()
+            agg = df.agg(
+                F.sum("n_removed").alias("removed"),
+                F.sum((F.col("n_removed") > 0).cast("long")).alias("scrubbed_docs"),
+            ).collect()[0]
             row = {
                 "multiplier": m,
                 "docs": 5000 * m,
-                "dup_docs": dup_docs,
+                "removed_tokens": agg["removed"],
+                "scrubbed_docs": agg["scrubbed_docs"],
                 "wall_sec": best["wall_sec"],
                 "cpu_sec": best["cpu_sec"],
                 "samples": samples,
@@ -80,8 +86,12 @@ def main() -> None:
                     "summary": {
                         "data_ratio": b["multiplier"] / a["multiplier"],
                         "wall_ratio": round(b["wall_sec"] / a["wall_sec"], 2),
-                        "dup_docs_ratio": round(
-                            b["dup_docs"] / max(a["dup_docs"], 1), 2
+                        # the rename is a span bijection per copy: removal
+                        # must be EXACTLY linear
+                        "removed_exactly_linear": all(
+                            r["removed_tokens"]
+                            == a["removed_tokens"] * r["multiplier"]
+                            for r in results
                         ),
                     }
                 }

@@ -1,15 +1,17 @@
 #!/usr/bin/env python
-"""Measured scale-up proof for ``dedup.duplicated_spans`` (SCALING.md).
+"""Measured scale-up proof for ``text_analysis.doc_tfidf_cosine_pairs``
+(SCALING.md).
 
-Same constant-dup-rate corpus growth as ``scaling_minhash.py`` (renamed
-copies of the sf0.1 documents table: intra-copy span duplication is
-preserved exactly, cross-copy span overlap is zero), timing the
-stride-1 exact-substring profile at each size. The operator's work is
-one span explode + one shuffle on span_h + the doc rollup, so the wall
-curve should be ~linear in corpus size — the measured form of the
-"sub-quadratic throughout" claim in its docstring.
+Same constant-dup-rate corpus growth as ``scaling_minhash.py``: each
+copy's vocabulary rename is a bijection on shingles, so within-copy
+shingle dfs — and therefore the idf weights ``SCALE DIV df``, the exact
+int64 dots/norms, and the surviving pair set — are reproduced exactly
+per copy, with zero cross-copy shingle overlap. The reported pair count
+must be EXACTLY multiplier x base_pairs; the wall curve should be
+~linear (posting-list self-join with every list df-capped: O(corpus x
+cap), never quadratic in a hot shingle).
 
-Usage: python scripts/scaling_spans.py [multipliers...]
+Usage: python scripts/scaling_tfidf_cosine.py [multipliers...]
 Prints one JSON line per scale plus a summary line.
 """
 
@@ -22,6 +24,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from scaling_minhash import build_scaled_corpus, cpu_seconds, peak_mem_mb  # noqa: E402
 
@@ -29,12 +32,14 @@ from scaling_minhash import build_scaled_corpus, cpu_seconds, peak_mem_mb  # noq
 def main() -> None:
     multipliers = [int(a) for a in sys.argv[1:]] or [1, 2, 5, 10]
 
-    from pyspark.sql import functions as F
-
-    from hadoop_hive_analysis_spark.operators.dedup import duplicated_spans
+    from hadoop_hive_analysis_spark.operators.text_analysis import (
+        doc_tfidf_cosine_pairs,
+    )
     from hadoop_hive_analysis_spark.session import get_spark
 
-    spark = get_spark("hha-scaling-spans", extra_conf={"spark.driver.memory": "8g"})
+    spark = get_spark(
+        "hha-scaling-tfidf-cosine", extra_conf={"spark.driver.memory": "8g"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     results = []
@@ -42,13 +47,13 @@ def main() -> None:
         d = build_scaled_corpus(spark, m)
         try:
             # Per-run (wall, cpu) samples — the reported pair describes the
-            # best-wall run; the dup-doc count runs after both timed runs.
+            # best-wall run; the pair count runs after both timed runs.
             samples = []
             df = None
             for _ in range(2):
                 t0 = time.perf_counter()
                 cpu0 = cpu_seconds(spark)
-                df = duplicated_spans(spark, d)
+                df = doc_tfidf_cosine_pairs(spark, d)
                 df.write.format("noop").mode("overwrite").save()
                 samples.append(
                     {
@@ -57,11 +62,11 @@ def main() -> None:
                     }
                 )
             best = min(samples, key=lambda s: s["wall_sec"])
-            dup_docs = df.filter(F.col("n_dup_spans") > 0).count()
+            pairs = df.count()
             row = {
                 "multiplier": m,
                 "docs": 5000 * m,
-                "dup_docs": dup_docs,
+                "pairs": pairs,
                 "wall_sec": best["wall_sec"],
                 "cpu_sec": best["cpu_sec"],
                 "samples": samples,
@@ -80,8 +85,12 @@ def main() -> None:
                     "summary": {
                         "data_ratio": b["multiplier"] / a["multiplier"],
                         "wall_ratio": round(b["wall_sec"] / a["wall_sec"], 2),
-                        "dup_docs_ratio": round(
-                            b["dup_docs"] / max(a["dup_docs"], 1), 2
+                        # weights depend only on within-copy dfs (shingle
+                        # rename is a bijection): pairs must be EXACTLY
+                        # linear
+                        "pairs_exactly_linear": all(
+                            r["pairs"] == a["pairs"] * r["multiplier"]
+                            for r in results
                         ),
                     }
                 }

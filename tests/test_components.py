@@ -43,6 +43,41 @@ def _run(spark, fn, edges):
     return {r.node: r.component for r in fn(df, "u", "v").collect()}
 
 
+def test_semantic_collapse_one_survivor_per_cluster(spark, sf_dir):
+    """The embedding-space collapse keeps exactly the canonical (min
+    vec_id) member of every LSH near-dup cluster: no pair survives
+    intact, every removed vector has a surviving representative in its
+    transitive cluster, and untouched vectors all survive."""
+    from hadoop_hive_analysis_spark.operators.components import (
+        dedup_semantic_collapse,
+    )
+    from hadoop_hive_analysis_spark.operators.similarity import (
+        dedup_embedding_lsh,
+    )
+    from hadoop_hive_analysis_spark.sources.catalog import load_table
+
+    pairs = [
+        (r.va, r.vb) for r in dedup_embedding_lsh(spark, sf_dir).collect()
+    ]
+    all_ids = {
+        r.vec_id
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .collect()
+    }
+    survivors = {
+        r.vec_id for r in dedup_semantic_collapse(spark, sf_dir).collect()
+    }
+    assert pairs, "fixture must contain planted embedding near-dups"
+    # transitive ground truth
+    nodes = {n for p in pairs for n in p}
+    truth = _truth_min_label(nodes, pairs)
+    expected_losers = {n for n, c in truth.items() if n != c}
+    assert survivors == all_ids - expected_losers
+    for a, b in pairs:  # no near-dup pair survives intact
+        assert not (a in survivors and b in survivors)
+
+
 def test_bigstar_matches_union_find_random_graph(spark):
     rng = random.Random(7)
     edges = list(

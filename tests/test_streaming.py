@@ -373,6 +373,25 @@ def test_streaming_neardup_hits_snapshot(spark, sf_dir, tmp_path):
     )
     assert got_rows == want
 
+    # TTL variant: ingest-time dropDuplicatesWithinWatermark — the
+    # bounded-state form for continuous deployments. Redeliveries land
+    # well inside the 1-hour TTL, so the drained hit set is identical.
+    stream2 = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(str(arr_path) + "/documents.parquet")
+    )
+    got_ttl = run_available_now(
+        neardup_hits_against_snapshot(stream2, snapshot, hit_state_ttl="1 hour"),
+        "t_neardup_snap_ttl",
+        str(tmp_path / "ck_neardup_ttl"),
+        output_mode="append",
+    )
+    got_ttl_rows = sorted(
+        (r.digest, r.hist_doc_id, r.est_jaccard) for r in got_ttl.collect()
+    )
+    assert got_ttl_rows == want
+
 
 def test_incremental_rollup_equals_batch_and_is_idempotent(spark, sf_dir, tmp_path):
     """Multi-batch incremental rollup == full batch groupBy, and
