@@ -485,3 +485,88 @@ EVENTS_STREAM_JOIN_SQL = f"""
      AND p.ts > c.ts
      AND p.ts <= c.ts + INTERVAL {ATTRIB_WINDOW_SEC} SECONDS
 """
+
+
+# ------------------------------------------------------ conversion funnel
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel — the events-warehouse staple the pack
+    lacked: per user, the earliest ``view``, the earliest ``click``
+    STRICTLY AFTER that view, the earliest ``purchase`` strictly after
+    that click; emit one row per step with the surviving user count.
+    (The strict-order semantics distinguish a real funnel from three
+    independent EXISTS filters: a purchase BEFORE the first view does
+    not convert.)
+
+    Scale shape: one aggregation per step, every one keyed on user_id —
+    the first groupBy establishes the partitioning and the two
+    subsequent join+agg rounds REUSE the same key (no new shuffle
+    dimension; the per-step frames shrink monotonically, so each join's
+    build side is smaller than the last and broadcasts once survivors
+    fit). No window function, no per-user event-list collection —
+    state per step is one timestamp per surviving user. Step counts are
+    exact distinct-user integers.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1, s2, s3 = FUNNEL_STEPS
+    t1 = (
+        ev.filter(F.col("event_type") == s1)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == s2)
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == s3)
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(step: int, name: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(F.count("*").cast("long").alias("n_users")).select(
+            F.lit(step).cast("long").alias("step"),
+            F.lit(name).alias("step_name"),
+            "n_users",
+        )
+
+    return (
+        stage(1, s1, t1).unionByName(stage(2, s2, t2)).unionByName(stage(3, s3, t3))
+    )
+
+
+EVENTS_FUNNEL_SQL = f"""
+    WITH t1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+    ),
+    t2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN t1 USING (user_id)
+        WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > t1.t1
+        GROUP BY e.user_id
+    ),
+    t3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN t2 USING (user_id)
+        WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > t2.t2
+        GROUP BY e.user_id
+    )
+    SELECT CAST(1 AS BIGINT) AS step, '{FUNNEL_STEPS[0]}' AS step_name,
+           (SELECT count(*) FROM t1) AS n_users
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), '{FUNNEL_STEPS[1]}',
+           (SELECT count(*) FROM t2)
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), '{FUNNEL_STEPS[2]}',
+           (SELECT count(*) FROM t3)
+"""

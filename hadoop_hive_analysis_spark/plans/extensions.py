@@ -610,6 +610,17 @@ def build() -> dict:
         "ext: LSH recall vs exact baseline, exact-value-checked with an "
         "in-query floor the oracle asserts TRUE",
     )
+    # Round-7 addition, staged for the r8 rotation: the compression-
+    # quality gate for the SQ8 path — search over the int8 codes vs the
+    # exact baseline, both sides SQL-expressible so the oracle
+    # recomputes recall exactly (the strong ANN_LSH_RECALL contract).
+    q["ann_sq8_recall"] = QuerySpec(
+        vectors.ann_sq8_recall,
+        vectors.ANN_SQ8_RECALL_SQL,
+        "ext: SQ8-code search recall vs exact baseline (exact integer "
+        "scoring over compressed codes, oracle recomputes both sides)",
+        driver=False,
+    )
     q["ann_ivf_recall"] = QuerySpec(
         similarity.ann_ivf_recall,
         similarity.ANN_IVF_RECALL_SQL,
@@ -650,6 +661,17 @@ def build() -> dict:
         events.events_asof_join,
         events.EVENTS_ASOF_SQL,
         "ext: as-of join (union + carry-forward)",
+    )
+    # Round-7 addition, staged for the r8 rotation: the ordered
+    # conversion-funnel report (strict step ordering per user — not
+    # three independent EXISTS filters); every step keyed on user_id so
+    # the partitioning is reused across all three aggregations.
+    q["events_conversion_funnel"] = QuerySpec(
+        events.events_conversion_funnel,
+        events.EVENTS_FUNNEL_SQL,
+        "ext: ordered conversion funnel (view -> click -> purchase, "
+        "strictly increasing timestamps; same-key agg cascade)",
+        driver=False,
     )
     # Promoted to a driver slot in the round-4 rotation (see COVERAGE.md):
     # the only interval-containment join in the window; bucketed-range-join
