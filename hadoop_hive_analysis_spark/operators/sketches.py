@@ -236,3 +236,123 @@ def _quantiles_sql() -> str:
 
 
 PRICE_QUANTILES_SQL = _quantiles_sql()
+
+
+# ------------------------------------------- Misra-Gries heavy hitters
+
+# Counters kept per partition summary. The candidate-superset guarantee
+# (Misra-Gries 1982; mergeable form Agarwal et al., PODS 2012) is: any
+# token whose PARTITION count exceeds n_i/(MG_K+1) survives that
+# partition's summary, so any token whose GLOBAL count exceeds
+# n/(MG_K+1) survives in at least one partition (pigeonhole). The
+# report threshold 1/HH_PHI_DEN must therefore be >= 1/(MG_K+1).
+MG_K = 64
+HH_PHI_DEN = 50  # report tokens with share > 1/50 = 2% of the corpus
+assert HH_PHI_DEN <= MG_K + 1, "MG candidate set would not cover threshold"
+
+
+def _mg_merge_batch(counts: dict, vc) -> dict:
+    """Merge one Arrow batch's exact value_counts into a running
+    Misra-Gries summary, then compress back to ``MG_K`` counters by
+    subtracting the (MG_K+1)-th largest count (the mergeable-summaries
+    compress step: decrement-all is the classic MG step applied in
+    bulk; error stays <= n_seen/(MG_K+1))."""
+    for tok, c in vc.items():
+        counts[tok] = counts.get(tok, 0) + int(c)
+    if len(counts) > MG_K:
+        import numpy as np
+
+        kth = np.partition(
+            np.fromiter(counts.values(), dtype="int64"), -(MG_K + 1)
+        )[-(MG_K + 1)]
+        counts = {t: c - kth for t, c in counts.items() if c > kth}
+    return counts
+
+
+def doc_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus heavy hitters (tokens with > 1/HH_PHI_DEN share) via
+    a two-phase Misra-Gries candidate pass — the bounded-memory answer
+    to "what are the hot tokens" when the distinct-token universe is too
+    large for a plain groupBy's hash tables at 100 TB.
+
+    Phase 1 streams each partition once through an ``MG_K``-counter
+    Misra-Gries summary (Arrow ``mapInPandas``; per batch an exact
+    vectorized ``value_counts`` is folded into the summary and
+    compressed — no per-row Python). Each partition emits at most
+    ``MG_K`` candidate tokens, so the candidate set is tiny and
+    broadcast. Phase 2 recounts ONLY the candidates exactly (broadcast
+    semi-join, then one partial-aggregated shuffle bounded by
+    |candidates|) and applies the exact integer threshold
+    ``cnt * HH_PHI_DEN > n``. Because the MG guarantee makes the
+    candidate set a superset of the true heavy hitters and phase 2 is
+    exact, the OUTPUT is exactly the true heavy-hitter set — fully
+    SQL-expressible, so the oracle is a plain GROUP BY ... HAVING.
+
+    Scale shape: corpus tokenized twice (candidate pass + recount;
+    both map-side only until the |candidates|-bounded final agg —
+    at 100 TB that is two streaming scans and a kilobyte-scale
+    shuffle, vs. a full distinct-token shuffle for the naive plan).
+    ``share`` is one IEEE division of exact int64s — bit-identical
+    across engines.
+    """
+    from ..functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    ex = d.select(F.explode(tokens("text")).alias("tok")).localCheckpoint(
+        eager=False
+    )
+
+    # The closure must be SELF-CONTAINED (executors can't import this
+    # package when the driver runs from a foreign cwd — cloudpickle
+    # pickles module functions by reference); the logic is duplicated
+    # from _mg_merge_batch and pinned identical by
+    # test_mg_closure_matches_module.
+    mg_k = MG_K
+
+    def mg_candidates(batches):
+        import numpy as np
+        import pandas as pd
+
+        counts: dict = {}
+        for pdf in batches:
+            for tok, c in pdf["tok"].value_counts().items():
+                counts[tok] = counts.get(tok, 0) + int(c)
+            if len(counts) > mg_k:
+                kth = np.partition(
+                    np.fromiter(counts.values(), dtype="int64"), -(mg_k + 1)
+                )[-(mg_k + 1)]
+                counts = {t: c - kth for t, c in counts.items() if c > kth}
+        yield pd.DataFrame({"tok": list(counts.keys())})
+
+    cand = ex.mapInPandas(mg_candidates, "tok string").distinct()
+    totals = ex.agg(F.count("*").alias("n"))
+    return (
+        ex.join(F.broadcast(cand), "tok")
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(totals))
+        .filter(F.col("cnt") * HH_PHI_DEN > F.col("n"))
+        .select(
+            "tok",
+            "cnt",
+            "n",
+            (F.col("cnt").cast("double") / F.col("n").cast("double")).alias(
+                "share"
+            ),
+        )
+    )
+
+
+DOC_HEAVY_HITTERS_SQL = rf"""
+    WITH ex AS (
+        SELECT unnest(string_split_regex(text, '\s+')) AS tok FROM documents
+    ),
+    tot AS (SELECT count(*) AS n FROM ex),
+    c AS (SELECT tok, count(*) AS cnt FROM ex GROUP BY tok)
+    SELECT tok,
+           CAST(cnt AS BIGINT) AS cnt,
+           CAST(n AS BIGINT) AS n,
+           CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE) AS share
+    FROM c, tot
+    WHERE cnt * {HH_PHI_DEN} > n
+"""

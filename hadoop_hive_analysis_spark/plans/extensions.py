@@ -487,6 +487,18 @@ def build() -> dict:
         "ext: per-group quantile sketch (exact percentiles hashed + "
         "in-query rank-error assertion on approx_percentile)",
     )
+    # Round-7 addition, staged for the r8 rotation: the frequency-sketch
+    # member of the family — per-partition Misra-Gries candidate pass
+    # (bounded memory, Arrow-batched) + exact candidate-restricted
+    # recount, so the OUTPUT is the exact heavy-hitter set and the
+    # oracle is a plain GROUP BY ... HAVING.
+    q["doc_heavy_hitters"] = QuerySpec(
+        sketches.doc_heavy_hitters,
+        sketches.DOC_HEAVY_HITTERS_SQL,
+        "ext: exact corpus heavy hitters via two-phase Misra-Gries "
+        "(candidate superset guarantee + exact recount)",
+        driver=False,
+    )
 
     # --- Multimodal plumbing ---
     # Rotated out of the driver window in round 4 (slot went to
