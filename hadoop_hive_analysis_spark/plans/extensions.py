@@ -487,6 +487,18 @@ def build() -> dict:
         "ext: per-group quantile sketch (exact percentiles hashed + "
         "in-query rank-error assertion on approx_percentile)",
     )
+    # Round-7 addition, staged for the r8 rotation: ranked keyword
+    # retrieval — fixed-point BM25 (exact int64 tf/df/dl statistics, one
+    # quantized ln per distinct df), top-K per probe query.
+    from ..operators import retrieval
+
+    q["doc_bm25_search"] = QuerySpec(
+        retrieval.doc_bm25_search,
+        retrieval.DOC_BM25_SQL,
+        "ext: BM25 top-K retrieval (fixed-point scoring, exact int64 "
+        "corpus statistics, per-query row_number)",
+        driver=False,
+    )
     # Round-7 addition, staged for the r8 rotation: the frequency-sketch
     # member of the family — per-partition Misra-Gries candidate pass
     # (bounded memory, Arrow-batched) + exact candidate-restricted
