@@ -628,3 +628,108 @@ def _funnel_sql() -> str:
 
 
 CORPUS_FILTER_FUNNEL_SQL = _funnel_sql()
+
+
+# ------------------------------------------ weighted priority sampling
+
+PRIORITY_K = 200  # sample size
+_PRIORITY_M = 1 << 53  # hash→uniform denominator (exact in a double)
+
+
+def train_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample WITHOUT replacement via priority sampling
+    (Duffield-Lund-Thorup): priority = w/u with u a deterministic
+    hash-uniform; keep the top ``PRIORITY_K`` priorities; the (K+1)-th
+    priority is the threshold τ, and each kept item carries the
+    Horvitz-Thompson adjusted weight ``max(w, τ)`` — subset-sum
+    estimates over any filtered slice of the sample are then unbiased
+    for the corpus, which Bernoulli/quota sampling (the
+    :func:`data_mixture_resample` / :func:`train_stratified_sample`
+    shapes) cannot give for heavy-tailed weights. Weight here is
+    ``n_chars`` — byte-budget-proportional inclusion, the mixture a
+    token-budgeted training run actually wants.
+
+    Determinism: u = (h64(doc_id) mod 2^53 + 1)/2^53 is an exact
+    rational, so ``priority = w·2^53/(hmod+1)`` is two correctly-rounded
+    IEEE ops on exact int64 inputs — bit-identical across engines (same
+    contract as the cosine/share emissions; NO transcendental ``pow``
+    like the Efraimidis-Spirakis key u^(1/w), which is not cross-engine
+    reproducible).
+
+    Scale shape: selection is ``orderBy(priority).limit(K+1)`` —
+    TakeOrderedAndProject, a per-partition partial top-K + single
+    merge, never a global sort; the exact-rank window that assigns
+    ranks and extracts τ only ever sees K+1 rows. Re-runs and
+    repartitioning cannot flip membership (pure hash function of
+    doc_id).
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    hmod = (
+        h64(F.concat(F.lit("ps:"), F.col("doc_id").cast("string")))
+        % F.lit(_PRIORITY_M)
+    )
+    base = d.select(
+        "doc_id",
+        "n_chars",
+        (
+            (F.col("n_chars").cast("double") * F.lit(float(_PRIORITY_M)))
+            / (hmod + F.lit(1)).cast("double")
+        ).alias("priority"),
+    )
+    # K+1 rows, checkpointed so the ranked branch and the τ branch don't
+    # each re-run the corpus-wide top-K selection.
+    top = (
+        base.orderBy(F.col("priority").desc(), F.col("doc_id").asc())
+        .limit(PRIORITY_K + 1)
+        .localCheckpoint(eager=False)
+    )
+    w = Window.orderBy(F.col("priority").desc(), F.col("doc_id").asc())
+    ranked = top.withColumn("r", F.row_number().over(w))
+    tau = ranked.agg(
+        F.max(F.when(F.col("r") == PRIORITY_K + 1, F.col("priority"))).alias(
+            "tau"
+        )
+    )
+    return (
+        ranked.filter(F.col("r") <= PRIORITY_K)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            "doc_id",
+            "n_chars",
+            "priority",
+            "r",
+            F.greatest(
+                F.col("n_chars").cast("double"),
+                F.coalesce(F.col("tau"), F.lit(0.0)),
+            ).alias("adj_weight"),
+        )
+    )
+
+
+TRAIN_PRIORITY_SAMPLE_SQL = f"""
+    WITH base AS (
+        SELECT doc_id, n_chars,
+               CAST(n_chars AS DOUBLE) * {float(_PRIORITY_M)}
+                   / CAST(({h64_sql("'ps:' || CAST(doc_id AS VARCHAR)")}
+                           % {_PRIORITY_M}) + 1 AS DOUBLE) AS priority
+        FROM documents
+    ),
+    top AS (
+        SELECT * FROM base
+        ORDER BY priority DESC, doc_id LIMIT {PRIORITY_K + 1}
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id) AS r
+        FROM top
+    ),
+    tau AS (
+        SELECT max(CASE WHEN r = {PRIORITY_K + 1} THEN priority END) AS tau
+        FROM ranked
+    )
+    SELECT doc_id, n_chars, priority, r,
+           greatest(CAST(n_chars AS DOUBLE), coalesce(tau, 0.0)) AS adj_weight
+    FROM ranked, tau
+    WHERE r <= {PRIORITY_K}
+"""

@@ -268,6 +268,17 @@ def build() -> dict:
         tp.TRAIN_STRATIFIED_SQL,
         "ext: stratified quota sample (hash-ordered top-K per stratum)",
     )
+    # Round-7 addition, staged for the r8 rotation: the weighted member
+    # of the sampling family — priority sampling (Duffield-Lund-Thorup)
+    # with Horvitz-Thompson adjusted weights, deterministic via exact
+    # rational hash-uniforms (no transcendental pow).
+    q["train_priority_sample"] = QuerySpec(
+        tp.train_priority_sample,
+        tp.TRAIN_PRIORITY_SAMPLE_SQL,
+        "ext: weighted priority sample without replacement "
+        "(TakeOrderedAndProject top-K, HT-adjusted weights)",
+        driver=False,
+    )
     # Funnel observability: one-pass conditional-sum aggregation of the
     # four registered corpus filters in production order. Promoted to a
     # driver slot in round 5 (slot from forecast_revenue).

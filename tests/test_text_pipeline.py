@@ -446,3 +446,46 @@ def test_token_rarity_orders_planted_outlier(spark, tmp_path):
     assert out[6]["mean_df"] == 1.0
     assert out[1]["mean_df"] > 4  # common tokens appear in all 5 copies
     assert out[1]["rare_ratio"] == 0.0
+
+
+def test_priority_sample_threshold_and_estimator(spark, sf_dir):
+    """Priority-sampling invariants: every kept priority >= τ, τ is the
+    (K+1)-th priority, and the Horvitz-Thompson adjusted weights give a
+    subset-sum estimate of total corpus weight within a loose relative
+    bound (the estimator is unbiased; for n_chars weights at K=200 the
+    realized error should be well under 15%)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_hive_analysis_spark.operators.text_pipeline import (
+        PRIORITY_K,
+        train_priority_sample,
+    )
+    from hadoop_hive_analysis_spark.sources.catalog import load_table
+
+    rows = train_priority_sample(spark, sf_dir).collect()
+    assert len(rows) == PRIORITY_K
+    assert sorted(r.r for r in rows) == list(range(1, PRIORITY_K + 1))
+    tau = min(r.adj_weight for r in rows)  # adj = max(w, τ) >= τ
+    assert all(r.priority >= tau for r in rows)
+    # adjusted weights never below the raw weight
+    assert all(r.adj_weight >= r.n_chars for r in rows)
+    total = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.sum("n_chars").alias("t"))
+        .collect()[0]
+        .t
+    )
+    est = sum(r.adj_weight for r in rows)
+    assert abs(est - total) / total < 0.15, (est, total)
+
+
+def test_priority_sample_stable_under_repartition(spark, sf_dir):
+    """Membership is a pure function of doc_id — the physical layout
+    cannot flip it (same leak-proofing contract as train_val_split)."""
+    from hadoop_hive_analysis_spark.operators.text_pipeline import (
+        train_priority_sample,
+    )
+
+    a = {r.doc_id for r in train_priority_sample(spark, sf_dir).collect()}
+    b = {r.doc_id for r in train_priority_sample(spark, sf_dir).collect()}
+    assert a == b
