@@ -570,3 +570,141 @@ EVENTS_FUNNEL_SQL = f"""
     SELECT CAST(3 AS BIGINT), '{FUNNEL_STEPS[2]}',
            (SELECT count(*) FROM t3)
 """
+
+
+# ---------------------------------------- robust outlier detection
+
+# Hampel-style cutoff: |v - median| > 4.5 * MAD, applied as the exact
+# integer cross-multiply  2*dev > 9*mad  (no float tolerance in the
+# decision). 4.5 ~ 3 sigma under the normal-consistency factor 1.4826.
+_OUTLIER_NUM = 9
+_OUTLIER_DEN = 2
+
+
+def events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust anomaly profile: median / MAD / Hampel
+    outlier counts over ``value`` — the data-quality screen that
+    mean/stddev z-scores get wrong exactly when it matters (the
+    outliers poison the mean they're judged against; the median/MAD
+    breakdown point is 50%).
+
+    Exactness: values are quantized to int64 cents (the module-wide
+    money contract); medians are EXACT ELEMENT SELECTION at rank
+    ``(n+1) DIV 2`` (lower median — no interpolated percentile, whose
+    ``a + (b-a)*frac`` float form is not cross-engine reproducible),
+    deviations are exact integer subtractions, and the cutoff is an
+    integer cross-multiply. The emitted medians are single IEEE
+    divisions by 100.
+
+    Scale shape: exact per-group medians need a per-group sort (two
+    ``row_number`` passes: values, then deviations); group count is
+    tiny (event types) so the sorts parallelize per group but a single
+    hot type is one task's sort — the honest cost of EXACTNESS. The
+    100 TB screen runs :func:`~..operators.sketches.price_quantiles_sketch`'s
+    ``approx_percentile`` shape instead (one streaming pass, mergeable,
+    rank error bounded) and reserves this exact form for adjudicating
+    sketch drift on sampled partitions. The cents frame is checkpointed
+    so the value pass, the deviation pass, and the final aggregation
+    read the parquet once.
+    """
+    c = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "event_id", F.expr(_VAL_CENTS).alias("cents"))
+        .localCheckpoint(eager=False)
+    )
+    n = c.groupBy("event_type").agg(F.count("*").alias("n"))
+    wv = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    med = (
+        c.withColumn("r", F.row_number().over(wv))
+        .join(F.broadcast(n), "event_type")
+        .filter(F.col("r") == F.expr("(n + 1) DIV 2"))
+        .select("event_type", F.col("cents").alias("med_cents"))
+    )
+    dev = c.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("cents") - F.col("med_cents"))
+    )
+    wd = Window.partitionBy("event_type").orderBy("dev", "event_id")
+    mad = (
+        dev.withColumn("r", F.row_number().over(wd))
+        .join(F.broadcast(n), "event_type")
+        .filter(F.col("r") == F.expr("(n + 1) DIV 2"))
+        .select("event_type", F.col("dev").alias("mad_cents"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.first("med_cents").alias("med_cents"),
+            F.first("mad_cents").alias("mad_cents"),
+            F.sum(
+                F.when(
+                    F.col("dev") * _OUTLIER_DEN
+                    > F.col("mad_cents") * _OUTLIER_NUM,
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.max("dev").alias("max_dev_cents"),
+        )
+        .select(
+            "event_type",
+            "n",
+            (F.col("med_cents").cast("double") / F.lit(100.0)).alias("med"),
+            (F.col("mad_cents").cast("double") / F.lit(100.0)).alias("mad"),
+            "n_outliers",
+            (F.col("max_dev_cents").cast("double") / F.lit(100.0)).alias(
+                "max_abs_dev"
+            ),
+        )
+    )
+
+
+EVENTS_ROBUST_OUTLIERS_SQL = f"""
+    WITH c AS (
+        SELECT event_type, event_id, {_VAL_CENTS} AS cents
+        FROM events WHERE value IS NOT NULL
+    ),
+    n AS (SELECT event_type, count(*) AS n FROM c GROUP BY event_type),
+    rv AS (
+        SELECT event_type, cents,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY cents, event_id
+               ) AS r
+        FROM c
+    ),
+    med AS (
+        SELECT rv.event_type, rv.cents AS med_cents
+        FROM rv JOIN n USING (event_type)
+        WHERE rv.r = (n.n + 1) // 2
+    ),
+    dev AS (
+        SELECT c.event_type, c.event_id, c.cents,
+               abs(c.cents - med.med_cents) AS dev, med.med_cents
+        FROM c JOIN med USING (event_type)
+    ),
+    rd AS (
+        SELECT event_type, dev,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY dev, event_id
+               ) AS r
+        FROM dev
+    ),
+    mad AS (
+        SELECT rd.event_type, rd.dev AS mad_cents
+        FROM rd JOIN n USING (event_type)
+        WHERE rd.r = (n.n + 1) // 2
+    )
+    SELECT dev.event_type,
+           count(*) AS n,
+           CAST(max(dev.med_cents) AS DOUBLE) / 100.0 AS med,
+           CAST(max(mad.mad_cents) AS DOUBLE) / 100.0 AS mad,
+           CAST(sum(CASE WHEN dev.dev * {_OUTLIER_DEN}
+                              > mad.mad_cents * {_OUTLIER_NUM}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(max(dev.dev) AS DOUBLE) / 100.0 AS max_abs_dev
+    FROM dev JOIN mad USING (event_type)
+    GROUP BY dev.event_type
+"""

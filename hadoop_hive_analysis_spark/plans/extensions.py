@@ -701,6 +701,17 @@ def build() -> dict:
     # conversion-funnel report (strict step ordering per user — not
     # three independent EXISTS filters); every step keyed on user_id so
     # the partitioning is reused across all three aggregations.
+    # Round-7 addition, staged for the r8 rotation: robust data-quality
+    # screen — exact median/MAD per event type (rank selection, no
+    # interpolated percentile) with an integer-cross-multiply Hampel
+    # cutoff; the exact adjudicator for the sketch-based screens.
+    q["events_robust_outliers"] = QuerySpec(
+        events.events_robust_outliers,
+        events.EVENTS_ROBUST_OUTLIERS_SQL,
+        "ext: median/MAD Hampel outlier profile (exact rank-selected "
+        "medians, integer cutoff)",
+        driver=False,
+    )
     q["events_conversion_funnel"] = QuerySpec(
         events.events_conversion_funnel,
         events.EVENTS_FUNNEL_SQL,
