@@ -214,3 +214,51 @@ def test_range_clustering_prunes_row_groups(spark, sf_dir, tmp_path, no_aqe):
         tuple(r) for r in spark.read.parquet(shuffled).filter(pred).collect()
     )
     assert a == b
+
+
+def test_zorder_prunes_both_dimensions(spark, sf_dir, tmp_path, no_aqe):
+    """Z-order vs lexicographic multi-key clustering, MEASURED: on a
+    layout sorted (user_id, then ts) a ts-only filter prunes ~nothing
+    (the second sort key has no file-level locality), while the Z-order
+    layout keeps row-group pruning effective on BOTH dimensions, and
+    the rewrite preserves content exactly."""
+    from hadoop_hive_analysis_spark.sources.layout import (
+        write_range_clustered,
+        write_zorder_clustered,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("tsec"), "value"
+    )
+    total = ev.count()
+    lexi, zord = str(tmp_path / "lexi"), str(tmp_path / "zord")
+    small = {"parquet.block.size": str(32 * 1024)}
+    write_range_clustered(ev, lexi, ["user_id", "tsec"], n_files=8, **small)
+    write_zorder_clustered(ev, zord, ["user_id", "tsec"], n_files=8, **small)
+
+    z_df = spark.read.parquet(zord)
+    assert z_df.count() == total
+    assert z_df.exceptAll(ev).count() == 0 and ev.exceptAll(z_df).count() == 0
+    assert set(z_df.columns) == set(ev.columns)  # helper cols dropped
+
+    bounds = ev.agg(
+        F.min("user_id").alias("ulo"), F.max("user_id").alias("uhi"),
+        F.min("tsec").alias("tlo"), F.max("tsec").alias("thi"),
+    ).collect()[0]
+    # ~10% slice in each dimension
+    u_cut = bounds.ulo + (bounds.uhi - bounds.ulo) // 10
+    t_cut = bounds.tlo + (bounds.thi - bounds.tlo) // 10
+    u_pred = F.col("user_id") <= u_cut
+    t_pred = F.col("tsec") <= t_cut
+
+    def scanned(path, pred):
+        return _scan_output_rows(spark, spark.read.parquet(path).filter(pred))
+
+    # leading-key filter: both layouts prune
+    assert scanned(lexi, u_pred) <= total // 2
+    assert scanned(zord, u_pred) <= total // 2
+    # trailing-dimension filter: lexicographic layout reads ~everything,
+    # Z-order still skips a measurable share of row groups
+    lexi_t, zord_t = scanned(lexi, t_pred), scanned(zord, t_pred)
+    assert lexi_t >= total * 9 // 10, (lexi_t, total)
+    assert zord_t <= (total * 3) // 4, (zord_t, lexi_t, total)
