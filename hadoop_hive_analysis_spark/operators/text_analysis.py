@@ -563,3 +563,108 @@ def _tfidf_cosine_sql() -> str:
 
 
 DOC_TFIDF_COSINE_SQL = _tfidf_cosine_sql()
+
+
+# ------------------------------------------- per-source distribution drift
+
+
+def source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-monitoring drift report: for every ``source``, the exact
+    total-variation distance between that source's token distribution
+    and the whole-corpus distribution — the screen that catches an
+    off-distribution or corrupted feed before it trains (the
+    set-level complement of the per-document rarity filter
+    :func:`doc_token_rarity`).
+
+    TV(source) = ½ Σ_t |c_st/n_s − c_t/n|. Cross-multiplying to the
+    common per-source denominator ``2·n_s·n`` makes the numerator an
+    exact int64 sum: Σ over tokens PRESENT in the source of
+    |c_st·n − c_t·n_s|, plus the absent-token mass ``n_s·(n − Σ_{t∈S}
+    c_t)`` in closed form (absent tokens contribute c_t·n_s each, and
+    Σ_t c_t = n) — no explicit iteration over the full vocabulary per
+    source. One IEEE division at the end; bit-identical across engines.
+    int64 bound: c_st·n < 2^63 — fine per shard up to ~10^9·10^9-token
+    scales; beyond that the same statistic runs per day-shard and
+    averages (TV is bounded [0,1] and shard-decomposable as a report).
+
+    Scale shape: one (source, tok) partial-agg shuffle over the
+    exploded corpus (map-side combine collapses to vocab×sources
+    rows); token totals and per-source totals derive from THAT frame
+    (materialized once — the corpus is tokenized exactly once), both
+    broadcast back; the final per-source aggregation touches only
+    vocab×sources rows.
+    """
+    ex = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", F.explode(tokens("text")).alias("tok"))
+    )
+    st = (
+        ex.groupBy("source", "tok")
+        .agg(F.count("*").alias("c_st"))
+        .localCheckpoint(eager=False)
+    )
+    tot_t = st.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
+    tot_s = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    tot = tot_t.agg(F.sum("c_t").cast("long").alias("n"))
+    per = (
+        st.join(F.broadcast(tot_t), "tok")
+        .join(F.broadcast(tot_s), "source")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.first("n_s").alias("n_s"),
+            F.first("n").alias("n"),
+            F.sum(
+                F.abs(F.col("c_st") * F.col("n") - F.col("c_t") * F.col("n_s"))
+            ).alias("present_abs"),
+            F.sum("c_t").alias("cov_ct"),
+        )
+    )
+    return per.select(
+        "source",
+        F.col("n_s").cast("long").alias("n_tokens"),
+        (
+            F.col("present_abs")
+            + F.col("n_s") * (F.col("n") - F.col("cov_ct"))
+        )
+        .cast("long")
+        .alias("tv_num"),
+        (
+            (
+                F.col("present_abs")
+                + F.col("n_s") * (F.col("n") - F.col("cov_ct"))
+            ).cast("double")
+            / (F.lit(2) * F.col("n_s") * F.col("n")).cast("double")
+        ).alias("tv"),
+    )
+
+
+SOURCE_TOKEN_DRIFT_SQL = r"""
+    WITH ex AS (
+        SELECT source, unnest(string_split_regex(text, '\s+')) AS tok
+        FROM documents
+    ),
+    st AS (SELECT source, tok, count(*) AS c_st FROM ex GROUP BY 1, 2),
+    tot_t AS (SELECT tok, sum(c_st) AS c_t FROM st GROUP BY tok),
+    tot_s AS (SELECT source, sum(c_st) AS n_s FROM st GROUP BY source),
+    tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n FROM tot_t),
+    per AS (
+        SELECT st.source,
+               max(tot_s.n_s) AS n_s,
+               max(tot.n) AS n,
+               sum(abs(st.c_st * tot.n - tot_t.c_t * tot_s.n_s))
+                   AS present_abs,
+               sum(tot_t.c_t) AS cov_ct
+        FROM st
+        JOIN tot_t USING (tok)
+        JOIN tot_s USING (source)
+        CROSS JOIN tot
+        GROUP BY st.source
+    )
+    SELECT source,
+           CAST(n_s AS BIGINT) AS n_tokens,
+           CAST(present_abs + n_s * (n - cov_ct) AS BIGINT) AS tv_num,
+           CAST(present_abs + n_s * (n - cov_ct) AS DOUBLE)
+               / CAST(2 * n_s * n AS DOUBLE) AS tv
+    FROM per
+"""

@@ -498,6 +498,17 @@ def build() -> dict:
         "ext: per-group quantile sketch (exact percentiles hashed + "
         "in-query rank-error assertion on approx_percentile)",
     )
+    # Round-7 addition, staged for the r8 rotation: corpus-monitoring
+    # drift — exact total-variation distance of each source's token
+    # distribution from the corpus (int64 cross-multiplied numerator,
+    # absent-token mass in closed form, one final division).
+    q["source_token_drift"] = QuerySpec(
+        text_analysis.source_token_drift,
+        text_analysis.SOURCE_TOKEN_DRIFT_SQL,
+        "ext: per-source token-distribution drift (exact TV distance, "
+        "single (source,tok) shuffle)",
+        driver=False,
+    )
     # Round-7 addition, staged for the r8 rotation: ranked keyword
     # retrieval — fixed-point BM25 (exact int64 tf/df/dl statistics, one
     # quantized ln per distinct df), top-K per probe query.

@@ -72,3 +72,41 @@ def test_drop_branches_and_cross_engine_parity(spark, tmp_path):
         for r in doc_repetition_filter(spark, sf_dir).collect()
     )
     assert spark_rows == want
+
+
+def test_source_drift_planted(spark, tmp_path):
+    """Planted drift: a source drawn from a disjoint vocabulary has
+    TV distance near 1 (bounded by the corpus-share overlap), a source
+    with the corpus-average distribution has TV near 0, and TV is
+    always within [0, 1]."""
+    import os
+
+    import pandas as pd
+
+    from hadoop_hive_analysis_spark.operators.text_analysis import (
+        source_token_drift,
+    )
+
+    base = "alpha beta gamma delta " * 10
+    rows = [(i, base.strip(), "en", "typical", len(base)) for i in range(40)]
+    rows += [
+        (100 + i, ("weird" + str(i % 3) + " ") * 40, "en", "offdist", 240)
+        for i in range(10)
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    spark.createDataFrame(pdf).coalesce(2).write.parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    got = {
+        r.source: r for r in source_token_drift(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {"typical", "offdist"}
+    for r in got.values():
+        assert 0.0 <= r.tv <= 1.0
+    # disjoint vocabulary: TV = corpus share of the OTHER source's mass
+    assert got["offdist"].tv > 0.7
+    # the majority source barely moves from the corpus distribution
+    assert got["typical"].tv < 0.25
+    assert got["offdist"].tv > 3 * got["typical"].tv
