@@ -287,3 +287,40 @@ def test_dedup_collapse_anti_join_broadcasts_losers(plans):
     p = plans("dedup_collapse")
     assert "LeftAnti, BuildRight" in p
     assert "BroadcastHashJoin" in p
+
+
+def test_bm25_windowgrouplimit_and_broadcast_terms(plans):
+    """BM25 top-K must be WindowGroupLimit (partial per-partition top-K,
+    never a corpus sort) and the probe-term dimension must broadcast."""
+    p = plans("doc_bm25_search")
+    assert "WindowGroupLimit" in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_priority_sample_takeordered_no_global_sort(plans):
+    """Selection is TakeOrderedAndProject; the only window runs over the
+    K+1-row checkpointed frame (no corpus-wide Sort + Window)."""
+    p = plans("train_priority_sample")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_heavy_hitters_broadcast_candidates(plans):
+    """Phase-2 recount joins the corpus against BROADCAST candidates —
+    the shuffle after it is bounded by |candidates|, not vocabulary."""
+    p = plans("doc_heavy_hitters")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_source_drift_single_tokenize(plans):
+    """The (source, tok) counts frame is checkpointed once and feeds
+    token totals, source totals, and the final agg: the executed plan
+    re-reads the checkpoint (ExistingRDD) in every branch and contains
+    NO parquet scan and NO explode — the corpus was tokenized exactly
+    once, at checkpoint materialization."""
+    p = plans("source_token_drift")
+    assert "Scan ExistingRDD" in p
+    assert "Scan parquet" not in p
+    assert "Generate explode" not in p
+    assert "CartesianProduct" not in p
