@@ -413,3 +413,159 @@ FRAME_SAMPLE_SQL = f"""
     FROM lim
     WHERE rn <= {N_FRAMES_SAMPLED}
 """
+
+
+# ------------------------------------------------ real audio decode (WAV)
+
+AUDIO_DECODE_SCHEMA = (
+    "doc_id long, n_bytes long, sample_rate int, n_channels int, "
+    "n_samples long, duration_sec double, rms double, decode_error string"
+)
+
+
+def decode_audio_batch(payload: bytes) -> tuple[int, int, int, float, float]:
+    """REAL minimal audio decoder: RIFF/WAVE PCM16 (the one audio
+    container a pure-stdlib environment can parse honestly — the audio
+    twin of :func:`decode_image_batch`'s PPM/PGM/BMP family). Walks the
+    RIFF chunk list to ``fmt `` and ``data``, validates PCM16, and
+    returns ``(sample_rate, n_channels, n_samples_per_channel,
+    duration_sec, rms)``. RMS accumulates int16 squares in exact int64
+    and takes one sqrt at the end (the engine's usual
+    exact-until-the-last-op discipline). Raises ``ValueError`` on
+    anything else; a real deployment widens the dispatch with
+    soundfile/ffmpeg, which this container does not have.
+    """
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError(f"not a RIFF/WAVE payload (magic {payload[:4]!r})")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"truncated WAV chunk {cid!r}")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ValueError("truncated fmt chunk")
+    audio_format, n_channels, sample_rate = struct.unpack_from("<HHI", fmt, 0)
+    bits = struct.unpack_from("<H", fmt, 14)[0]
+    if audio_format != 1 or bits != 16:
+        raise ValueError(
+            f"only PCM16 supported (format={audio_format}, bits={bits})"
+        )
+    if n_channels < 1:
+        raise ValueError("WAV with zero channels")
+    if len(data) % (2 * n_channels) != 0:
+        raise ValueError("data chunk not a whole number of sample frames")
+    n_samples = len(data) // (2 * n_channels)
+    total = len(data) // 2
+    if total:
+        sq = 0
+        for (s,) in struct.iter_unpack("<h", data):
+            sq += s * s
+        rms = (sq / total) ** 0.5
+    else:
+        rms = 0.0
+    return sample_rate, n_channels, n_samples, n_samples / sample_rate, rms
+
+
+def decode_audio(df: DataFrame) -> DataFrame:
+    """REAL audio decode over a ``(doc_id, payload binary)`` DataFrame —
+    the mapInPandas seam of :func:`decode_images` applied to WAV PCM16,
+    with the same per-row error quarantine (poison payloads keep their
+    row; ``decode_error`` carries the reason). The closure re-states the
+    parser locally (cloudpickle foreign-cwd rule) but uses numpy for the
+    square-sum (int16 → int64 exact) — pinned identical to
+    :func:`decode_audio_batch` by the parity test.
+    """
+    import pandas as pd
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        def parse_wav(payload: bytes):
+            if (
+                len(payload) < 12
+                or payload[:4] != b"RIFF"
+                or payload[8:12] != b"WAVE"
+            ):
+                raise ValueError(
+                    f"not a RIFF/WAVE payload (magic {payload[:4]!r})"
+                )
+            pos, fmt, data = 12, None, None
+            while pos + 8 <= len(payload):
+                cid = payload[pos : pos + 4]
+                size = struct.unpack_from("<I", payload, pos + 4)[0]
+                body = payload[pos + 8 : pos + 8 + size]
+                if len(body) != size:
+                    raise ValueError(f"truncated WAV chunk {cid!r}")
+                if cid == b"fmt ":
+                    fmt = body
+                elif cid == b"data":
+                    data = body
+                pos += 8 + size + (size & 1)
+            if fmt is None or data is None:
+                raise ValueError("WAV missing fmt/data chunk")
+            if len(fmt) < 16:
+                raise ValueError("truncated fmt chunk")
+            audio_format, n_channels, sample_rate = struct.unpack_from(
+                "<HHI", fmt, 0
+            )
+            bits = struct.unpack_from("<H", fmt, 14)[0]
+            if audio_format != 1 or bits != 16:
+                raise ValueError(
+                    f"only PCM16 supported (format={audio_format}, bits={bits})"
+                )
+            if n_channels < 1:
+                raise ValueError("WAV with zero channels")
+            if len(data) % (2 * n_channels) != 0:
+                raise ValueError("data chunk not a whole number of sample frames")
+            n_samples = len(data) // (2 * n_channels)
+            total = len(data) // 2
+            if total:
+                s = np.frombuffer(data, dtype="<i2").astype("int64")
+                rms = float(np.sqrt(int((s * s).sum()) / total))
+            else:
+                rms = 0.0
+            return (
+                sample_rate,
+                n_channels,
+                n_samples,
+                n_samples / sample_rate,
+                rms,
+            )
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_bytes": [], "sample_rate": [],
+                "n_channels": [], "n_samples": [], "duration_sec": [],
+                "rms": [], "decode_error": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                out["doc_id"].append(doc_id)
+                out["n_bytes"].append(len(payload))
+                try:
+                    sr, nc, ns, dur, rms = parse_wav(payload)
+                    err = None
+                except (ValueError, IndexError, struct.error) as ex:
+                    sr = nc = ns = dur = rms = None
+                    err = str(ex)[:200]
+                out["sample_rate"].append(sr)
+                out["n_channels"].append(nc)
+                out["n_samples"].append(ns)
+                out["duration_sec"].append(dur)
+                out["rms"].append(rms)
+                out["decode_error"].append(err)
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(decode, AUDIO_DECODE_SCHEMA)
