@@ -324,3 +324,49 @@ def test_source_drift_single_tokenize(plans):
     assert "Scan parquet" not in p
     assert "Generate explode" not in p
     assert "CartesianProduct" not in p
+
+
+def test_runtime_bloom_filter_prefilters_fact_side(spark, sf_dir):
+    """Runtime-filter demonstration pinned: a shuffle join against a
+    selectively-filtered dimension injects a bloom_filter_agg on the dim
+    side and a might_contain pre-filter on the FACT side — rows that
+    cannot join are dropped before the fact shuffle, the mechanism that
+    matters at 100 TB. Defaults hide it at fixture scale only because of
+    the 10 GB application-side scan threshold (a SIZE gate, zeroed here);
+    the bloom confs themselves are Spark defaults."""
+    from hadoop_hive_analysis_spark.sources.catalog import load_table
+
+    from pyspark.sql import functions as F
+
+    keys = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+    }
+    prev = {k: spark.conf.get(k) for k in keys}
+    try:
+        for k, v in keys.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+        # and the result is unaffected by the runtime filter
+        rows = j.collect()
+        plain = (
+            li.join(orders.hint("broadcast"), li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+            .collect()
+        )
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, plain))
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
