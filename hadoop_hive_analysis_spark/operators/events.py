@@ -708,3 +708,141 @@ EVENTS_ROBUST_OUTLIERS_SQL = f"""
     FROM dev JOIN mad USING (event_type)
     GROUP BY dev.event_type
 """
+
+
+# ------------------------------------------- CDC compaction / SCD history
+
+
+def events_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC latest-record-wins compaction: the current state per key from
+    an append-only change log — the batch form of a MERGE/upsert sink
+    (what a warehouse's "current" table holds after replaying updates).
+
+    Ordering is (ts, event_id): the event_id tie-break makes the winner
+    deterministic when a user has several events in one second.
+
+    Scale shape: NOT a window + ``row_number() = 1`` — that sorts every
+    key's full history after the shuffle. The engine computes
+    ``max(struct(ts, event_id, payload...))`` instead (struct comparison
+    is lexicographic on the leading fields, which are exactly the
+    ordering key), which Catalyst plans as partial -> final HashAggregate:
+    each map task keeps ONE candidate row per key it sees, so the shuffle
+    moves at most (keys x tasks) rows no matter how deep the history —
+    the compaction reads 100 TB of log but shuffles only the key space.
+    The oracle states the same semantics in the conventional
+    ``row_number() OVER (... DESC) = 1`` form.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("long").alias("ts_epoch"),
+        "event_id",
+        "event_type",
+        F.expr(_VAL_CENTS).alias("cents"),
+    )
+    latest = ev.groupBy("user_id").agg(
+        F.max(F.struct("ts_epoch", "event_id", "event_type", "cents")).alias("s"),
+        F.count("*").alias("n_versions"),
+    )
+    return latest.select(
+        "user_id",
+        F.col("s.ts_epoch").alias("last_ts_epoch"),
+        F.col("s.event_id").alias("last_event_id"),
+        F.col("s.event_type").alias("last_event_type"),
+        (F.col("s.cents").cast("double") / F.lit(100.0)).alias("last_value"),
+        "n_versions",
+    )
+
+
+EVENTS_LATEST_STATE_SQL = f"""
+    WITH ranked AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+               event_id, event_type, {_VAL_CENTS} AS cents,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(floor(epoch(ts)) AS BIGINT) DESC,
+                            event_id DESC
+               ) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n_versions
+        FROM events
+    )
+    SELECT user_id,
+           ts_epoch AS last_ts_epoch,
+           event_id AS last_event_id,
+           event_type AS last_event_type,
+           CAST(cents AS DOUBLE) / 100.0 AS last_value,
+           CAST(n_versions AS BIGINT) AS n_versions
+    FROM ranked WHERE rn = 1
+"""
+
+
+def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build: collapse each
+    user's event_type sequence into validity intervals — a row per RUN of
+    equal state, with ``valid_from``/``valid_to`` epochs and a version
+    number; ``valid_to`` is NULL on the current (open) interval. The
+    standard dimension-history backfill a warehouse derives from a change
+    log.
+
+    Scale shape: one shuffle on user_id serves the whole query — the
+    change-detection ``lag``, the run ``valid_to`` ``lead``, and the
+    version ``row_number`` are all windows over the SAME
+    (partition=user_id, order=(ts, event_id)) spec, so Catalyst plans one
+    Exchange + one Sort and runs the three window functions in two passes
+    over sorted runs (lag-based change flags first, then lead/row_number
+    over the filtered change rows — still the original partitioning,
+    no second shuffle). State comparisons are null-safe (``<=>``) so a
+    NULL attribute forms runs rather than infinite change rows.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("long").alias("ts_epoch"),
+        "event_id",
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_epoch", "event_id")
+    changes = ev.withColumn("prev_type", F.lag("event_type").over(w)).where(
+        ~F.col("event_type").eqNullSafe(F.col("prev_type"))
+    )
+    return (
+        changes.withColumn("valid_to_epoch", F.lead("ts_epoch").over(w))
+        .withColumn("version", F.row_number().over(w))
+        .select(
+            "user_id",
+            "version",
+            F.col("event_type").alias("state"),
+            F.col("ts_epoch").alias("valid_from_epoch"),
+            "valid_to_epoch",
+        )
+    )
+
+
+EVENTS_SCD2_SQL = """
+    WITH ev AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+               event_id, event_type
+        FROM events
+    ),
+    flagged AS (
+        SELECT *,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts_epoch, event_id
+               ) AS prev_type
+        FROM ev
+    ),
+    changes AS (
+        SELECT * FROM flagged
+        WHERE prev_type IS DISTINCT FROM event_type
+    )
+    SELECT user_id,
+           CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY ts_epoch, event_id
+           ) AS BIGINT) AS version,
+           event_type AS state,
+           ts_epoch AS valid_from_epoch,
+           lead(ts_epoch) OVER (
+               PARTITION BY user_id ORDER BY ts_epoch, event_id
+           ) AS valid_to_epoch
+    FROM changes
+"""

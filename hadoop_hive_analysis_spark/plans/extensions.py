@@ -723,6 +723,25 @@ def build() -> dict:
         "medians, integer cutoff)",
         driver=False,
     )
+    # Round-7 additions, staged for the r8 rotation: the CDC/warehouse
+    # maintenance pair — latest-record-wins compaction (the batch form
+    # of a MERGE/upsert sink, computed as a partial-agg struct-max so
+    # the shuffle moves keys not history) and the SCD2 validity-interval
+    # history build (three window functions over ONE partitioning).
+    q["events_latest_state"] = QuerySpec(
+        events.events_latest_state,
+        events.EVENTS_LATEST_STATE_SQL,
+        "ext: CDC latest-record-wins compaction (struct-max partial "
+        "agg — shuffles keys, not history)",
+        driver=False,
+    )
+    q["events_scd2_intervals"] = QuerySpec(
+        events.events_scd2_intervals,
+        events.EVENTS_SCD2_SQL,
+        "ext: SCD type-2 validity intervals from a change log (run "
+        "collapse + lead valid_to, one shuffle for three windows)",
+        driver=False,
+    )
     q["events_conversion_funnel"] = QuerySpec(
         events.events_conversion_funnel,
         events.EVENTS_FUNNEL_SQL,

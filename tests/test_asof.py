@@ -89,3 +89,92 @@ def test_robust_outliers_planted(spark, tmp_path):
     a, b = got["A"], got["B"]
     assert (a.n, a.med, a.mad, a.n_outliers, a.max_abs_dev) == (7, 11.0, 1.0, 1, 89.0)
     assert (b.n, b.med, b.mad, b.n_outliers, b.max_abs_dev) == (6, 3.0, 1.0, 1, 997.0)
+
+
+def _write_events(spark, tmp_path, rows):
+    import os
+
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        os.path.join(str(tmp_path), "events.parquet")
+    )
+
+
+def test_latest_state_tiebreak_and_versions(spark, tmp_path):
+    """Latest-record-wins: same-second updates resolve by event_id, and
+    the struct-max aggregate must agree with the conventional
+    row_number()=1 formulation on a constructed change log."""
+    import datetime
+
+    from hadoop_hive_analysis_spark.operators.events import events_latest_state
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    t1 = t0 + datetime.timedelta(seconds=30)
+    _write_events(
+        spark,
+        tmp_path,
+        [
+            # user 1: two updates in the SAME second → event_id 7 wins
+            (3, t1, 1, "click", 1.00, "{}"),
+            (7, t1, 1, "purchase", 2.50, "{}"),
+            (1, t0, 1, "view", 0.25, "{}"),
+            # user 2: single event
+            (2, t0, 2, "signup", 9.99, "{}"),
+        ],
+    )
+    got = {r.user_id: r for r in events_latest_state(spark, str(tmp_path)).collect()}
+    u1, u2 = got[1], got[2]
+    assert (u1.last_event_id, u1.last_event_type, u1.last_value, u1.n_versions) == (
+        7,
+        "purchase",
+        2.5,
+        3,
+    )
+    assert u1.last_ts_epoch == int(t1.replace(tzinfo=datetime.timezone.utc).timestamp())
+    assert (u2.last_event_id, u2.n_versions) == (2, 1)
+
+
+def test_scd2_runs_and_open_interval(spark, tmp_path):
+    """SCD2 build: consecutive equal states collapse into one interval,
+    valid_to chains to the next change, and the current interval is
+    open (NULL valid_to)."""
+    import datetime
+
+    from hadoop_hive_analysis_spark.operators.events import events_scd2_intervals
+
+    t = [
+        datetime.datetime(2024, 1, 1, 0, 0, 0) + datetime.timedelta(minutes=m)
+        for m in range(6)
+    ]
+    _write_events(
+        spark,
+        tmp_path,
+        [
+            # user 1: view, view, click, click, view → 3 intervals
+            (1, t[0], 1, "view", 0.0, "{}"),
+            (2, t[1], 1, "view", 0.0, "{}"),
+            (3, t[2], 1, "click", 0.0, "{}"),
+            (4, t[3], 1, "click", 0.0, "{}"),
+            (5, t[4], 1, "view", 0.0, "{}"),
+            # user 2: constant state → 1 open interval
+            (6, t[0], 2, "signup", 0.0, "{}"),
+            (7, t[5], 2, "signup", 0.0, "{}"),
+        ],
+    )
+    out = sorted(
+        (
+            (r.user_id, r.version, r.state, r.valid_from_epoch, r.valid_to_epoch)
+            for r in events_scd2_intervals(spark, str(tmp_path)).collect()
+        )
+    )
+    ep = [int(x.replace(tzinfo=datetime.timezone.utc).timestamp()) for x in t]
+    assert out == [
+        (1, 1, "view", ep[0], ep[2]),
+        (1, 2, "click", ep[2], ep[4]),
+        (1, 3, "view", ep[4], None),
+        (2, 1, "signup", ep[0], None),
+    ]

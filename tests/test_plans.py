@@ -370,3 +370,24 @@ def test_runtime_bloom_filter_prefilters_fact_side(spark, sf_dir):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_latest_state_partial_agg_not_window(plans):
+    """CDC compaction must be partial->final HashAggregate (struct-max),
+    NOT a Window + row_number: the shuffle moves at most one candidate
+    row per (key, map task), never the full history."""
+    p = plans("events_latest_state")
+    assert "Window" not in p
+    assert p.count("Exchange") == 1
+    # struct carries a string field -> Catalyst picks SortAggregate, but
+    # the property that matters is the map-side combine: a partial_max
+    # runs BEFORE the one exchange.
+    assert "partial_max" in p.split("Exchange")[1]
+
+
+def test_scd2_single_shuffle_for_three_windows(plans):
+    """SCD2's lag, lead, and row_number all share one (user_id; ts,
+    event_id) spec: one Exchange, one Sort, window nodes reuse both."""
+    p = plans("events_scd2_intervals")
+    assert p.count("Exchange") == 1
+    assert p.count("Sort") == 1
