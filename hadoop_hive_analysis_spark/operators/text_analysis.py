@@ -668,3 +668,93 @@ SOURCE_TOKEN_DRIFT_SQL = r"""
                / CAST(2 * n_s * n AS DOUBLE) AS tv
     FROM per
 """
+
+
+# ------------------------------------------- bigram LM quality score
+
+# Fixed-point scale for the per-instance conditional probability
+# p(w2|w1) = c12/c1 <= 1: parts-per-million keeps every quotient an exact
+# int64 (integer division), so sums are partition-order independent.
+LM_PPM = 1_000_000
+
+
+def doc_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order corpus-LM quality score: per-document mean bigram
+    conditional probability — the bigram upgrade of
+    :func:`doc_token_rarity`'s unigram signal (the next rung toward the
+    CCNet/KenLM perplexity filter ladder).
+
+    For each adjacent token pair (w1, w2) the corpus MLE conditional is
+    p(w2|w1) = count(w1 w2) / count(w1 as a bigram LEFT token). A real
+    LM filter averages log p; log is monotone and float sums are
+    partition-order dependent, so the engine keeps the exact form: each
+    instance contributes the integer ``(c12 * 1e6) DIV c1`` (ppm), the
+    per-doc sum is exact int64, and ONE double division yields the mean.
+    Word-salad/boilerplate docs (improbable transitions) score low;
+    templated docs score high.
+
+    Scale shape: one bigram explode, materialized once (non-eager
+    localCheckpoint) and reused by the bigram count, the left-token
+    count, and the join-back probe — three aggregations, each with
+    map-side partials; joins are on the same (w1, w2)/(w1) keys the
+    counts shuffled on. Nothing beyond (doc, bigram) pairs ever moves.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", tokens("text").alias("t"))
+    ex = (
+        d.where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("t", 1, F.size("t") - 1).alias("w1"),
+                    F.slice("t", 2, F.size("t") - 1).alias("w2"),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .localCheckpoint(eager=False)
+    )
+    c12 = ex.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = ex.groupBy("w1").agg(F.count("*").alias("c1"))
+    return (
+        ex.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        # true integral division (Spark `div`), not floor(double /):
+        # a double quotient can round up across an integer boundary and
+        # disagree with the oracle's `//` on adversarial counts.
+        .withColumn("q_ppm", F.expr(f"c12 * {LM_PPM}L div c1"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("q_ppm").alias("sum_cond_ppm"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_cond_ppm",
+            (F.col("sum_cond_ppm").cast("double") / F.col("n_bigrams")).alias(
+                "mean_cond_ppm"
+            ),
+        )
+    )
+
+
+DOC_BIGRAM_LM_SQL = rf"""
+    WITH ex AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM (
+            SELECT doc_id, string_split_regex(text, '\s+') AS t
+            FROM documents
+        ), unnest(range(1, len(t))) AS r(i)
+        WHERE len(t) >= 2
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM ex GROUP BY 1, 2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM ex GROUP BY 1)
+    SELECT ex.doc_id,
+           count(*) AS n_bigrams,
+           CAST(sum((c12.c12 * {LM_PPM}) // c1.c1) AS BIGINT) AS sum_cond_ppm,
+           CAST(sum((c12.c12 * {LM_PPM}) // c1.c1) AS DOUBLE) / count(*)
+               AS mean_cond_ppm
+    FROM ex JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+    GROUP BY ex.doc_id
+"""

@@ -235,6 +235,16 @@ def build() -> dict:
         "ext: corpus-statistics quality filter (CCNet-perplexity "
         "stand-in: exact mean token frequency + rare-token ratio)",
     )
+    # Round-7 addition, staged for the r8 rotation: the SECOND-ORDER
+    # rung of the corpus-LM quality ladder (unigram rarity above) —
+    # per-doc mean bigram conditional probability in exact ppm.
+    q["doc_bigram_lm_score"] = QuerySpec(
+        text_analysis.doc_bigram_lm_score,
+        text_analysis.DOC_BIGRAM_LM_SQL,
+        "ext: bigram-LM quality score (exact integer conditional "
+        "probabilities, corpus tokenized once)",
+        driver=False,
+    )
     q["doc_tfidf_topterms"] = QuerySpec(
         text_analysis.doc_tfidf_topterms,
         text_analysis.DOC_TFIDF_SQL,

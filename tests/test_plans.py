@@ -391,3 +391,13 @@ def test_scd2_single_shuffle_for_three_windows(plans):
     p = plans("events_scd2_intervals")
     assert p.count("Exchange") == 1
     assert p.count("Sort") == 1
+
+
+def test_bigram_lm_single_tokenize(plans):
+    """The bigram explode is materialized once and reused by the bigram
+    count, the left-token count, and the join-back probe — no second
+    corpus scan or re-explode per consumer."""
+    p = plans("doc_bigram_lm_score")
+    assert "Scan parquet" not in p
+    assert "Scan ExistingRDD" in p
+    assert "CartesianProduct" not in p

@@ -489,3 +489,36 @@ def test_priority_sample_stable_under_repartition(spark, sf_dir):
     a = {r.doc_id for r in train_priority_sample(spark, sf_dir).collect()}
     b = {r.doc_id for r in train_priority_sample(spark, sf_dir).collect()}
     assert a == b
+
+
+def test_bigram_lm_scores_templated_high_and_salad_low(spark, tmp_path):
+    """Templated docs (deterministic transitions, p(w2|w1)=1 everywhere)
+    must score mean_cond_ppm = 1e6; a doc whose transitions never repeat
+    corpus-wide scores strictly lower; exact hand-check on the salad doc."""
+    from hadoop_hive_analysis_spark.operators.text_analysis import (
+        LM_PPM,
+        doc_bigram_lm_score,
+    )
+
+    template = "alpha beta gamma delta"  # chain: each w1 has ONE successor
+    rows = [(i, template) for i in range(1, 6)] + [
+        # salad: reuses the template vocabulary but in reversed order, so
+        # every transition (delta->gamma etc.) occurs exactly once
+        # corpus-wide while its left token also heads 5 template bigrams.
+        (6, "delta gamma beta alpha")
+    ]
+    d = tmp_path / "bgm"
+    d.mkdir()
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+        str(d / "documents.parquet")
+    )
+    out = {r["doc_id"]: r for r in doc_bigram_lm_score(spark, str(d)).collect()}
+    assert out[1]["n_bigrams"] == 3
+    # template edges: alpha->beta has c12=5, c1(alpha-left)=5 → 1e6;
+    # beta->gamma and gamma->delta have c1=6 (the salad doc also uses
+    # beta/gamma as left tokens) → 833333 each
+    assert out[1]["sum_cond_ppm"] == LM_PPM + 2 * (5 * LM_PPM // 6)
+    # salad: delta->gamma (delta heads only this bigram, c1=1) → 1e6;
+    # gamma->beta and beta->alpha occur once against c1=6 → 166666 each
+    assert out[6]["sum_cond_ppm"] == LM_PPM + 2 * (LM_PPM // 6)
+    assert out[6]["mean_cond_ppm"] < out[1]["mean_cond_ppm"]
