@@ -174,3 +174,82 @@ EVENTS_COHORT_RETENTION_SQL = """
     FROM ev JOIN first USING (user_id)
     GROUP BY 1, 2
 """
+
+
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars: per (event_type, hour) open/high/low/close/volume over
+    the event value — the financial/timeseries rollup (the "candlestick"
+    continuous aggregate a hypertable engine ships natively).
+
+    Open/close are the values of the earliest/latest event in the bar
+    with an event_id tie-break. Scale shape: the whole bar is ONE
+    partial->final aggregation — first/last are ``min(struct(ts_epoch,
+    event_id, cents))`` / ``max(...)`` (lexicographic struct comparison
+    on exactly the ordering key), so each map task contributes one
+    candidate row per bar and the shuffle carries bars, not ticks —
+    never a Window sort over the raw stream. The oracle states open/
+    close in the conventional ranked-CTE form.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("ts").cast("long") - F.col("ts").cast("long") % 3600).alias(
+            "hour_epoch"
+        ),
+        F.col("ts").cast("long").alias("ts_epoch"),
+        "event_id",
+        F.expr(_VAL_CENTS).alias("cents"),
+    )
+    bars = ev.groupBy("event_type", "hour_epoch").agg(
+        F.min(F.struct("ts_epoch", "event_id", "cents")).alias("o"),
+        F.max(F.struct("ts_epoch", "event_id", "cents")).alias("c"),
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+        F.count("*").alias("volume"),
+        F.sum("cents").alias("sum_cents"),
+    )
+    cents2d = lambda c: (F.col(c).cast("double") / F.lit(100.0))  # noqa: E731
+    return bars.select(
+        "event_type",
+        "hour_epoch",
+        cents2d("o.cents").alias("open"),
+        cents2d("hi").alias("high"),
+        cents2d("lo").alias("low"),
+        cents2d("c.cents").alias("close"),
+        "volume",
+        cents2d("sum_cents").alias("sum_value"),
+    )
+
+
+EVENTS_OHLC_SQL = f"""
+    WITH ev AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(ts)) AS BIGINT) % 3600 AS hour_epoch,
+               CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+               event_id, {_VAL_CENTS} AS cents
+        FROM events
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY event_type, hour_epoch
+                   ORDER BY ts_epoch, event_id
+               ) AS rn_open,
+               row_number() OVER (
+                   PARTITION BY event_type, hour_epoch
+                   ORDER BY ts_epoch DESC, event_id DESC
+               ) AS rn_close
+        FROM ev
+    )
+    SELECT event_type, hour_epoch,
+           CAST(max(CASE WHEN rn_open = 1 THEN cents END) AS DOUBLE) / 100.0
+               AS open,
+           CAST(max(cents) AS DOUBLE) / 100.0 AS high,
+           CAST(min(cents) AS DOUBLE) / 100.0 AS low,
+           CAST(max(CASE WHEN rn_close = 1 THEN cents END) AS DOUBLE) / 100.0
+               AS close,
+           count(*) AS volume,
+           CAST(sum(cents) AS DOUBLE) / 100.0 AS sum_value
+    FROM ranked
+    GROUP BY event_type, hour_epoch
+"""

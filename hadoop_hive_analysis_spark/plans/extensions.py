@@ -442,6 +442,17 @@ def build() -> dict:
         "ext: pivot long→wide",
         driver=False,
     )
+    # Round-7 addition, staged for the r8 rotation: the candlestick/
+    # hypertable continuous-aggregate staple — per-bar first/last as
+    # struct min/max partial aggregates (the shuffle carries bars, not
+    # ticks; no Window over the raw stream).
+    q["events_ohlc_bars"] = QuerySpec(
+        rollups.events_ohlc_bars,
+        rollups.EVENTS_OHLC_SQL,
+        "ext: OHLC bars (open/close via struct-extremum partial agg, "
+        "one shuffle of bars not ticks)",
+        driver=False,
+    )
     # Promoted in the round-7 rotation (slot from train_val_split): the
     # canonical events-warehouse report the pack lacked — first-seen
     # cohorts x day-offset activity, self-join on the already-

@@ -178,3 +178,40 @@ def test_scd2_runs_and_open_interval(spark, tmp_path):
         (1, 3, "view", ep[4], None),
         (2, 1, "signup", ep[0], None),
     ]
+
+
+def test_ohlc_bars_constructed(spark, tmp_path):
+    """One bar with known open/high/low/close, including a same-second
+    open tie resolved by event_id, plus a second bar in another hour."""
+    import datetime
+
+    from hadoop_hive_analysis_spark.operators.rollups import events_ohlc_bars
+
+    h0 = datetime.datetime(2024, 1, 1, 9, 0, 0)
+    _write_events(
+        spark,
+        tmp_path,
+        [
+            # hour 9 bar, type A: open tie at 09:00:00 → event_id 1 wins
+            (2, h0, 1, "A", 50.00, "{}"),
+            (1, h0, 1, "A", 10.00, "{}"),
+            (3, h0 + datetime.timedelta(minutes=30), 1, "A", 99.99, "{}"),
+            (4, h0 + datetime.timedelta(minutes=59), 1, "A", 0.01, "{}"),
+            # hour 10 bar, type A: single tick
+            (5, h0 + datetime.timedelta(hours=1), 1, "A", 7.00, "{}"),
+        ],
+    )
+    out = {
+        (r.event_type, r.hour_epoch): r
+        for r in events_ohlc_bars(spark, str(tmp_path)).collect()
+    }
+    ep9 = int(h0.replace(tzinfo=datetime.timezone.utc).timestamp())
+    bar = out[("A", ep9)]
+    assert (bar.open, bar.high, bar.low, bar.close, bar.volume) == (
+        10.0,
+        99.99,
+        0.01,
+        0.01,
+        4,
+    )
+    assert out[("A", ep9 + 3600)].open == 7.0

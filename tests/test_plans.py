@@ -401,3 +401,12 @@ def test_bigram_lm_single_tokenize(plans):
     assert "Scan parquet" not in p
     assert "Scan ExistingRDD" in p
     assert "CartesianProduct" not in p
+
+
+def test_ohlc_single_partial_agg_no_window(plans):
+    """OHLC first/last must be struct-extremum partial aggregates — one
+    exchange of bars, never a Window sort over raw ticks."""
+    p = plans("events_ohlc_bars")
+    assert "Window" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "partial_min(struct" in p.split("Exchange hashpartitioning")[1]
