@@ -410,3 +410,51 @@ def test_ohlc_single_partial_agg_no_window(plans):
     assert "Window" not in p
     assert p.count("Exchange hashpartitioning") == 1
     assert "partial_min(struct" in p.split("Exchange hashpartitioning")[1]
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Skewed-JOIN mitigation pinned: a hot key that funnels most of the
+    fact side into one reduce partition is split by AQE at runtime
+    (SortMergeJoin(skew=true) reading 'coalesced and skewed'), so no
+    single task sorts the whole hot key — the join-side complement of
+    the salted-aggregation operators (skew.py), which exist because
+    aggregation has no such automatic mitigation. Thresholds are scaled
+    down to fixture bytes; the mechanism (map-output size stats ->
+    partition split) is the one that fires at 100 TB defaults.
+
+    The plan is read from the SAME query execution that ran (collect),
+    because AQE finalizes in place — the noop-write helper used by the
+    other pins inspects a fresh, never-executed plan."""
+    from pyspark.sql import functions as F
+
+    keys = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "100KB",
+    }
+    prev = {k: spark.conf.get(k) for k in keys}
+    try:
+        for k, v in keys.items():
+            spark.conf.set(k, v)
+        hot = spark.range(3_000_000).select(F.lit(0).alias("k"), F.col("id").alias("v"))
+        cold = spark.range(5_000).select(
+            (F.col("id") % 50 + 1).alias("k"), F.col("id").alias("v")
+        )
+        dim = spark.range(51).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("attr")
+        )
+        df = hot.union(cold).join(dim, "k").groupBy("attr").agg(
+            F.count("*").alias("n")
+        )
+        rows = {r.attr: r.n for r in df.collect()}
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in p
+        assert "SortMergeJoin(skew=true)" in p
+        assert "coalesced and skewed" in p
+        # and the split join is still exact
+        assert rows[0] == 3_000_000
+        assert rows[10] == 100
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
