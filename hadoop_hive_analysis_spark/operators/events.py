@@ -846,3 +846,17 @@ EVENTS_SCD2_SQL = """
            ) AS valid_to_epoch
     FROM changes
 """
+
+
+EVENTS_STREAM_LEFT_JOIN_SQL = f"""
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.user_id,
+           CAST(floor(epoch(p.ts)) AS BIGINT)
+               - CAST(floor(epoch(c.ts)) AS BIGINT) AS secs_to_purchase
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts > c.ts
+     AND p.ts <= c.ts + INTERVAL {ATTRIB_WINDOW_SEC} SECONDS
+"""

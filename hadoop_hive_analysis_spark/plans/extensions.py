@@ -820,6 +820,26 @@ def build() -> dict:
         "ext: watermarked stream-stream join (click->purchase "
         "attribution), batch-replayed against the batch oracle",
     )
+    # Round-7 addition, staged for the r8 rotation: the OUTER streaming
+    # join shape (inner replay above emits matches eagerly; the NULL row
+    # for a never-converted click only exists because the watermark
+    # proves no purchase can still arrive — eviction-time emission, the
+    # one join semantics the four stateful replays don't cover). The
+    # drain is staged as ordered microbatches with two-sided heartbeat
+    # sentinels; see the function docstring for the watermark-policy
+    # finding.
+    from ..streaming.events import events_stream_left_join_replay
+
+    q["events_stream_left_join_replay"] = QuerySpec(
+        events_stream_left_join_replay,
+        events.EVENTS_STREAM_LEFT_JOIN_SQL,
+        "ext: watermarked stream-stream LEFT OUTER join (null rows "
+        "emitted on watermark-proven no-match), batch-replayed against "
+        "the batch LEFT JOIN oracle",
+        driver=False,
+        bench=False,  # replay harness; the three events replays carry
+        # streaming cost in the pack
+    )
     # Round-5 addition, promoted in the round-6 rotation (slot from
     # ann_lsh_topk): the streaming ingest-dedup face as a driver-scored
     # AvailableNow replay (digest-set equality vs batch DISTINCT) — the

@@ -34,7 +34,13 @@ WATERMARK = "10 minutes"
 WINDOW = "5 minutes"
 SESSION_GAP = "30 minutes"
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    file_glob: str = "events.parquet",
+    footer_file: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """File-source stream over the events table (one file = one microbatch
     under AvailableNow; on a cluster this is a directory being appended
     to, or swap for Kafka with the same downstream plan).
@@ -57,7 +63,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sniff; the explicit-schema stream scan below never consults it.
     footer = {
         f.name: f.dataType
-        for f in _footer_schema(spark, f"{sf_dir}/events.parquet").fields
+        for f in _footer_schema(
+            spark, f"{sf_dir}/{footer_file or file_glob}"
+        ).fields
     }
     ts_is_nanos = isinstance(footer.get("ts"), LongType)
     schema = StructType(
@@ -71,11 +79,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     # File-source streams take a DIRECTORY; glob-filter to the events table.
-    raw = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", file_glob)
+    if max_files_per_trigger is not None:
+        # AvailableNow respects this: the drain becomes several ordered
+        # microbatches (files ordered by modification time), which is how
+        # the left-outer replay stages its watermark-advancing sentinels.
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.parquet(sf_dir)
     if ts_is_nanos:
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return raw
@@ -509,3 +519,170 @@ def events_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint_dir=ckpt,
         output_mode="append",
     )
+
+
+def streaming_click_purchase_left_join(events: DataFrame) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join: every click, matched to
+    attributable purchases where they exist, emitted with NULL purchase
+    columns where none arrives — the "which clicks never converted"
+    stream, the outer shape :func:`streaming_click_purchase_join` cannot
+    express.
+
+    Unlike the inner join (matches emit eagerly), the NULL row for an
+    unmatched click can only emit when the watermark proves no matching
+    purchase can still arrive — i.e. passes click_ts + attribution
+    window; until then the click sits in (bounded, watermark-evicted)
+    state. Same state-retention bounds as the inner form.
+    """
+    from ..operators.events import ATTRIB_WINDOW_SEC
+
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", WATERMARK)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", WATERMARK)
+    )
+    j = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {ATTRIB_WINDOW_SEC} SECONDS")
+        ),
+        "leftOuter",
+    )
+    return j.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.col("purchase_ts").cast("long") - F.col("click_ts").cast("long")).alias(
+            "secs_to_purchase"
+        ),
+    )
+
+
+def events_stream_left_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer stream-stream join drained AvailableNow against the
+    batch LEFT JOIN oracle.
+
+    A finite drain of an outer join needs care the inner replay does
+    not: NULL rows emit on state EVICTION, eviction uses the watermark,
+    and the watermark available to batch N is computed from batch N-1's
+    data — so whatever arrives last can never have its unmatched clicks
+    flushed by more data. The replay stages the drain as ordered
+    microbatches over one monitored directory (``maxFilesPerTrigger=1``,
+    files ordered by mtime): the real events file, then TWO
+    far-future heartbeat sentinels. Sentinel 1 enters the watermark;
+    sentinel 2's batch then RUNS with that far-future watermark and
+    evicts (emits) every remaining unmatched click. This is the
+    production punctuation/heartbeat pattern for low-traffic streams,
+    not a test hack: an outer join on a stream that goes quiet holds
+    its tail in state until some event advances the clock.
+
+    Sentinel rows use user_id/event_id = -1 (joinable with nothing) and
+    are filtered from the result; the drain is bit-equal to the batch
+    LEFT JOIN (``EVENTS_STREAM_LEFT_JOIN_SQL``).
+    """
+    import atexit
+    import datetime
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    import pandas as pd
+
+    from ..sources.catalog import load_table
+
+    tag = uuid.uuid4().hex[:12]
+    src = tempfile.mkdtemp(prefix=f"hha_lojoin_src_{tag}_")
+    ckpt = tempfile.mkdtemp(prefix=f"hha_lojoin_ckpt_{tag}_")
+    atexit.register(shutil.rmtree, src, ignore_errors=True)
+    atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
+
+    # Stage the ordered source: symlinked real table (inherits the old
+    # target mtime), then two sentinels with explicitly increasing mtimes.
+    real = os.path.join(src, "00_events.parquet")
+    os.symlink(os.path.abspath(os.path.join(sf_dir, "events.parquet")), real)
+    mx = load_table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+    now = None
+    for i, days in ((1, 365), (2, 366)):
+        # One heartbeat PER SIDE: each watermark node sits AFTER its
+        # event_type filter, so a row that passes neither filter would
+        # never advance either clock (and the global watermark is the
+        # MIN of the two sides).
+        pdf = pd.DataFrame(
+            [
+                {
+                    "event_id": -1,
+                    "ts": mx + datetime.timedelta(days=days),
+                    "user_id": -1,
+                    "event_type": et,
+                    "value": 0.0,
+                    "props": "{}",
+                }
+                for et in ("click", "purchase")
+            ]
+        )
+        d = tempfile.mkdtemp(prefix=f"hha_lojoin_tmp_{tag}_")
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(d)
+        part = next(p for p in os.listdir(d) if p.endswith(".parquet"))
+        dst = os.path.join(src, f"0{i}_sentinel.parquet")
+        shutil.move(os.path.join(d, part), dst)
+        shutil.rmtree(d, ignore_errors=True)
+        if now is None:
+            now = os.stat(dst).st_mtime
+        os.utime(dst, (now + 100 * i, now + 100 * i))
+
+    ev = read_events_stream(
+        spark,
+        src,
+        file_glob="*.parquet",
+        footer_file="00_events.parquet",
+        max_files_per_trigger=1,
+    )
+    out = streaming_click_purchase_left_join(ev).filter(F.col("click_id") >= 0)
+    # multipleWatermarkPolicy=max, scoped to this drain. Measured on this
+    # engine (Spark 4.1, recorded in the checkpoint offsets): under the
+    # default "min" policy the GLOBAL watermark freezes after the first
+    # eviction batch — both event-time nodes observe the far-future
+    # heartbeats (eventTime.max advances per batch) yet the combined
+    # watermark never re-advances, so tail state never flushes. Under
+    # "max" it advances each batch and a final no-data batch flushes
+    # everything. For THIS query the policies are semantically identical:
+    # it is a self-join of ONE source, and every heartbeat file advances
+    # BOTH sides' clocks in lockstep, so min(nodes) == max(nodes) at
+    # every batch boundary. Do not copy this setting onto a multi-source
+    # join with genuinely divergent clocks — there "max" can declare rows
+    # late that "min" would admit.
+    wm_key = "spark.sql.streaming.multipleWatermarkPolicy"
+    prev_policy = spark.conf.get(wm_key, None)
+    spark.conf.set(wm_key, "max")
+    try:
+        res = run_available_now(
+            out,
+            query_name=f"lojoin_replay_{tag}",
+            checkpoint_dir=ckpt,
+            output_mode="append",
+        )
+    finally:
+        if prev_policy is None:
+            spark.conf.unset(wm_key)
+        else:
+            spark.conf.set(wm_key, prev_policy)
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return res

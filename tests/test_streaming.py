@@ -508,3 +508,41 @@ def test_snapshot_seeded_dedup_bounds_state(spark, sf_dir, tmp_path):
     want_set = {r["digest"] for r in want.collect()}
     assert got_set == want_set
     assert len(got_set) > 0
+
+
+def test_left_outer_join_replay_flushes_tail_clicks(spark, sf_dir):
+    """The left-outer drain must emit the unmatched click closest to the
+    end of the stream — the row that stays in state until the heartbeat
+    sentinels advance the watermark past its expiry (the finite-drain
+    failure mode the staged-microbatch replay exists to close). Full
+    value parity with the batch LEFT JOIN is covered by the oracle sweep;
+    this pins the tail-flush mechanism specifically."""
+    from pyspark.sql import functions as F
+
+    from hadoop_hive_analysis_spark.sources.catalog import load_table
+    from hadoop_hive_analysis_spark.streaming.events import (
+        events_stream_left_join_replay,
+    )
+
+    res = events_stream_left_join_replay(spark, sf_dir)
+    unmatched = {r.click_id for r in res.filter("purchase_id IS NULL").collect()}
+    assert unmatched, "fixture should contain never-converted clicks"
+    # The batch-side unmatched click LATEST in event time is exactly the
+    # row a naive finite drain loses (its state outlives every real
+    # watermark advance); it must be present in the replay's output.
+    from hadoop_hive_analysis_spark.operators.events import (
+        EVENTS_STREAM_LEFT_JOIN_SQL,
+    )
+
+    from .oracle import run_oracle
+
+    cols, rows = run_oracle(EVENTS_STREAM_LEFT_JOIN_SQL, sf_dir)
+    i_click, i_purch = cols.index("click_id"), cols.index("purchase_id")
+    batch_unmatched = {r[i_click] for r in rows if r[i_purch] is None}
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    tail = (
+        ev.filter(F.col("event_id").isin(list(batch_unmatched)))
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .first()
+    )
+    assert tail.event_id in unmatched
