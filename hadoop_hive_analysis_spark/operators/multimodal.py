@@ -569,3 +569,196 @@ def decode_audio(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.select("doc_id", "payload").mapInPandas(decode, AUDIO_DECODE_SCHEMA)
+
+
+# --------------------------------------------- image perceptual-hash dedup
+
+AHASH_GRID = 8  # 8x8 average-hash -> 64-bit signature
+AHASH_BANDS = 4  # 4 x 16-bit bands: hamming <= 3 => >= 1 band equal
+AHASH_HAM_MAX = 3
+
+IMAGE_AHASH_SCHEMA = "doc_id long, ahash long, decode_error string"
+
+
+def image_ahash(df: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash) over REAL image payloads — the
+    signature stage of image near-dup dedup (the LAION-style pipeline:
+    re-encoded/brightness-shifted copies of an image land within a few
+    bits of each other, where byte digests see unrelated blobs).
+
+    Per payload: decode (PPM/PGM/BMP, the engine's stdlib-parseable
+    family), collapse to grayscale integer luma sums, average-pool onto
+    an 8x8 grid with INTEGER block arithmetic (pixel x maps to block
+    x*8 DIV width — no float resampling, so the hash is bit-stable
+    across hosts), then one bit per cell: 1 iff the cell mean exceeds
+    the global mean, compared by exact cross-multiplication
+    (cell_sum * total_n > total_sum * cell_n). Undecodable payloads
+    quarantine into ``decode_error`` like every decoder in this module.
+
+    Arrow ``mapInPandas``; closure self-contained (cloudpickle ships
+    local functions by value — executors never import this package).
+    """
+    import pandas as pd
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        def parse_pnm(payload: bytes, channels: int):
+            pos, vals = 2, []
+            while len(vals) < 3:
+                while pos < len(payload) and payload[pos : pos + 1].isspace():
+                    pos += 1
+                if payload[pos : pos + 1] == b"#":
+                    while pos < len(payload) and payload[pos] != 0x0A:
+                        pos += 1
+                    continue
+                start = pos
+                while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                    pos += 1
+                vals.append(int(payload[start:pos]))
+            pos += 1
+            width, height, maxval = vals
+            if maxval > 255:
+                raise ValueError("16-bit PNM not supported")
+            n = width * height * channels
+            pixels = payload[pos : pos + n] if n >= 0 else b""
+            if len(pixels) != n:
+                raise ValueError(
+                    f"truncated PNM: want {n} pixel bytes, have {len(pixels)}"
+                )
+            return width, height, channels, pixels
+
+        def parse_bmp(payload: bytes):
+            if len(payload) < 54:
+                raise ValueError("truncated BMP header")
+            data_off = struct.unpack_from("<I", payload, 10)[0]
+            width, height = struct.unpack_from("<ii", payload, 18)
+            bpp = struct.unpack_from("<H", payload, 28)[0]
+            compression = struct.unpack_from("<I", payload, 30)[0]
+            if compression != 0 or bpp not in (24, 32):
+                raise ValueError(f"unsupported BMP (bpp={bpp}, comp={compression})")
+            channels = bpp // 8
+            n_rows, row_bytes = abs(height), width * channels
+            stride = (row_bytes + 3) & ~3
+            rows = []
+            for r in range(n_rows):
+                row = payload[data_off + r * stride : data_off + r * stride + row_bytes]
+                if len(row) != row_bytes:
+                    raise ValueError(f"truncated BMP: row {r} short")
+                rows.append(row)
+            return width, n_rows, channels, b"".join(rows)
+
+        def ahash(payload: bytes) -> int:
+            if payload[:2] == b"P6":
+                w, h, c, px = parse_pnm(payload, 3)
+            elif payload[:2] == b"P5":
+                w, h, c, px = parse_pnm(payload, 1)
+            elif payload[:2] == b"BM":
+                w, h, c, px = parse_bmp(payload)
+            else:
+                raise ValueError(f"unsupported image format (magic {payload[:2]!r})")
+            if w < 1 or h < 1:
+                raise ValueError("degenerate image")
+            G = 8  # AHASH_GRID (closure self-contained)
+            # integer luma per pixel = sum of channel bytes (scale-free:
+            # the threshold compares sums against sums)
+            cell_sum = [[0] * G for _ in range(G)]
+            cell_n = [[0] * G for _ in range(G)]
+            for y in range(h):
+                by = y * G // h
+                row_off = y * w * c
+                srow, nrow = cell_sum[by], cell_n[by]
+                for x in range(w):
+                    bx = x * G // w
+                    o = row_off + x * c
+                    srow[bx] += sum(px[o : o + c])
+                    nrow[bx] += c
+            total_sum = sum(map(sum, cell_sum))
+            total_n = sum(map(sum, cell_n))
+            bits = 0
+            for by in range(G):
+                for bx in range(G):
+                    bits <<= 1
+                    if cell_sum[by][bx] * total_n > total_sum * cell_n[by][bx]:
+                        bits |= 1
+            # two's-complement into int64 (bit 63 may be set)
+            return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+        for pdf in batches:
+            out = {"doc_id": [], "ahash": [], "decode_error": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(doc_id)
+                try:
+                    out["ahash"].append(ahash(bytes(payload)))
+                    out["decode_error"].append(None)
+                except (ValueError, IndexError, struct.error) as ex:
+                    out["ahash"].append(None)
+                    out["decode_error"].append(str(ex)[:200])
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(
+        hash_batches, IMAGE_AHASH_SCHEMA
+    )
+
+
+def image_phash_neardup(df: DataFrame) -> DataFrame:
+    """Image near-dup pairs over a ``(doc_id, payload binary)`` frame:
+    aHash signatures -> pigeonhole band join -> exact hamming verify —
+    the SimHash pattern (``dedup.dedup_simhash``) applied to pixels
+    instead of tokens.
+
+    Banding: 4 x 16-bit bands of the 64-bit hash; two hashes within
+    hamming distance 3 differ in at most 3 bands, so at least one band
+    matches exactly (pigeonhole) — candidate generation is an EQUI-join
+    on (band_idx, band_value), never an all-pairs scan. Verification is
+    ``bit_count(a ^ b) <= 3`` JVM-side on the candidates only.
+
+    At 100 TB: signatures are one decode pass (Arrow-batched, the
+    expensive step, embarrassingly parallel); the band join's fan-out is
+    bounded by bucket occupancy exactly as in the token SimHash — a
+    pathological bucket (e.g. flat-color images all hashing to 0) is a
+    df-cap/salting decision, not a plan change.
+    """
+    sigs = image_ahash(df).where(F.col("decode_error").isNull()).select(
+        "doc_id", "ahash"
+    )
+    sigs = sigs.localCheckpoint(eager=False)
+    bands = sigs.select(
+        "doc_id",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftrightunsigned("ahash", 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for b in range(AHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "ahash", "b.band_idx", "b.band_val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.ahash").alias("ha"),
+            F.col("b.ahash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.expr("ha ^ hb")))
+        .where(F.col("hamming") <= AHASH_HAM_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -321,3 +321,75 @@ def test_decode_audio_pipeline_quarantines_poison(spark):
     assert got[0].rms == pytest.approx(2000.0)
     assert got[1].rms == 0.0
     assert got[2].decode_error and got[3].decode_error
+
+
+# --------------------------------------------- image perceptual hashing
+
+
+def _gradient_ppm(width=32, height=32, noise_cell=None):
+    """Left-dark/right-bright gradient; optionally brighten one 8x8 cell
+    region slightly (enough to flip at most that cell's bit)."""
+    rows = []
+    for y in range(height):
+        row = bytearray()
+        for x in range(width):
+            v = x * 255 // (width - 1)
+            if noise_cell is not None:
+                cx, cy = noise_cell
+                if x * 8 // width == cx and y * 8 // height == cy:
+                    v = min(255, v + 24)
+            row += bytes((v, v, v))
+        rows.append(bytes(row))
+    return b"P6\n%d %d\n255\n" % (width, height) + b"".join(rows)
+
+
+def test_image_ahash_known_8x8(spark):
+    """On an 8x8 grayscale image every hash cell is one pixel: the hash
+    must be exactly the 'pixel > mean' bitmap, row-major, MSB-first."""
+    from hadoop_hive_analysis_spark.operators.multimodal import image_ahash
+
+    px = bytes(range(0, 256, 4))  # 64 bytes: 0,4,...,252 — mean 126
+    payload = b"P5\n8 8\n255\n" + px
+    mean_num, mean_den = sum(px), len(px)
+    want = 0
+    for v in px:
+        want = (want << 1) | (1 if v * mean_den > mean_num else 0)
+    if want >= 1 << 63:
+        want -= 1 << 64
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    row = image_ahash(df).collect()[0]
+    assert row.decode_error is None
+    assert row.ahash == want
+
+
+def test_image_phash_neardup_planted(spark):
+    """A brightness-perturbed copy must pair with its original within the
+    hamming budget; an inverted gradient must not pair with either; a
+    poison payload quarantines without killing the job."""
+    from hadoop_hive_analysis_spark.operators.multimodal import (
+        image_ahash,
+        image_phash_neardup,
+    )
+
+    base = _gradient_ppm()
+    near = _gradient_ppm(noise_cell=(4, 3))
+    inverted = b"P6\n32 32\n255\n" + bytes(
+        255 - b for b in _gradient_ppm()[len(b"P6\n32 32\n255\n") :]
+    )
+    rows = [
+        (1, bytearray(base)),
+        (2, bytearray(near)),
+        (3, bytearray(inverted)),
+        (4, bytearray(b"JUNK not an image")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    sigs = {r.doc_id: r for r in image_ahash(df).collect()}
+    assert sigs[4].decode_error is not None and sigs[4].ahash is None
+    assert sigs[1].ahash is not None
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in image_phash_neardup(df).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+    assert not any(3 in p for p in pairs)
+    # candidate generation must be a band equi-join, never all-pairs
+    plan = image_phash_neardup(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
