@@ -689,11 +689,13 @@ def span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     pathological-density case the raw-starts form was quadratic on;
     stress-pinned in tests/test_text_pipeline.py). The fold itself is
     O(starts × intervals) ≤ O(tokens × intervals), so the merge never
-    costs more than the scan it accelerates. The interval column is a
-    STAGED named attribute, not a re-inlined subexpression — inlining
-    the aggregate() into the filter lambda would re-run the fold per
-    TOKEN (the measured O(d²) re-inlining trap from the int8
-    quantizer).
+    costs more than the scan it accelerates. The fold is computed on the
+    STARTS side of the join, not as a post-join projection column: a
+    single-consumer projection attribute gets collapsed INTO the
+    per-token exists() lambda by CollapseProject and re-runs per TOKEN
+    (the int8 quantizer's re-inlining trap; here it measured
+    1.9 s -> 5.0 s at sf0.1 before the join-boundary fix in
+    :func:`_scrub_against_starts`).
     """
     from ..functions.text import tokens
 
@@ -723,22 +725,36 @@ def _scrub_against_starts(d: DataFrame, starts: DataFrame) -> DataFrame:
     into merged coverage intervals (staged attribute — see
     :func:`span_scrub` docstring), one higher-order pass deletes covered
     tokens. Emits (doc_id, n_tokens, n_removed, keep_ratio, scrub_md5)."""
+    # The interval fold is computed on the STARTS side, BEFORE the join:
+    # a projection attribute can be re-inlined by CollapseProject into a
+    # downstream lambda — a single-consumer aggregate() staged as a
+    # plain withColumn on the joined frame ends up INSIDE the per-token
+    # exists() lambda, re-running the fold once per TOKEN (measured:
+    # 1.9 s -> 5.0 s at sf0.1, visible in the optimized plan). Across a
+    # Join boundary no such collapse exists, so the fold runs once per
+    # DUP DOC (the only docs with starts at all) and the scrub pass
+    # consumes a materialized array attribute.
+    ivals = starts.withColumn(
+        "ivals",
+        F.expr(
+            f"aggregate(starts, "
+            f"CAST(array() AS array<struct<lo:int,hi:int>>), "
+            f"(acc, s) -> CASE WHEN size(acc) > 0 "
+            f"AND s <= element_at(acc, -1).hi + 1 THEN "
+            f"concat(slice(acc, 1, size(acc) - 1), "
+            f"array(named_struct('lo', element_at(acc, -1).lo, "
+            f"'hi', greatest(element_at(acc, -1).hi, "
+            f"s + {SPAN_TOKENS} - 1)))) "
+            f"ELSE concat(acc, array(named_struct('lo', s, "
+            f"'hi', s + {SPAN_TOKENS} - 1))) END)"
+        ),
+    ).select("doc_id", "ivals")
     scrubbed = (
-        d.join(starts, "doc_id", "left")
-        .withColumn("starts", F.coalesce("starts", F.expr("array()")))
+        d.join(ivals, "doc_id", "left")
         .withColumn(
             "ivals",
-            F.expr(
-                f"aggregate(starts, "
-                f"CAST(array() AS array<struct<lo:int,hi:int>>), "
-                f"(acc, s) -> CASE WHEN size(acc) > 0 "
-                f"AND s <= element_at(acc, -1).hi + 1 THEN "
-                f"concat(slice(acc, 1, size(acc) - 1), "
-                f"array(named_struct('lo', element_at(acc, -1).lo, "
-                f"'hi', greatest(element_at(acc, -1).hi, "
-                f"s + {SPAN_TOKENS} - 1)))) "
-                f"ELSE concat(acc, array(named_struct('lo', s, "
-                f"'hi', s + {SPAN_TOKENS} - 1))) END)"
+            F.coalesce(
+                "ivals", F.expr("CAST(array() AS array<struct<lo:int,hi:int>>)")
             ),
         )
         .withColumn(
