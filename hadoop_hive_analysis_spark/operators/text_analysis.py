@@ -9,7 +9,7 @@ no shuffle except where grouping is the semantics.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import h31, h31_sql, h64, h64_sql
@@ -757,4 +757,88 @@ DOC_BIGRAM_LM_SQL = rf"""
                AS mean_cond_ppm
     FROM ex JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
     GROUP BY ex.doc_id
+"""
+
+
+# ------------------------------------------- vocabulary coverage build
+
+VOCAB_COVERAGE_PCT = 95  # smallest frequency-ranked vocab covering >= 95%
+
+
+def vocab_coverage_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training vocabulary build: the smallest frequency-ranked
+    vocabulary covering >= VOCAB_COVERAGE_PCT of corpus token INSTANCES,
+    with per-token rank and exact cumulative coverage — the data side of
+    fitting a word-level tokenizer (BPE merges start from exactly this
+    table plus pair counts).
+
+    A token is IN the vocabulary if the cumulative instance count
+    through its rank (frequency desc, token asc tie-break — fully
+    deterministic) had not yet reached the coverage target BEFORE it,
+    i.e. the cut keeps every token needed to first reach the target.
+    Comparisons are exact integer cross-multiplies (cum*100 vs pct*N);
+    the only doubles are the reported coverage ratios.
+
+    Scale shape: token counts are one partial-agg shuffle over the
+    corpus; everything after runs on the VOCABULARY (Zipf: orders of
+    magnitude smaller than the corpus — the fixture's 60k token
+    instances collapse to dozens of types). The rank/cumsum window is a
+    single-partition sort OF THE VOCAB ONLY — acceptable because vocab
+    size is bounded by design (a tokenizer wants 32-256k entries); the
+    corpus itself is never sorted. At 100 TB the counts shuffle
+    dominates and is linear.
+    """
+    counts = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("tok"))
+    total = counts.agg(F.sum("c").alias("n")).select("n")
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn("cum", F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn(
+            "in_vocab",
+            (F.col("cum") - F.col("c")) * 100 < F.lit(VOCAB_COVERAGE_PCT) * F.col("n"),
+        )
+        .select(
+            "tok",
+            F.col("c").cast("long").alias("n_instances"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("cum").cast("long").alias("cum_instances"),
+            (F.col("cum").cast("double") / F.col("n")).alias("cum_coverage"),
+            "in_vocab",
+        )
+    )
+
+
+VOCAB_COVERAGE_SQL = rf"""
+    WITH counts AS (
+        SELECT tok, count(*) AS c
+        FROM (
+            SELECT unnest(string_split_regex(text, '\s+')) AS tok
+            FROM documents
+        )
+        GROUP BY tok
+    ),
+    ranked AS (
+        SELECT tok, c,
+               row_number() OVER (ORDER BY c DESC, tok) AS rank,
+               sum(c) OVER (
+                   ORDER BY c DESC, tok
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum,
+               sum(c) OVER () AS n
+        FROM counts
+    )
+    SELECT tok,
+           CAST(c AS BIGINT) AS n_instances,
+           CAST(rank AS BIGINT) AS rank,
+           CAST(cum AS BIGINT) AS cum_instances,
+           CAST(cum AS DOUBLE) / n AS cum_coverage,
+           (cum - c) * 100 < {VOCAB_COVERAGE_PCT} * n AS in_vocab
+    FROM ranked
 """

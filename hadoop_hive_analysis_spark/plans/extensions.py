@@ -238,6 +238,17 @@ def build() -> dict:
     # Round-7 addition, staged for the r8 rotation: the SECOND-ORDER
     # rung of the corpus-LM quality ladder (unigram rarity above) —
     # per-doc mean bigram conditional probability in exact ppm.
+    # Round-7 addition, staged for the r8 rotation: the tokenizer-
+    # training data op — smallest frequency-ranked vocabulary covering
+    # the target share of corpus token instances, with exact integer
+    # cut semantics (window cumsum runs on the VOCAB, never the corpus).
+    q["vocab_coverage_build"] = QuerySpec(
+        text_analysis.vocab_coverage_build,
+        text_analysis.VOCAB_COVERAGE_SQL,
+        "ext: coverage-target vocabulary build (corpus-linear counts "
+        "shuffle; rank/cumsum over vocab only)",
+        driver=False,
+    )
     q["doc_bigram_lm_score"] = QuerySpec(
         text_analysis.doc_bigram_lm_score,
         text_analysis.DOC_BIGRAM_LM_SQL,

@@ -522,3 +522,26 @@ def test_bigram_lm_scores_templated_high_and_salad_low(spark, tmp_path):
     # gamma->beta and beta->alpha occur once against c1=6 → 166666 each
     assert out[6]["sum_cond_ppm"] == LM_PPM + 2 * (LM_PPM // 6)
     assert out[6]["mean_cond_ppm"] < out[1]["mean_cond_ppm"]
+
+
+def test_vocab_coverage_cut_semantics(spark, tmp_path):
+    """Constructed frequencies: tokens a(60), b(30), c(6), d(4) over 100
+    instances at a 95% target. Cut rule keeps every token whose PRIOR
+    cumulative had not reached 95: a (0<95), b (60<95), c (90<95) — and
+    drops d (96 >= 95 before it... prior cum for d is 96? a+b+c=96 ≥ 95
+    → d out). Exact integer cross-multiply, rank tie-break by token."""
+    from hadoop_hive_analysis_spark.operators.text_analysis import (
+        vocab_coverage_build,
+    )
+
+    text_parts = ["a"] * 60 + ["b"] * 30 + ["c"] * 6 + ["d"] * 4
+    d = tmp_path / "vocab"
+    d.mkdir()
+    spark.createDataFrame(
+        [(1, " ".join(text_parts))], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    out = {r.tok: r for r in vocab_coverage_build(spark, str(d)).collect()}
+    assert [out[t].rank for t in "abcd"] == [1, 2, 3, 4]
+    assert [out[t].cum_instances for t in "abcd"] == [60, 90, 96, 100]
+    assert [out[t].in_vocab for t in "abcd"] == [True, True, True, False]
+    assert out["c"].cum_coverage == 0.96
