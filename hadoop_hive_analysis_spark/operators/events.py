@@ -860,3 +860,70 @@ EVENTS_STREAM_LEFT_JOIN_SQL = f"""
      AND p.ts > c.ts
      AND p.ts <= c.ts + INTERVAL {ATTRIB_WINDOW_SEC} SECONDS
 """
+
+
+ROLLING_N = 5  # trailing-window width (current row + 4 preceding)
+
+
+def events_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window rolling statistics per user — the monitoring /
+    feature-engineering staple (moving average & peak of the last
+    ROLLING_N events): a bounded ROWS frame, the window-frame shape the
+    pack's other windows don't exercise (ranking = row_number family,
+    unbounded = share-of-total rewrite, range = event-time windows).
+
+    Exactness: the frame is ROWS-based over a total order (ts, event_id
+    tie-break), so membership is deterministic; sums are int64 cents
+    with ONE double division per row.
+
+    Scale shape: one shuffle + one sort on (user_id; ts, event_id) —
+    the same spec the SCD2 build uses; the bounded frame is evaluated
+    by Spark's sliding WindowExec in a single pass holding at most
+    ROLLING_N rows of state per partition stream. A bounded ROWS frame
+    costs O(n) per key regardless of frame width (running add/evict),
+    never the O(n*frame) of re-scanning each frame.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("ts_epoch"),
+        F.expr(_VAL_CENTS).alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_epoch", "event_id")
+        .rowsBetween(-(ROLLING_N - 1), 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_epoch",
+        F.count("*").over(w).cast("long").alias("n_window"),
+        (F.sum("cents").over(w).cast("double") / F.lit(100.0)).alias("rolling_sum"),
+        (
+            F.sum("cents").over(w).cast("double")
+            / (F.count("*").over(w) * F.lit(100.0))
+        ).alias("rolling_avg"),
+        (F.max("cents").over(w).cast("double") / F.lit(100.0)).alias("rolling_max"),
+    )
+
+
+EVENTS_ROLLING_SQL = f"""
+    WITH ev AS (
+        SELECT event_id, user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+               {_VAL_CENTS} AS cents
+        FROM events
+    )
+    SELECT event_id, user_id, ts_epoch,
+           CAST(count(*) OVER w AS BIGINT) AS n_window,
+           CAST(sum(cents) OVER w AS DOUBLE) / 100.0 AS rolling_sum,
+           CAST(sum(cents) OVER w AS DOUBLE)
+               / (count(*) OVER w * 100.0) AS rolling_avg,
+           CAST(max(cents) OVER w AS DOUBLE) / 100.0 AS rolling_max
+    FROM ev
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts_epoch, event_id
+        ROWS BETWEEN {ROLLING_N - 1} PRECEDING AND CURRENT ROW
+    )
+"""

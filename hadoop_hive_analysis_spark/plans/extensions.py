@@ -760,6 +760,16 @@ def build() -> dict:
     # of a MERGE/upsert sink, computed as a partial-agg struct-max so
     # the shuffle moves keys not history) and the SCD2 validity-interval
     # history build (three window functions over ONE partitioning).
+    # Round-7 addition, staged for the r8 rotation: the bounded ROWS
+    # window frame (trailing rolling stats) — the one window-frame
+    # shape the ranking/unbounded/event-time windows don't exercise.
+    q["events_rolling_stats"] = QuerySpec(
+        events.events_rolling_stats,
+        events.EVENTS_ROLLING_SQL,
+        "ext: trailing rolling stats (bounded ROWS frame, single "
+        "window pass, O(n) per key via running add/evict)",
+        driver=False,
+    )
     q["events_latest_state"] = QuerySpec(
         events.events_latest_state,
         events.EVENTS_LATEST_STATE_SQL,

@@ -215,3 +215,26 @@ def test_ohlc_bars_constructed(spark, tmp_path):
         4,
     )
     assert out[("A", ep9 + 3600)].open == 7.0
+
+
+def test_rolling_stats_constructed(spark, tmp_path):
+    """Hand-checked trailing window: values 1..7 for one user, width 5 —
+    row k's sum is the sum of the last min(k,5) values; a second user's
+    rows must not leak into the frame."""
+    import datetime
+
+    from hadoop_hive_analysis_spark.operators.events import events_rolling_stats
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + datetime.timedelta(minutes=i), 1, "A", float(i), "{}")
+        for i in range(1, 8)
+    ] + [(100, t0, 2, "A", 1000.0, "{}")]
+    _write_events(spark, tmp_path, rows)
+    out = {r.event_id: r for r in events_rolling_stats(spark, str(tmp_path)).collect()}
+    assert (out[1].n_window, out[1].rolling_sum) == (1, 1.0)
+    assert (out[5].n_window, out[5].rolling_sum) == (5, 15.0)  # 1+2+3+4+5
+    assert (out[7].n_window, out[7].rolling_sum) == (5, 25.0)  # 3+4+5+6+7
+    assert out[7].rolling_avg == 5.0
+    assert out[7].rolling_max == 7.0
+    assert (out[100].n_window, out[100].rolling_sum) == (1, 1000.0)

@@ -458,3 +458,11 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_rolling_stats_single_window_pass(plans):
+    """All four rolling aggregates share one frame spec: exactly one
+    Window node over one Exchange+Sort on (user_id; ts, event_id)."""
+    p = plans("events_rolling_stats")
+    assert p.count("Window [") == 1
+    assert p.count("Exchange hashpartitioning") == 1
