@@ -329,3 +329,74 @@ def test_duplicated_spans_matches_python(spark, tmp_path_factory, docs):
         for r in duplicated_spans(spark, str(d)).collect()
     )
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "bb", "ccc", "dd", "e", "ff", "g"]),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_span_scrub_matches_python(spark, tmp_path_factory, docs):
+    """Differential test of the REMOVAL pass (merged-interval coverage)
+    against a pure-Python replica over random tiny-vocabulary corpora —
+    the interval fold must delete exactly the tokens covered by some
+    duplicated span, under arbitrary overlap patterns."""
+    import hashlib
+    import uuid
+    from collections import defaultdict
+
+    from hadoop_hive_analysis_spark.operators.dedup import (
+        SPAN_TOKENS,
+        STOP_SPAN_DF,
+        span_scrub,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+
+    # Replica tokenization mirrors the ENGINE's rule (regex split on
+    # \s+): an empty text yields [""], one empty token — the same
+    # convention the DuckDB oracle shares.
+    import re
+
+    docs = [re.split(r"\s+", text) for _, text in rows]
+
+    # python replica: dup span set -> per-doc covered token indices
+    span_docs = defaultdict(set)
+    for i, toks in enumerate(docs):
+        for s in range(len(toks) - SPAN_TOKENS + 1):
+            span_docs[" ".join(toks[s : s + SPAN_TOKENS])].add(i)
+    dup = {sp for sp, ds in span_docs.items() if 1 < len(ds) <= STOP_SPAN_DF}
+    want = []
+    for i, toks in enumerate(docs):
+        covered = set()
+        for s in range(len(toks) - SPAN_TOKENS + 1):
+            if " ".join(toks[s : s + SPAN_TOKENS]) in dup:
+                covered.update(range(s, s + SPAN_TOKENS))
+        kept = [t for j, t in enumerate(toks) if j not in covered]
+        want.append(
+            (
+                i,
+                len(toks),
+                len(covered),
+                hashlib.md5(" ".join(kept).encode()).hexdigest(),
+            )
+        )
+
+    d = tmp_path_factory.mktemp(f"scrub_{uuid.uuid4().hex[:8]}")
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(d / "documents.parquet"))
+    got = sorted(
+        (r["doc_id"], r["n_tokens"], r["n_removed"], r["scrub_md5"])
+        for r in span_scrub(spark, str(d)).collect()
+    )
+    assert got == sorted(want)
