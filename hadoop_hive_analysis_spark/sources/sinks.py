@@ -30,3 +30,27 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: list[str] | None = None,
+    compression: str = "zlib",
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink — the other columnar interchange format a Hive-era
+    warehouse (the reference's ecosystem) actually speaks. Same
+    partition-pruning semantics as the parquet sink; predicate pushdown
+    and column pruning work identically through Spark's ORC reader
+    (pinned in tests/test_sources.py)."""
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def read_orc(spark, path: str) -> DataFrame:
+    """ORC scan (schema from file footers, like parquet)."""
+    return spark.read.orc(path)

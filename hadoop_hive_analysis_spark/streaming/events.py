@@ -16,6 +16,14 @@ Scale notes:
   per-user counters) — the hook for custom operators that windowing
   can't express. Its closure is self-contained (executor workers do not
   import this package).
+* Spark 4's ``transformWithStateInPandas`` (StatefulProcessor with
+  Value/List/Map state + timers) was evaluated as the successor API:
+  its driver-side Python worker requires ``google.protobuf`` for the
+  state-server protocol, which this runtime lacks — the minimal
+  ValueState probe crashes in the worker's protobuf import before any
+  state schema is registered. ``applyInPandasWithState`` carries the
+  arbitrary-state surface here; the operators are written so a TWS
+  port is a mechanical init/handleInputRows re-wrap.
 """
 
 from __future__ import annotations

@@ -400,3 +400,84 @@ def test_span_scrub_matches_python(spark, tmp_path_factory, docs):
         for r in span_scrub(spark, str(d)).collect()
     )
     assert got == sorted(want)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # user
+            st.integers(min_value=0, max_value=5),  # ts second
+            st.sampled_from(["view", "click", "purchase"]),
+            st.integers(min_value=-500, max_value=500),  # cents
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_latest_state_and_scd2_match_python(spark, tmp_path_factory, rows):
+    """Differential: CDC latest-record-wins and the SCD2 run collapse vs
+    pure-Python replicas over random change logs dense in ties (same-user
+    same-second events — the tie-break regime)."""
+    import datetime
+    import uuid
+
+    from hadoop_hive_analysis_spark.operators.events import (
+        events_latest_state,
+        events_scd2_intervals,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    data = [
+        (i, t0 + datetime.timedelta(seconds=sec), u, et, c / 100.0, "{}")
+        for i, (u, sec, et, c) in enumerate(rows)
+    ]
+    d = tmp_path_factory.mktemp(f"cdc_{uuid.uuid4().hex[:8]}")
+    import pandas as pd
+
+    spark.createDataFrame(
+        pd.DataFrame(
+            data,
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        )
+    ).coalesce(1).write.parquet(str(d / "events.parquet"))
+
+    base = int(t0.replace(tzinfo=datetime.timezone.utc).timestamp())
+    # python replicas over (user, ts_epoch, event_id, type, cents)
+    ev = sorted(
+        (u, base + sec, i, et, c)
+        for i, (u, sec, et, c) in enumerate(rows)
+    )
+    latest_want = {}
+    versions = {}
+    for u, ts, i, et, c in ev:
+        versions[u] = versions.get(u, 0) + 1
+        latest_want[u] = (u, ts, i, et, round(c / 100.0, 2))
+    got = {
+        r.user_id: (r.user_id, r.last_ts_epoch, r.last_event_id,
+                    r.last_event_type, round(r.last_value, 2), r.n_versions)
+        for r in events_latest_state(spark, str(d)).collect()
+    }
+    assert got == {
+        u: v + (versions[u],) for u, v in latest_want.items()
+    }
+
+    scd_want = []
+    by_user = {}
+    for u, ts, i, et, c in ev:
+        by_user.setdefault(u, []).append((ts, i, et))
+    for u, seq in by_user.items():
+        runs = []
+        for ts, i, et in seq:  # seq already sorted by (ts, event_id)
+            if not runs or runs[-1][0] != et:
+                runs.append([et, ts])
+        for v, (et, ts) in enumerate(runs, 1):
+            nxt = runs[v][1] if v < len(runs) else None
+            scd_want.append((u, v, et, ts, nxt))
+    got2 = sorted(
+        (r.user_id, r.version, r.state, r.valid_from_epoch, r.valid_to_epoch)
+        for r in events_scd2_intervals(spark, str(d)).collect()
+    )
+    assert got2 == sorted(scd_want)

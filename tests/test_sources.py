@@ -75,3 +75,38 @@ def test_ddl_catalog_tables_match_loader(spark, sf_dir):
         .collect()
     )
     assert via_view == via_loader
+
+
+def test_orc_roundtrip_pushdown_and_pruning(spark, sf_dir, tmp_path):
+    """ORC sink/scan: values roundtrip exactly (timestamps included),
+    partitioned layout prunes at planning time, and a filter over an
+    unpartitioned ORC table reaches the scan as a pushed filter."""
+    from pyspark.sql import functions as F
+
+    from hadoop_hive_analysis_spark.sources.catalog import load_table
+    from hadoop_hive_analysis_spark.sources.sinks import read_orc, write_orc
+
+    ev = load_table(spark, sf_dir, "events")
+    p = str(tmp_path / "events_orc")
+    write_orc(ev, p)
+    back = read_orc(spark, p)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, ev.collect()))
+
+    # pushed filter visible in the scan node
+    plan = (
+        back.filter(F.col("event_type") == "click")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "event_type" in plan.split("PushedFilters")[1][:120]
+
+    # partitioned layout prunes directories
+    pp = str(tmp_path / "events_orc_bytype")
+    write_orc(ev.withColumn("et", F.col("event_type")), pp, partition_by=["et"])
+    pruned = spark.read.orc(pp).filter(F.col("et") == "click")
+    files = {
+        r.f.split("et=")[1].split("/")[0]
+        for r in pruned.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    assert files == {"click"}
