@@ -1,0 +1,80 @@
+"""WARC ingestion source: constructed archives (plain + gzip, response/
+request records, truncation and framing corruption) through the Python
+DataSource, plus the landing projection into the documents shape."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from hadoop_hive_analysis_spark.sources.warc import read_warc, warc_to_documents
+
+
+def _record(warc_type: str, uri: str, body: bytes) -> bytes:
+    return (
+        b"WARC/1.0\r\n"
+        + f"WARC-Type: {warc_type}\r\n".encode()
+        + f"WARC-Target-URI: {uri}\r\n".encode()
+        + b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        + b"Content-Type: text/plain\r\n"
+        + f"Content-Length: {len(body)}\r\n".encode()
+        + b"\r\n"
+        + body
+        + b"\r\n\r\n"
+    )
+
+
+@pytest.fixture()
+def archive_dir(tmp_path):
+    a = _record("response", "http://a.example/", b"hello warc world")
+    b = _record("request", "http://a.example/", b"GET / HTTP/1.1")
+    c = _record("response", "http://b.example/", b"second doc body here")
+    (tmp_path / "one.warc").write_bytes(a + b)
+    (tmp_path / "two.warc.gz").write_bytes(gzip.compress(c))
+    return str(tmp_path)
+
+
+def test_warc_reads_plain_and_gzip(spark, archive_dir):
+    rows = read_warc(spark, archive_dir).collect()
+    by_key = {(r.warc_file, r.record_no): r for r in rows}
+    assert len(rows) == 3
+    r0 = by_key[("one.warc", 0)]
+    assert (r0.warc_type, r0.target_uri) == ("response", "http://a.example/")
+    assert bytes(r0.payload) == b"hello warc world"
+    assert r0.content_length == 16 and r0.error is None
+    assert by_key[("one.warc", 1)].warc_type == "request"
+    rg = by_key[("two.warc.gz", 0)]
+    assert bytes(rg.payload) == b"second doc body here"
+
+
+def test_warc_quarantines_corruption(spark, tmp_path):
+    good = _record("response", "http://ok.example/", b"fine")
+    truncated = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 999\r\n\r\nshort"
+    )
+    (tmp_path / "t.warc").write_bytes(good + truncated)
+    (tmp_path / "junk.warc").write_bytes(b"NOT A WARC FILE AT ALL\r\n")
+    rows = read_warc(spark, str(tmp_path)).collect()
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r.warc_file, []).append(r)
+    t = sorted(by_file["t.warc"], key=lambda r: (r.record_no, r.warc_type))
+    assert t[0].error is None and bytes(t[0].payload) == b"fine"
+    errs = [r for r in t if r.warc_type == "__error__"]
+    assert len(errs) == 1 and "truncated payload" in errs[0].error
+    j = by_file["junk.warc"]
+    assert len(j) == 1 and j[0].warc_type == "__error__"
+    assert "expected WARC/" in j[0].error
+
+
+def test_warc_landing_projection_feeds_operator_stack(spark, archive_dir):
+    docs = warc_to_documents(spark, archive_dir)
+    got = {r.source: r for r in docs.collect()}
+    assert set(got) == {"one.warc", "two.warc.gz"}
+    assert got["one.warc"].text == "hello warc world"
+    assert got["two.warc.gz"].n_chars == len("second doc body here")
+    # doc_ids stable and distinct
+    ids = [r.doc_id for r in docs.collect()]
+    assert len(set(ids)) == len(ids)
+    assert ids == [r.doc_id for r in warc_to_documents(spark, archive_dir).collect()]
