@@ -733,3 +733,87 @@ TRAIN_PRIORITY_SAMPLE_SQL = f"""
     FROM ranked, tau
     WHERE r <= {PRIORITY_K}
 """
+
+
+# ------------------------------------------------------- HTML extraction
+
+# Flavor-neutral patterns (identical under Java regex and RE2, like the
+# PII set): strip script/style subtrees first, then comments, then tags,
+# then decode the few entities that dominate real text, then collapse
+# whitespace. Case-insensitivity is spelled [Ss] because inline (?i)
+# scoping differs between flavors.
+HTML_STRIP_STEPS = (
+    # Subtrees use non-greedy [\s\S]*? (dot-all without flags, multiline
+    # without (?s)) — RE2 has no lookahead, so the lookahead-based
+    # "until the matching close tag" form is NOT flavor-neutral.
+    ("script", r"<[Ss][Cc][Rr][Ii][Pp][Tt][^>]*>[\s\S]*?</[Ss][Cc][Rr][Ii][Pp][Tt]>", " "),
+    ("style", r"<[Ss][Tt][Yy][Ll][Ee][^>]*>[\s\S]*?</[Ss][Tt][Yy][Ll][Ee]>", " "),
+    ("comment", r"<!--[\s\S]*?-->", " "),
+    ("tag", r"<[^>]*>", " "),
+    ("amp_lt", r"&lt;", "<"),
+    ("amp_gt", r"&gt;", ">"),
+    ("amp_quot", r"&quot;", "\""),
+    ("amp_nbsp", r"&nbsp;", " "),
+    ("amp_amp", r"&amp;", "&"),
+    ("ws", r"\s+", " "),
+)
+
+
+def html_to_text(col: Column | str) -> Column:
+    """Boilerplate-stripping HTML→text extraction as a chained
+    ``regexp_replace`` column expression (whole-stage codegen, no
+    Python) — the step between WARC-landed response payloads and the
+    ``documents`` table in a Common Crawl-shaped pipeline. Order
+    matters: script/style subtrees (content is noise, not text) before
+    generic tags; entity decode AFTER tag strip so a literal ``&lt;b&gt;``
+    in text cannot resurrect as a tag and be stripped; whitespace
+    collapse last. trim() finishes.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, repl in HTML_STRIP_STEPS:
+        c = F.regexp_replace(c, pat, repl)
+    return F.trim(c)
+
+
+def html_to_text_sql(expr: str) -> str:
+    """DuckDB twin of :func:`html_to_text` (same patterns, same order).
+    DuckDB regexp_replace needs the 'g' flag for replace-all (Spark's
+    default)."""
+    c = expr
+    for _, pat, repl in HTML_STRIP_STEPS:
+        # DuckDB single-quoted literals keep backslashes verbatim (like
+        # the PII twin) — only quotes need doubling.
+        c = f"regexp_replace({c}, '{pat.replace(chr(39), chr(39) * 2)}', '{repl}', 'g')"
+    return f"trim({c})"
+
+
+def doc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document HTML→text extraction report: stripped-text hash,
+    raw/clean lengths, and markup share. The synthetic fixture is
+    markup-free (clean == trim-collapsed raw) — the oracle check still
+    pins the whole regex chain, and `tests/test_text_pipeline.py` proves
+    the stripping behavior on constructed HTML against DuckDB
+    byte-for-byte (the pii_scrub convention)."""
+    d = load_table(spark, sf_dir, "documents")
+    clean = html_to_text("text")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_raw_chars"),
+        F.length(clean).cast("long").alias("n_clean_chars"),
+        (
+            (F.length("text") - F.length(clean)).cast("double")
+            / F.greatest(F.length("text"), F.lit(1))
+        ).alias("markup_share"),
+        h64(clean).alias("clean_h"),
+    )
+
+
+DOC_HTML_EXTRACT_SQL = f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_raw_chars,
+           CAST(length({html_to_text_sql('text')}) AS BIGINT) AS n_clean_chars,
+           CAST(length(text) - length({html_to_text_sql('text')}) AS DOUBLE)
+               / greatest(length(text), 1) AS markup_share,
+           {h64_sql(html_to_text_sql('text'))} AS clean_h
+    FROM documents
+"""

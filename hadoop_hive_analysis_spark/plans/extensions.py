@@ -212,6 +212,18 @@ def build() -> dict:
         "ext: sliding-window token chunking (posexplode, pure codegen)",
         driver=False,
     )
+    # Round-7 addition, staged for the r8 rotation: the WARC→documents
+    # bridge — HTML boilerplate strip as a flavor-neutral regex chain
+    # (behavior proven byte-for-byte on constructed HTML in pytest, the
+    # pii_scrub convention; fixture is markup-free so the oracle pins
+    # the expression tree).
+    q["doc_html_extract"] = QuerySpec(
+        tp.doc_html_extract,
+        tp.DOC_HTML_EXTRACT_SQL,
+        "ext: HTML->text extraction report (chained codegen "
+        "regexp_replace, zero Python)",
+        driver=False,
+    )
     q["pii_scrub"] = QuerySpec(
         tp.pii_scrub,
         tp.PII_SCRUB_SQL,

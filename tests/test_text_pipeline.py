@@ -545,3 +545,54 @@ def test_vocab_coverage_cut_semantics(spark, tmp_path):
     assert [out[t].cum_instances for t in "abcd"] == [60, 90, 96, 100]
     assert [out[t].in_vocab for t in "abcd"] == [True, True, True, False]
     assert out["c"].cum_coverage == 0.96
+
+
+def test_html_strip_behavior_vs_duckdb(spark):
+    """The fixture has no markup, so prove the stripping on constructed
+    HTML — Spark and DuckDB must produce byte-identical clean text
+    (script/style subtrees dropped, comments dropped, entities decoded
+    AFTER tag strip so literal &lt;script&gt; cannot resurrect)."""
+    from hadoop_hive_analysis_spark.operators.text_pipeline import (
+        html_to_text,
+        html_to_text_sql,
+    )
+
+    samples = [
+        (1, "<html><head><title>T</title><style>b{c:red}</style></head>"
+            "<body><h1>Hello</h1><p>World &amp; friends &lt;3</p>"
+            "<script>var x = '<p>not text</p>';</script>Tail</body></html>"),
+        (2, "plain text, no markup & raw ampersand"),
+        (3, "<!-- comment with -- dashes --><div class='a'>A&nbsp;B</div>"),
+        (4, ""),
+        (5, "<SCRIPT type='x'>multi<br>\nline</SCRIPT>kept <B>bold</B>"),
+        (6, "&lt;script&gt;alert(1)&lt;/script&gt; stays literal"),
+    ]
+    sdf = spark.createDataFrame(samples, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.t)
+        for r in sdf.select("doc_id", html_to_text("text").alias("t")).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE s (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO s VALUES (?, ?)", samples)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"SELECT doc_id, {html_to_text_sql('text')} FROM s"
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
+    assert dict(got)[1] == "T Hello World & friends <3 Tail"
+    assert dict(got)[5] == "kept bold"
+
+
+def test_doc_html_extract_matches_oracle(spark, sf_dir):
+    from hadoop_hive_analysis_spark.operators.text_pipeline import (
+        DOC_HTML_EXTRACT_SQL,
+        doc_html_extract,
+    )
+
+    assert_matches_oracle(
+        doc_html_extract(spark, sf_dir), DOC_HTML_EXTRACT_SQL, sf_dir
+    )

@@ -78,3 +78,29 @@ def test_warc_landing_projection_feeds_operator_stack(spark, archive_dir):
     ids = [r.doc_id for r in docs.collect()]
     assert len(set(ids)) == len(ids)
     assert ids == [r.doc_id for r in warc_to_documents(spark, archive_dir).collect()]
+
+
+def test_warc_html_to_token_stats_end_to_end(spark, tmp_path):
+    """The full Common Crawl-shaped landing path: WARC response payloads
+    -> HTML strip -> documents shape -> a downstream operator (token
+    stats expressions) — one composed plan, no intermediate writes."""
+    from pyspark.sql import functions as F
+
+    from hadoop_hive_analysis_spark.operators.text_pipeline import html_to_text
+    from hadoop_hive_analysis_spark.sources.warc import warc_to_documents
+
+    html = (
+        b"<html><body><h1>Title Words</h1><p>body text here</p>"
+        b"<script>noise();</script></body></html>"
+    )
+    (tmp_path / "page.warc").write_bytes(
+        _record("response", "http://p.example/", html)
+    )
+    docs = warc_to_documents(spark, str(tmp_path)).withColumn(
+        "text", html_to_text("text")
+    )
+    row = docs.select(
+        "text", F.size(F.split("text", r"\s+")).alias("n_tokens")
+    ).collect()[0]
+    assert row.text == "Title Words body text here"
+    assert row.n_tokens == 5
