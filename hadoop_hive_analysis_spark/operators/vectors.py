@@ -122,24 +122,35 @@ def kmeans_fit(spark: SparkSession, sf_dir: str) -> list[list[int]]:
     reproducible; `tests/test_similarity.py` re-runs the identical loop
     in numpy and requires bit-equality of the final partition.
     """
-    from ..functions.hashing import h64
     from .similarity import _quantized
 
-    q = _quantized(spark, sf_dir)
+    return _lloyd(_quantized(spark, sf_dir), KMEANS_K, KMEANS_ITERS, "km:")
+
+
+def _lloyd(
+    q: DataFrame, k: int, iters: int, hash_prefix: str
+) -> list[list[int]]:
+    """The Lloyd loop over a ``(vec_id, q)`` frame — shared by the main
+    k-means fit and the per-subspace PQ codebook fits. Init selects the
+    ``k`` vectors with the smallest portable hash of ``hash_prefix`` +
+    vec_id; the prefix keeps distinct fits' initializations independent
+    while staying fully deterministic."""
+    from ..functions.hashing import h64
+
     init = (
         q.select(
             "q",
-            h64(F.concat(F.lit("km:"), F.col("vec_id").cast("string"))).alias(
-                "hk"
-            ),
+            h64(
+                F.concat(F.lit(hash_prefix), F.col("vec_id").cast("string"))
+            ).alias("hk"),
             "vec_id",
         )
         .orderBy("hk", "vec_id")
-        .limit(KMEANS_K)
+        .limit(k)
         .collect()
     )
     cents = [list(r["q"]) for r in init]
-    for _ in range(KMEANS_ITERS):
+    for _ in range(iters):
         assigned = _kmeans_assign(q, cents)
         sums = (
             assigned.select("cluster", F.posexplode("q").alias("d", "val"))
@@ -514,3 +525,182 @@ def _ann_sq8_recall_sql() -> str:
 
 
 ANN_SQ8_RECALL_SQL = _ann_sq8_recall_sql()
+
+
+# ------------------------------------------------- product quantization
+
+PQ_M = 8  # subspaces (64 dims -> 8 x 8-dim slices)
+PQ_K = 16  # centroids per subspace (4-bit codes)
+PQ_ITERS = 3
+PQ_CAND = 100  # ADC shortlist size fed to the exact rerank
+# Measured mean recall@5 of shortlist+rerank on the near-orthogonal
+# fixtures (the PQ worst case -- random data has no subspace structure):
+# 0.82 / 0.94 / 0.80 at sf0.001/0.01/0.1. Floor below the observed
+# minimum with margin, far above the chance rate (~CAND/corpus).
+PQ_FLOOR = (7, 10)  # mean recall >= 0.70
+
+
+def pq_fit(spark: SparkSession, sf_dir: str) -> list[list[list[int]]]:
+    """PQ codebook fit: split the quantized vectors into PQ_M contiguous
+    subspaces and run the SAME deterministic integer Lloyd loop
+    (:func:`_lloyd`) independently in each -- PQ_M tiny k-means fits
+    whose M-step shuffles carry k x (dim/M) rows. Returns PQ_M codebooks
+    of PQ_K centroids each."""
+    from .similarity import _quantized
+
+    q = _quantized(spark, sf_dir)
+    dim = len(q.select("q").first()["q"])
+    dsub = dim // PQ_M
+    books = []
+    for m in range(PQ_M):
+        sub = q.select(
+            "vec_id", F.expr(f"slice(q, {m * dsub + 1}, {dsub})").alias("q")
+        )
+        books.append(_lloyd(sub, PQ_K, PQ_ITERS, f"pq{m}:"))
+    return books
+
+
+def _pq_code_expr(cents: list[list[int]], arr: str) -> str:
+    """argmin-centroid code for the sliced array expression ``arr`` --
+    the :func:`_kmeans_assign` struct-min form inlined per subspace."""
+    structs = ", ".join(
+        "named_struct('d', aggregate(zip_with({arr}, array({lits}), "
+        "(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x), "
+        "'i', {i})".format(arr=arr, lits=", ".join(f"{v}L" for v in c), i=i)
+        for i, c in enumerate(cents)
+    )
+    return f"array_min(array({structs})).i"
+
+
+def pq_codes(spark: SparkSession, sf_dir: str, books=None) -> DataFrame:
+    """(vec_id, code_0..code_{M-1}): each vector compressed to PQ_M
+    4-bit codes -- 64 quantized ints collapse to 8 nibbles (4 bytes), a
+    ~128x footprint reduction of the search structure. Pure codegen
+    against broadcast centroid literals; one corpus pass, no shuffle."""
+    from .similarity import _quantized
+
+    q = _quantized(spark, sf_dir)
+    if books is None:
+        books = pq_fit(spark, sf_dir)
+    dim = len(q.select("q").first()["q"])
+    dsub = dim // PQ_M
+    cols = [
+        F.expr(
+            _pq_code_expr(books[m], f"slice(q, {m * dsub + 1}, {dsub})")
+        ).alias(f"code_{m}")
+        for m in range(PQ_M)
+    ]
+    return q.select("vec_id", *cols)
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ shortlist + exact rerank -- the IVF-PQ serving pattern: per
+    probe query, ADC (asymmetric distance computation) scores every
+    corpus vector from its 8 nibble codes alone via an M x K lookup
+    table of exact integer subvector-centroid dots (the classic PQ
+    table, 128 ints per query); the top PQ_CAND shortlist then joins
+    back the TRUE vectors -- candidates only, never the corpus -- for
+    exact rescoring and the final top-K.
+
+    Why both stages: on structure-free random fixtures raw ADC ranking
+    is noise-limited (measured recall@5 ~0.1 -- recorded deliberately:
+    4-bit codes cannot rank near-orthogonal vectors), while the
+    shortlist keeps enough signal that exact rerank recovers 0.80-0.94.
+    That IS the production operator: compressed codes bound the scan
+    footprint, exact math touches only queries x PQ_CAND rows.
+
+    All-integer scoring both stages, standard (score desc, neighbor asc)
+    tie-break.
+    """
+    from pyspark.sql import Window
+
+    from .similarity import N_QUERIES, TOP_K, _int_dot, _quantized
+
+    q = _quantized(spark, sf_dir)
+    dim = len(q.select("q").first()["q"])
+    dsub = dim // PQ_M
+    books = pq_fit(spark, sf_dir)
+    codes = pq_codes(spark, sf_dir, books=books)
+    qrows = q.filter(F.col("vec_id") < N_QUERIES).collect()
+
+    per_query = []
+    for r in qrows:
+        qv = list(r["q"])
+        score_terms = []
+        for m in range(PQ_M):
+            sub = qv[m * dsub : (m + 1) * dsub]
+            table = [sum(a * b for a, b in zip(sub, c)) for c in books[m]]
+            lits = ", ".join(f"{v}L" for v in table)
+            score_terms.append(f"element_at(array({lits}), code_{m} + 1)")
+        per_query.append(
+            codes.filter(F.col("vec_id") != r["vec_id"]).select(
+                F.lit(r["vec_id"]).cast("long").alias("query_id"),
+                F.col("vec_id").alias("neighbor_id"),
+                F.expr(" + ".join(score_terms)).alias("adc"),
+            )
+        )
+    scored = per_query[0]
+    for p in per_query[1:]:
+        scored = scored.unionByName(p)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= PQ_CAND
+    )
+    qdf = q.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    rerank = (
+        shortlist.join(
+            q.select(F.col("vec_id").alias("neighbor_id"), "q"), "neighbor_id"
+        )
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _int_dot("qq", "q").alias("score_q"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("score_q").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rerank.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "score_q")
+    )
+
+
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall floor for PQ shortlist+rerank vs the exact brute-force
+    baseline. The codebook fit is iterative (not SQL-expressible), so
+    the oracle uses the IVF contract: recompute ``n_queries`` and
+    ``n_relevant`` from the exact baseline and assert the floor boolean
+    literal TRUE -- a broken fit, code assignment, ADC table, or rerank
+    drops measured recall through the floor and flips the hashed
+    boolean."""
+    from .similarity import _recall_agg, ann_bruteforce_topk
+
+    exact = ann_bruteforce_topk(spark, sf_dir)
+    approx = ann_pq_topk(spark, sf_dir)
+    return _recall_agg(exact, approx, PQ_FLOOR).select(
+        "n_queries", "n_relevant", "recall_floor_met"
+    )
+
+
+def _ann_pq_recall_sql() -> str:
+    from .similarity import ANN_BRUTEFORCE_SQL
+
+    return f"""
+    WITH ex AS (
+        SELECT query_id, neighbor_id FROM ({ANN_BRUTEFORCE_SQL})
+    )
+    SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+           CAST(count(*) AS BIGINT) AS n_relevant,
+           TRUE AS recall_floor_met
+    FROM ex
+"""
+
+
+ANN_PQ_RECALL_SQL = _ann_pq_recall_sql()

@@ -711,6 +711,19 @@ def build() -> dict:
         "scoring over compressed codes, oracle recomputes both sides)",
         driver=False,
     )
+    # Round-7 addition, staged for the r8 rotation: the last rung of the
+    # vector-compression ladder (SQ8 above it) — PQ codebooks, nibble
+    # codes, ADC shortlist, exact rerank of candidates only.
+    q["ann_pq_recall"] = QuerySpec(
+        vectors.ann_pq_recall,
+        vectors.ANN_PQ_RECALL_SQL,
+        "ext: product-quantization shortlist+rerank recall floor "
+        "(8x16 integer codebooks, ADC lookup tables, exact rerank "
+        "bounded by queries x candidates)",
+        driver=False,
+        bench=False,  # runs 8 iterative subspace fits — the kmeans
+        # job-scheduling-overhead rationale
+    )
     q["ann_ivf_recall"] = QuerySpec(
         similarity.ann_ivf_recall,
         similarity.ANN_IVF_RECALL_SQL,

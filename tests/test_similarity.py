@@ -232,3 +232,40 @@ def test_kmeans_loop_matches_numpy_replica(spark, sf_dir):
         for r in embedding_kmeans(spark, sf_dir).collect()
     )
     assert got == want
+
+
+def test_pq_rerank_recall_meets_floor(spark, sf_dir):
+    """Measured recall of PQ shortlist+rerank against the exact baseline
+    must clear the registered floor (the floor boolean the driver row
+    hashes is computed from this same comparison)."""
+    from hadoop_hive_analysis_spark.operators.similarity import (
+        ann_bruteforce_topk,
+    )
+    from hadoop_hive_analysis_spark.operators.vectors import (
+        PQ_FLOOR,
+        ann_pq_topk,
+    )
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_bruteforce_topk(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id) for r in ann_pq_topk(spark, sf_dir).collect()
+    }
+    num, den = PQ_FLOOR
+    assert len(exact & approx) * den >= len(exact) * num
+
+
+def test_pq_codes_deterministic_and_compact(spark, sf_dir):
+    """Two independent fits+assignments must produce identical codes
+    (no RNG anywhere), and every code must be a valid nibble."""
+    from hadoop_hive_analysis_spark.operators.vectors import PQ_K, PQ_M, pq_codes
+
+    a = sorted(map(tuple, pq_codes(spark, sf_dir).collect()))
+    b = sorted(map(tuple, pq_codes(spark, sf_dir).collect()))
+    assert a == b
+    for row in a:
+        for c in row[1:]:
+            assert 0 <= c < PQ_K
+    assert len(a[0]) == 1 + PQ_M
