@@ -927,3 +927,79 @@ EVENTS_ROLLING_SQL = f"""
         ROWS BETWEEN {ROLLING_N - 1} PRECEDING AND CURRENT ROW
     )
 """
+
+
+# ---------------------------------------------------------- histogram
+
+HIST_LO_CENTS = 0
+HIST_W_CENTS = 2500  # 25.00-wide buckets
+HIST_NBINS = 20  # covers [0, 500); outliers clamp into edge bins
+
+
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values per event type — the
+    profiling staple next to the exact quantiles and the sketch screens:
+    one pass, exact integer binning (bin = clamp((cents - lo) DIV w)),
+    so the histogram is bit-identical on any engine and partitioning —
+    unlike float-boundary binning, where a value on a bucket edge can
+    land either side across engines.
+
+    Emits only occupied (event_type, bin) rows plus per-row bounds, so
+    the result is sparse and re-aggregatable (bins sum across shards).
+    Scale shape: single partial-agg groupBy — the shuffle carries at
+    most types x bins rows per map task.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr(_VAL_CENTS).alias("cents")
+    )
+    # integral division, not float floor (engine-identical on negatives)
+    bin_ = F.least(
+        F.greatest(
+            F.expr(f"(cents - {HIST_LO_CENTS}) div {HIST_W_CENTS}"), F.lit(0)
+        ),
+        F.lit(HIST_NBINS - 1),
+    )
+    return (
+        ev.withColumn("bin", bin_)
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "event_type",
+            F.col("bin").cast("long").alias("bin"),
+            (
+                (F.col("bin") * HIST_W_CENTS + F.lit(HIST_LO_CENTS)).cast(
+                    "double"
+                )
+                / 100.0
+            ).alias("lo"),
+            (
+                ((F.col("bin") + 1) * HIST_W_CENTS + F.lit(HIST_LO_CENTS)).cast(
+                    "double"
+                )
+                / 100.0
+            ).alias("hi"),
+            "n",
+        )
+    )
+
+
+EVENTS_HISTOGRAM_SQL = f"""
+    WITH c AS (
+        SELECT event_type, {_VAL_CENTS} AS cents FROM events
+    ),
+    b AS (
+        SELECT event_type,
+               least(greatest((cents - {HIST_LO_CENTS}) // {HIST_W_CENTS},
+                              0), {HIST_NBINS - 1}) AS bin
+        FROM c
+    )
+    SELECT event_type,
+           CAST(bin AS BIGINT) AS bin,
+           CAST(bin * {HIST_W_CENTS} + {HIST_LO_CENTS} AS DOUBLE) / 100.0
+               AS lo,
+           CAST((bin + 1) * {HIST_W_CENTS} + {HIST_LO_CENTS} AS DOUBLE) / 100.0
+               AS hi,
+           count(*) AS n
+    FROM b
+    GROUP BY event_type, bin
+"""

@@ -788,6 +788,17 @@ def build() -> dict:
     # Round-7 addition, staged for the r8 rotation: the bounded ROWS
     # window frame (trailing rolling stats) — the one window-frame
     # shape the ranking/unbounded/event-time windows don't exercise.
+    # Round-7 addition, staged for the r8 rotation: exact fixed-width
+    # histogram — the profiling shape between the exact quantile ranks
+    # and the sketch screens; integer binning so bucket-edge values
+    # cannot land differently across engines.
+    q["events_value_histogram"] = QuerySpec(
+        events.events_value_histogram,
+        events.EVENTS_HISTOGRAM_SQL,
+        "ext: exact fixed-width value histogram (integer binning, "
+        "sparse re-aggregatable bins, one partial-agg shuffle)",
+        driver=False,
+    )
     q["events_rolling_stats"] = QuerySpec(
         events.events_rolling_stats,
         events.EVENTS_ROLLING_SQL,

@@ -238,3 +238,34 @@ def test_rolling_stats_constructed(spark, tmp_path):
     assert out[7].rolling_avg == 5.0
     assert out[7].rolling_max == 7.0
     assert (out[100].n_window, out[100].rolling_sum) == (1, 1000.0)
+
+
+def test_histogram_edges_and_clamps(spark, tmp_path):
+    """Bucket-edge values land in the HIGHER bucket (cents DIV width),
+    and out-of-range values clamp into the edge bins instead of
+    vanishing — conservation: bin counts sum to row count."""
+    import datetime
+
+    from hadoop_hive_analysis_spark.operators.events import (
+        HIST_NBINS,
+        events_value_histogram,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    _write_events(
+        spark,
+        tmp_path,
+        [
+            (1, t0, 1, "A", 24.99, "{}"),   # bin 0 (2499 cents)
+            (2, t0, 1, "A", 25.00, "{}"),   # exactly on the edge → bin 1
+            (3, t0, 1, "A", 0.00, "{}"),    # bin 0
+            (4, t0, 1, "A", -5.00, "{}"),   # clamps to bin 0
+            (5, t0, 1, "A", 9999.0, "{}"),  # clamps to the last bin
+        ],
+    )
+    rows = {r.bin: r for r in events_value_histogram(spark, str(tmp_path)).collect()}
+    assert rows[0].n == 3
+    assert rows[1].n == 1
+    assert rows[HIST_NBINS - 1].n == 1
+    assert (rows[1].lo, rows[1].hi) == (25.0, 50.0)
+    assert sum(r.n for r in rows.values()) == 5
