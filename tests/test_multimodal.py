@@ -393,3 +393,27 @@ def test_image_phash_neardup_planted(spark):
     plan = image_phash_neardup(df)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_resize_images_exact_block_means(spark):
+    """A 4x4 P5 image resized to 2x2 must produce exactly the integer
+    block means; a poison row quarantines; output size is bounded."""
+    from hadoop_hive_analysis_spark.operators.multimodal import resize_images
+
+    px = bytes([0, 10, 100, 110,
+                20, 30, 120, 130,
+                200, 210, 40, 50,
+                220, 230, 60, 70])
+    payload = b"P5\n4 4\n255\n" + px
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(b"nope"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in resize_images(df, 2, 2).collect()}
+    r = rows[1]
+    assert (r.width, r.height, r.out_w, r.out_h) == (4, 4, 2, 2)
+    # block means: TL (0+10+20+30)//4=15, TR (100+110+120+130)//4=115,
+    # BL (200+210+220+230)//4=215, BR (40+50+60+70)//4=55
+    assert list(bytes(r.pixels)) == [15, 115, 215, 55]
+    assert r.decode_error is None
+    assert rows[2].decode_error is not None and rows[2].pixels is None
