@@ -157,6 +157,82 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, int, float]:
     return width, n_rows, channels, (total / count if count else 0.0)
 
 
+def make_pixel_parser():
+    """Build the shared executor-side image parser as a LOCAL function —
+    one definition of the PPM/PGM/BMP pixel logic for every mapInPandas
+    closure in this module (cloudpickle ships locally-defined functions
+    by value, so operators capture the returned function and stay
+    self-contained without triplicating the parser bodies — the drift
+    risk the round-6 advice flagged when there were two copies).
+
+    Returns ``parse(payload) -> (width, height, channels, pixels)`` with
+    ``pixels`` row-major TOP-DOWN bytes: bottom-up BMPs (positive
+    biHeight — the standard layout) are row-FLIPPED here, so
+    spatially-sensitive consumers (perceptual hash, resize) see the same
+    orientation from a BMP as from a PNM of the same image; a
+    mean/statistics consumer is unaffected either way.
+    """
+    import struct
+
+    def parse_pnm(payload: bytes, channels: int):
+        pos, vals = 2, []
+        while len(vals) < 3:
+            while pos < len(payload) and payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":
+                while pos < len(payload) and payload[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            vals.append(int(payload[start:pos]))
+        pos += 1
+        width, height, maxval = vals
+        if maxval > 255:
+            raise ValueError("16-bit PNM not supported")
+        n = width * height * channels
+        pixels = payload[pos : pos + n] if n >= 0 else b""
+        if len(pixels) != n:
+            raise ValueError(
+                f"truncated PNM: want {n} pixel bytes, have {len(pixels)}"
+            )
+        return width, height, channels, pixels
+
+    def parse_bmp(payload: bytes):
+        if len(payload) < 54:
+            raise ValueError("truncated BMP header")
+        data_off = struct.unpack_from("<I", payload, 10)[0]
+        width, height = struct.unpack_from("<ii", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        compression = struct.unpack_from("<I", payload, 30)[0]
+        if compression != 0 or bpp not in (24, 32):
+            raise ValueError(f"unsupported BMP (bpp={bpp}, comp={compression})")
+        channels = bpp // 8
+        n_rows, row_bytes = abs(height), width * channels
+        stride = (row_bytes + 3) & ~3
+        rows = []
+        for r in range(n_rows):
+            row = payload[data_off + r * stride : data_off + r * stride + row_bytes]
+            if len(row) != row_bytes:
+                raise ValueError(f"truncated BMP: row {r} short")
+            rows.append(row)
+        if height > 0:  # bottom-up storage (the standard) -> flip to top-down
+            rows.reverse()
+        return width, n_rows, channels, b"".join(rows)
+
+    def parse(payload: bytes):
+        if payload[:2] == b"P6":
+            return parse_pnm(payload, 3)
+        if payload[:2] == b"P5":
+            return parse_pnm(payload, 1)
+        if payload[:2] == b"BM":
+            return parse_bmp(payload)
+        raise ValueError(f"unsupported image format (magic {payload[:2]!r})")
+
+    return parse
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
     """Deterministic stand-in decoder (driver-side/tests only; the
     executor-side copy lives inlined inside the mapInPandas closure)."""
@@ -181,61 +257,18 @@ def decode_images(df: DataFrame) -> DataFrame:
     (at 100 TB a poison payload must not kill the stage — the error
     column is the quarantine signal).
 
-    Same Arrow ``mapInPandas`` shape as the stand-in path. The closure
-    re-states the parsers locally: cloudpickle ships LOCAL functions by
-    value but module functions by reference, and executor workers don't
-    have this package importable when the driver runs from a foreign cwd.
+    Same Arrow ``mapInPandas`` shape as the stand-in path. The parser is
+    the shared :func:`make_pixel_parser` product — a locally-defined
+    function cloudpickle ships BY VALUE, so the closure stays
+    self-contained (foreign-cwd executors never import this package)
+    without a third copy of the parser bodies.
     """
     import pandas as pd
 
+    parse = make_pixel_parser()
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
-
-        def parse_pnm(payload: bytes, channels: int):
-            pos, vals = 2, []
-            while len(vals) < 3:
-                while pos < len(payload) and payload[pos : pos + 1].isspace():
-                    pos += 1
-                if payload[pos : pos + 1] == b"#":
-                    while pos < len(payload) and payload[pos] != 0x0A:
-                        pos += 1
-                    continue
-                start = pos
-                while pos < len(payload) and not payload[pos : pos + 1].isspace():
-                    pos += 1
-                vals.append(int(payload[start:pos]))
-            pos += 1
-            width, height, maxval = vals
-            if maxval > 255:
-                raise ValueError("16-bit PNM not supported")
-            n = width * height * channels
-            pixels = payload[pos : pos + n] if n >= 0 else b""
-            if len(pixels) != n:
-                raise ValueError(
-                    f"truncated PNM: want {n} pixel bytes, have {len(pixels)}"
-                )
-            return width, height, channels, (sum(pixels) / n if n else 0.0)
-
-        def parse_bmp(payload: bytes):
-            if len(payload) < 54:
-                raise ValueError("truncated BMP header")
-            data_off = struct.unpack_from("<I", payload, 10)[0]
-            width, height = struct.unpack_from("<ii", payload, 18)
-            bpp = struct.unpack_from("<H", payload, 28)[0]
-            compression = struct.unpack_from("<I", payload, 30)[0]
-            if compression != 0 or bpp not in (24, 32):
-                raise ValueError(f"unsupported BMP (bpp={bpp}, comp={compression})")
-            channels = bpp // 8
-            n_rows, row_bytes = abs(height), width * (bpp // 8)
-            stride = (row_bytes + 3) & ~3
-            total = count = 0
-            for r in range(n_rows):
-                row = payload[data_off + r * stride : data_off + r * stride + row_bytes]
-                if len(row) != row_bytes:
-                    raise ValueError(f"truncated BMP: row {r} short")
-                total += sum(row)
-                count += row_bytes
-            return width, n_rows, channels, (total / count if count else 0.0)
 
         for pdf in batches:
             out = {
@@ -247,18 +280,10 @@ def decode_images(df: DataFrame) -> DataFrame:
                 out["doc_id"].append(doc_id)
                 out["n_bytes"].append(len(payload))
                 try:
-                    if payload[:2] == b"P6":
-                        w, h, c, m = parse_pnm(payload, 3)
-                    elif payload[:2] == b"P5":
-                        w, h, c, m = parse_pnm(payload, 1)
-                    elif payload[:2] == b"BM":
-                        w, h, c, m = parse_bmp(payload)
-                    else:
-                        raise ValueError(
-                            f"unsupported image format (magic {payload[:2]!r})"
-                        )
+                    w, h, c, px = parse(payload)
+                    m = (sum(px) / len(px)) if px else 0.0
                     err = None
-                except (ValueError, IndexError) as ex:
+                except (ValueError, IndexError, struct.error) as ex:
                     w = h = c = m = None
                     err = str(ex)[:200]
                 out["width"].append(w)
@@ -586,82 +611,32 @@ def image_ahash(df: DataFrame) -> DataFrame:
     re-encoded/brightness-shifted copies of an image land within a few
     bits of each other, where byte digests see unrelated blobs).
 
-    Per payload: decode (PPM/PGM/BMP, the engine's stdlib-parseable
-    family), collapse to grayscale integer luma sums, average-pool onto
-    an 8x8 grid with INTEGER block arithmetic (pixel x maps to block
-    x*8 DIV width — no float resampling, so the hash is bit-stable
-    across hosts), then one bit per cell: 1 iff the cell mean exceeds
-    the global mean, compared by exact cross-multiplication
-    (cell_sum * total_n > total_sum * cell_n). Undecodable payloads
-    quarantine into ``decode_error`` like every decoder in this module.
+    Per payload: decode (PPM/PGM/BMP via the shared
+    :func:`make_pixel_parser`, which flips bottom-up BMPs so the same
+    image hashes identically from either container), collapse to
+    grayscale integer luma sums, average-pool onto an 8x8 grid with
+    INTEGER block arithmetic (pixel x maps to block x*8 DIV width — no
+    float resampling, so the hash is bit-stable across hosts), then one
+    bit per cell: 1 iff the cell mean exceeds the global mean, compared
+    by exact cross-multiplication (cell_sum * total_n > total_sum *
+    cell_n). Undecodable payloads quarantine into ``decode_error`` like
+    every decoder in this module.
 
-    Arrow ``mapInPandas``; closure self-contained (cloudpickle ships
-    local functions by value — executors never import this package).
+    Arrow ``mapInPandas``; the captured parser is a locally-defined
+    function (pickled by value — executors never import this package).
     """
     import pandas as pd
+
+    parse = make_pixel_parser()
 
     def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
 
-        def parse_pnm(payload: bytes, channels: int):
-            pos, vals = 2, []
-            while len(vals) < 3:
-                while pos < len(payload) and payload[pos : pos + 1].isspace():
-                    pos += 1
-                if payload[pos : pos + 1] == b"#":
-                    while pos < len(payload) and payload[pos] != 0x0A:
-                        pos += 1
-                    continue
-                start = pos
-                while pos < len(payload) and not payload[pos : pos + 1].isspace():
-                    pos += 1
-                vals.append(int(payload[start:pos]))
-            pos += 1
-            width, height, maxval = vals
-            if maxval > 255:
-                raise ValueError("16-bit PNM not supported")
-            n = width * height * channels
-            pixels = payload[pos : pos + n] if n >= 0 else b""
-            if len(pixels) != n:
-                raise ValueError(
-                    f"truncated PNM: want {n} pixel bytes, have {len(pixels)}"
-                )
-            return width, height, channels, pixels
-
-        def parse_bmp(payload: bytes):
-            if len(payload) < 54:
-                raise ValueError("truncated BMP header")
-            data_off = struct.unpack_from("<I", payload, 10)[0]
-            width, height = struct.unpack_from("<ii", payload, 18)
-            bpp = struct.unpack_from("<H", payload, 28)[0]
-            compression = struct.unpack_from("<I", payload, 30)[0]
-            if compression != 0 or bpp not in (24, 32):
-                raise ValueError(f"unsupported BMP (bpp={bpp}, comp={compression})")
-            channels = bpp // 8
-            n_rows, row_bytes = abs(height), width * channels
-            stride = (row_bytes + 3) & ~3
-            rows = []
-            for r in range(n_rows):
-                row = payload[data_off + r * stride : data_off + r * stride + row_bytes]
-                if len(row) != row_bytes:
-                    raise ValueError(f"truncated BMP: row {r} short")
-                rows.append(row)
-            return width, n_rows, channels, b"".join(rows)
-
         def ahash(payload: bytes) -> int:
-            if payload[:2] == b"P6":
-                w, h, c, px = parse_pnm(payload, 3)
-            elif payload[:2] == b"P5":
-                w, h, c, px = parse_pnm(payload, 1)
-            elif payload[:2] == b"BM":
-                w, h, c, px = parse_bmp(payload)
-            else:
-                raise ValueError(f"unsupported image format (magic {payload[:2]!r})")
+            w, h, c, px = parse(payload)
             if w < 1 or h < 1:
                 raise ValueError("degenerate image")
             G = 8  # AHASH_GRID (closure self-contained)
-            # integer luma per pixel = sum of channel bytes (scale-free:
-            # the threshold compares sums against sums)
             cell_sum = [[0] * G for _ in range(G)]
             cell_n = [[0] * G for _ in range(G)]
             for y in range(h):
@@ -771,82 +746,31 @@ RESIZE_SCHEMA = (
 
 
 def resize_images(df: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFrame:
-    """Integer box-filter resize over REAL image payloads: decode
-    (PPM/PGM/BMP), collapse to grayscale luma, average-pool onto an
-    out_h x out_w grid with the same integer block mapping the
-    perceptual hash uses (pixel x -> block x*W DIV width; block value =
-    sum DIV count — exact, host-stable), and emit the resized grayscale
-    bytes plus an int64 checksum. The thumbnail/feature-map step of a
-    multimodal training pipeline, with per-row quarantine.
+    """Integer box-filter resize over REAL image payloads: decode via
+    the shared :func:`make_pixel_parser` (top-down pixel order — bottom-
+    up BMPs are flipped, so thumbnails are upright from any container),
+    collapse to grayscale luma, average-pool onto an out_h x out_w grid
+    with the same integer block mapping the perceptual hash uses
+    (pixel x -> block x*W DIV width; block value = sum DIV count —
+    exact, host-stable), and emit the resized grayscale bytes plus an
+    int64 checksum. The thumbnail/feature-map step of a multimodal
+    training pipeline, with per-row quarantine.
 
-    Arrow ``mapInPandas``; closure self-contained (executors never
-    import this package). At 100 TB this is the embarrassingly-parallel
-    decode pass — one partition per input split, output bounded at
-    out_w x out_h bytes per image regardless of input size.
+    Arrow ``mapInPandas``; captured parser pickled by value. At 100 TB
+    this is the embarrassingly-parallel decode pass — one partition per
+    input split, output bounded at out_w x out_h bytes per image
+    regardless of input size.
     """
     import pandas as pd
 
     W, H = int(out_w), int(out_h)
+    parse = make_pixel_parser()
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
 
-        def parse_pnm(payload: bytes, channels: int):
-            pos, vals = 2, []
-            while len(vals) < 3:
-                while pos < len(payload) and payload[pos : pos + 1].isspace():
-                    pos += 1
-                if payload[pos : pos + 1] == b"#":
-                    while pos < len(payload) and payload[pos] != 0x0A:
-                        pos += 1
-                    continue
-                start = pos
-                while pos < len(payload) and not payload[pos : pos + 1].isspace():
-                    pos += 1
-                vals.append(int(payload[start:pos]))
-            pos += 1
-            width, height, maxval = vals
-            if maxval > 255:
-                raise ValueError("16-bit PNM not supported")
-            n = width * height * channels
-            pixels = payload[pos : pos + n] if n >= 0 else b""
-            if len(pixels) != n:
-                raise ValueError(
-                    f"truncated PNM: want {n} pixel bytes, have {len(pixels)}"
-                )
-            return width, height, channels, pixels
-
-        def parse_bmp(payload: bytes):
-            if len(payload) < 54:
-                raise ValueError("truncated BMP header")
-            data_off = struct.unpack_from("<I", payload, 10)[0]
-            width, height = struct.unpack_from("<ii", payload, 18)
-            bpp = struct.unpack_from("<H", payload, 28)[0]
-            compression = struct.unpack_from("<I", payload, 30)[0]
-            if compression != 0 or bpp not in (24, 32):
-                raise ValueError(f"unsupported BMP (bpp={bpp}, comp={compression})")
-            channels = bpp // 8
-            n_rows, row_bytes = abs(height), width * channels
-            stride = (row_bytes + 3) & ~3
-            rows = []
-            for r in range(n_rows):
-                row = payload[
-                    data_off + r * stride : data_off + r * stride + row_bytes
-                ]
-                if len(row) != row_bytes:
-                    raise ValueError(f"truncated BMP: row {r} short")
-                rows.append(row)
-            return width, n_rows, channels, b"".join(rows)
-
         def do_resize(payload: bytes):
-            if payload[:2] == b"P6":
-                w, h, c, px = parse_pnm(payload, 3)
-            elif payload[:2] == b"P5":
-                w, h, c, px = parse_pnm(payload, 1)
-            elif payload[:2] == b"BM":
-                w, h, c, px = parse_bmp(payload)
-            else:
-                raise ValueError(f"unsupported image format (magic {payload[:2]!r})")
+            w, h, c, px = parse(payload)
             if w < 1 or h < 1:
                 raise ValueError("degenerate image")
             sums = [[0] * W for _ in range(H)]

@@ -582,8 +582,7 @@ def pq_codes(spark: SparkSession, sf_dir: str, books=None) -> DataFrame:
     q = _quantized(spark, sf_dir)
     if books is None:
         books = pq_fit(spark, sf_dir)
-    dim = len(q.select("q").first()["q"])
-    dsub = dim // PQ_M
+    dsub = len(books[0][0])  # subspace width from the codebook — no probe job
     cols = [
         F.expr(
             _pq_code_expr(books[m], f"slice(q, {m * dsub + 1}, {dsub})")
@@ -617,9 +616,8 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import N_QUERIES, TOP_K, _int_dot, _quantized
 
     q = _quantized(spark, sf_dir)
-    dim = len(q.select("q").first()["q"])
-    dsub = dim // PQ_M
     books = pq_fit(spark, sf_dir)
+    dsub = len(books[0][0])  # subspace width from the codebook — no probe job
     codes = pq_codes(spark, sf_dir, books=books)
     qrows = q.filter(F.col("vec_id") < N_QUERIES).collect()
 

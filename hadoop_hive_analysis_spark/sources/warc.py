@@ -70,11 +70,26 @@ def make_warc_datasource():
         def read(self, partition):
             import gzip
             import io
-            import os
 
             path = partition.path
-            base = os.path.basename(path)
+            # Full path, not basename: same-named archives in different
+            # directories (crawl/*/data.warc.gz) must stay distinct —
+            # downstream doc_ids hash this column.
+            base = path
             opener = gzip.open if path.endswith(".gz") else open
+            try:
+                yield from self._records(opener, path, base, io)
+            except (EOFError, OSError, gzip.BadGzipFile) as ex:
+                # gzip-level corruption (member cut mid-stream, bad CRC)
+                # surfaces from ANY read call — quarantine the archive
+                # as an error row instead of failing the task: one bad
+                # archive among 100k must not poison the job.
+                yield (
+                    base, -1, "__error__", None, None, None, None, None,
+                    f"archive-level read error: {str(ex)[:150]}",
+                )
+
+        def _records(self, opener, path, base, io):
             with opener(path, "rb") as raw:
                 stream = io.BufferedReader(raw)
                 rec_no = 0

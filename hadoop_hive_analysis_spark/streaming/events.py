@@ -583,26 +583,39 @@ def streaming_click_purchase_left_join(events: DataFrame) -> DataFrame:
 
 
 def events_stream_left_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-outer stream-stream join drained AvailableNow against the
-    batch LEFT JOIN oracle.
+    """Left-outer stream-stream join drained against the batch LEFT JOIN
+    oracle, as TWO AvailableNow runs over one checkpoint — the
+    production restart cadence.
 
     A finite drain of an outer join needs care the inner replay does
     not: NULL rows emit on state EVICTION, eviction uses the watermark,
     and the watermark available to batch N is computed from batch N-1's
     data — so whatever arrives last can never have its unmatched clicks
-    flushed by more data. The replay stages the drain as ordered
-    microbatches over one monitored directory (``maxFilesPerTrigger=1``,
-    files ordered by mtime): the real events file, then TWO
-    far-future heartbeat sentinels. Sentinel 1 enters the watermark;
-    sentinel 2's batch then RUNS with that far-future watermark and
-    evicts (emits) every remaining unmatched click. This is the
-    production punctuation/heartbeat pattern for low-traffic streams,
-    not a test hack: an outer join on a stream that goes quiet holds
-    its tail in state until some event advances the clock.
+    flushed by more data.
+
+    * Drain 1 processes every REAL file in ONE microbatch
+      (``maxFilesPerTrigger`` = file count): part files of a Spark-
+      written table are not time-ordered, so slicing them into separate
+      batches would advance the watermark past rows still to come and
+      silently DROP them as late — single-batch ingest makes the drain
+      independent of file layout.
+    * Two far-future heartbeat sentinel files are then written (one
+      click + one purchase row each — each side's watermark node sits
+      behind its event_type filter, and the global watermark is the MIN
+      of the sides), and drain 2 resumes from the same checkpoint with
+      ``maxFilesPerTrigger=1``: sentinel 1's batch enters the far-future
+      event time, sentinel 2's batch RUNS with that watermark and evicts
+      (emits) every remaining unmatched click. This is the production
+      punctuation/heartbeat pattern for streams that go quiet.
+
+    Sentinels are written in the SOURCE's own timestamp encoding (a
+    TIMESTAMP(NANOS) fixture needs raw int64-nanos sentinels — the
+    stream schema for such a source is LongType, and a micros-encoded
+    sentinel file would not read through it).
 
     Sentinel rows use user_id/event_id = -1 (joinable with nothing) and
-    are filtered from the result; the drain is bit-equal to the batch
-    LEFT JOIN (``EVENTS_STREAM_LEFT_JOIN_SQL``).
+    are filtered from the result; the union of the two drains is
+    bit-equal to the batch LEFT JOIN (``EVENTS_STREAM_LEFT_JOIN_SQL``).
     """
     import atexit
     import datetime
@@ -613,7 +626,9 @@ def events_stream_left_join_replay(spark: SparkSession, sf_dir: str) -> DataFram
 
     import pandas as pd
 
-    from ..sources.catalog import load_table
+    from pyspark.sql.types import LongType as _Long
+
+    from ..sources.catalog import _footer_schema, load_table
 
     tag = uuid.uuid4().hex[:12]
     src = tempfile.mkdtemp(prefix=f"hha_lojoin_src_{tag}_")
@@ -621,71 +636,128 @@ def events_stream_left_join_replay(spark: SparkSession, sf_dir: str) -> DataFram
     atexit.register(shutil.rmtree, src, ignore_errors=True)
     atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
 
-    # Stage the ordered source: symlinked real table (inherits the old
-    # target mtime), then two sentinels with explicitly increasing mtimes.
-    real = os.path.join(src, "00_events.parquet")
-    os.symlink(os.path.abspath(os.path.join(sf_dir, "events.parquet")), real)
-    mx = load_table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
-    now = None
-    for i, days in ((1, 365), (2, 366)):
-        # One heartbeat PER SIDE: each watermark node sits AFTER its
-        # event_type filter, so a row that passes neither filter would
-        # never advance either clock (and the global watermark is the
-        # MIN of the two sides).
-        pdf = pd.DataFrame(
-            [
-                {
-                    "event_id": -1,
-                    "ts": mx + datetime.timedelta(days=days),
-                    "user_id": -1,
-                    "event_type": et,
-                    "value": 0.0,
-                    "props": "{}",
-                }
-                for et in ("click", "purchase")
-            ]
+    # Stage the real table: a single parquet file symlinks directly; a
+    # directory-shaped table symlinks each part file. Either way drain 1
+    # consumes them all in one batch.
+    real = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    links = []
+    if os.path.isdir(real):
+        parts = sorted(
+            p for p in os.listdir(real) if p.endswith(".parquet")
         )
-        d = tempfile.mkdtemp(prefix=f"hha_lojoin_tmp_{tag}_")
-        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(d)
-        part = next(p for p in os.listdir(d) if p.endswith(".parquet"))
-        dst = os.path.join(src, f"0{i}_sentinel.parquet")
-        shutil.move(os.path.join(d, part), dst)
-        shutil.rmtree(d, ignore_errors=True)
-        if now is None:
-            now = os.stat(dst).st_mtime
-        os.utime(dst, (now + 100 * i, now + 100 * i))
+        for i, p in enumerate(parts):
+            name = f"00_real_{i:05d}.parquet"
+            os.symlink(os.path.join(real, p), os.path.join(src, name))
+            links.append(name)
+    else:
+        os.symlink(real, os.path.join(src, "00_real_00000.parquet"))
+        links.append("00_real_00000.parquet")
 
-    ev = read_events_stream(
-        spark,
-        src,
-        file_glob="*.parquet",
-        footer_file="00_events.parquet",
-        max_files_per_trigger=1,
-    )
-    out = streaming_click_purchase_left_join(ev).filter(F.col("click_id") >= 0)
-    # multipleWatermarkPolicy=max, scoped to this drain. Measured on this
+    footer = {
+        f.name: f.dataType for f in _footer_schema(spark, real).fields
+    }
+    ts_is_nanos = isinstance(footer.get("ts"), _Long)
+
+    def build_stream(max_files: int) -> DataFrame:
+        ev = read_events_stream(
+            spark,
+            src,
+            file_glob="*.parquet",
+            footer_file=links[0],
+            max_files_per_trigger=max_files,
+        )
+        return streaming_click_purchase_left_join(ev).filter(
+            F.col("click_id") >= 0
+        )
+
+    # multipleWatermarkPolicy=max, scoped to the drains. Measured on this
     # engine (Spark 4.1, recorded in the checkpoint offsets): under the
     # default "min" policy the GLOBAL watermark freezes after the first
     # eviction batch — both event-time nodes observe the far-future
     # heartbeats (eventTime.max advances per batch) yet the combined
     # watermark never re-advances, so tail state never flushes. Under
-    # "max" it advances each batch and a final no-data batch flushes
+    # "max" it advances each batch and the final batches flush
     # everything. For THIS query the policies are semantically identical:
     # it is a self-join of ONE source, and every heartbeat file advances
     # BOTH sides' clocks in lockstep, so min(nodes) == max(nodes) at
     # every batch boundary. Do not copy this setting onto a multi-source
     # join with genuinely divergent clocks — there "max" can declare rows
     # late that "min" would admit.
+    # The two-drain restart needs a RECOVERABLE sink (the memory sink
+    # cannot resume from a checkpoint): drains append to one parquet
+    # directory; the result is a batch read of that directory.
+    out_dir = tempfile.mkdtemp(prefix=f"hha_lojoin_out_{tag}_")
+    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+
+    def drain(sdf: DataFrame) -> None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                sdf.writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.shuffle.partitions")
+            else:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+
     wm_key = "spark.sql.streaming.multipleWatermarkPolicy"
     prev_policy = spark.conf.get(wm_key, None)
     spark.conf.set(wm_key, "max")
     try:
-        res = run_available_now(
-            out,
-            query_name=f"lojoin_replay_{tag}",
-            checkpoint_dir=ckpt,
-            output_mode="append",
-        )
+        drain(build_stream(len(links)))
+
+        # heartbeats, written AFTER drain 1 committed its offsets
+        mx = load_table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+        now = None
+        for i, days in ((1, 365), (2, 366)):
+            sent_dt = mx + datetime.timedelta(days=days)
+            if ts_is_nanos:
+                ts_val = (
+                    int(
+                        sent_dt.replace(
+                            tzinfo=datetime.timezone.utc
+                        ).timestamp()
+                        * 1_000_000
+                    )
+                    * 1000
+                )
+            else:
+                ts_val = sent_dt
+            pdf = pd.DataFrame(
+                [
+                    {
+                        "event_id": -1,
+                        "ts": ts_val,
+                        "user_id": -1,
+                        "event_type": et,
+                        "value": 0.0,
+                        "props": "{}",
+                    }
+                    for et in ("click", "purchase")
+                ]
+            )
+            sdf = spark.createDataFrame(pdf)
+            if ts_is_nanos:
+                sdf = sdf.withColumn("ts", F.col("ts").cast("long"))
+            d = tempfile.mkdtemp(prefix=f"hha_lojoin_tmp_{tag}_")
+            sdf.coalesce(1).write.mode("overwrite").parquet(d)
+            part = next(p for p in os.listdir(d) if p.endswith(".parquet"))
+            dst = os.path.join(src, f"9{i}_sentinel.parquet")
+            shutil.move(os.path.join(d, part), dst)
+            shutil.rmtree(d, ignore_errors=True)
+            if now is None:
+                now = os.stat(dst).st_mtime
+            os.utime(dst, (now + 100 * i, now + 100 * i))
+
+        drain(build_stream(1))
     finally:
         if prev_policy is None:
             spark.conf.unset(wm_key)
@@ -693,4 +765,9 @@ def events_stream_left_join_replay(spark: SparkSession, sf_dir: str) -> DataFram
             spark.conf.set(wm_key, prev_policy)
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
-    return res
+    # Materialize before the tmp output dir is cleaned at interpreter
+    # exit: the returned frame must not depend on out_dir's lifetime.
+    rows = spark.read.parquet(out_dir).collect()
+    schema = spark.read.parquet(out_dir).schema
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

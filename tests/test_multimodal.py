@@ -417,3 +417,46 @@ def test_resize_images_exact_block_means(spark):
     assert list(bytes(r.pixels)) == [15, 115, 215, 55]
     assert r.decode_error is None
     assert rows[2].decode_error is not None and rows[2].pixels is None
+
+
+def test_ahash_and_resize_agree_across_ppm_and_bmp(spark):
+    """The SAME image stored as P6 and as a standard bottom-up 24bpp BMP
+    must produce an IDENTICAL aHash (hamming 0) and identical resized
+    thumbnails — the bottom-up row flip in the shared parser is what
+    makes the cross-container near-dup claim true."""
+    import struct
+
+    from hadoop_hive_analysis_spark.operators.multimodal import (
+        image_ahash,
+        resize_images,
+    )
+
+    w, h = 16, 12
+    # vertical gradient (top dark, bottom bright) — orientation-sensitive
+    rows = [bytes([y * 255 // (h - 1)] * (w * 3)) for y in range(h)]
+    ppm = b"P6\n%d %d\n255\n" % (w, h) + b"".join(rows)
+    # bottom-up BMP: file stores the rows REVERSED
+    row_bytes = w * 3
+    stride = (row_bytes + 3) & ~3
+    data = b"".join(
+        r + b"\x00" * (stride - row_bytes) for r in reversed(rows)
+    )
+    data_off = 14 + 40
+    bmp = (
+        b"BM"
+        + struct.pack("<IHHI", data_off + len(data), 0, 0, data_off)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+        )
+        + data
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(ppm)), (2, bytearray(bmp))], "doc_id long, payload binary"
+    )
+    sigs = {r.doc_id: r.ahash for r in image_ahash(df).collect()}
+    assert sigs[1] == sigs[2]
+    thumbs = {r.doc_id: bytes(r.pixels) for r in resize_images(df, 4, 4).collect()}
+    assert thumbs[1] == thumbs[2]
+    # and the thumbnail is upright: top row darker than bottom row
+    t = thumbs[1]
+    assert sum(t[:4]) < sum(t[12:])

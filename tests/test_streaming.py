@@ -546,3 +546,98 @@ def test_left_outer_join_replay_flushes_tail_clicks(spark, sf_dir):
         .first()
     )
     assert tail.event_id in unmatched
+
+
+def test_left_outer_replay_encoding_agnostic(spark, tmp_path):
+    """The replay's heartbeat sentinels must be written in the SOURCE's
+    own timestamp encoding: over a TIMESTAMP(NANOS) events table the
+    stream schema is LongType, and a micros sentinel would either fail
+    the scan or read as ~1970 and never advance the watermark. Both
+    encodings must equal the batch LEFT JOIN oracle exactly."""
+    import duckdb
+
+    from tests.test_encoding import _write_encodings
+
+    from hadoop_hive_analysis_spark.operators.events import (
+        EVENTS_STREAM_LEFT_JOIN_SQL,
+    )
+    from hadoop_hive_analysis_spark.streaming.events import (
+        events_stream_left_join_replay,
+    )
+
+    dirs = _write_encodings(tmp_path)
+    # oracle over the micros dir (DuckDB reads TIMESTAMP(NANOS) too, but
+    # one canonical text suffices — the point is the REPLAY side)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{dirs['micros_ltz']}/events.parquet')"
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(EVENTS_STREAM_LEFT_JOIN_SQL).fetchall()
+    )
+    con.close()
+    for tag in ("nanos", "micros_ntz"):
+        got = sorted(
+            (r.click_id, r.purchase_id, r.user_id, r.secs_to_purchase)
+            for r in events_stream_left_join_replay(spark, dirs[tag]).collect()
+        )
+        assert got == want, tag
+
+
+def test_left_outer_replay_multifile_time_interleaved(spark, tmp_path):
+    """A directory-shaped events table whose part files interleave in
+    event time (a newer-mtime file holding OLDER timestamps) must still
+    replay bit-equal to the batch LEFT JOIN: drain 1 ingests every real
+    file in ONE microbatch, so no row can be declared late by a
+    watermark advanced from a sibling file."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from hadoop_hive_analysis_spark.operators.events import (
+        EVENTS_STREAM_LEFT_JOIN_SQL,
+    )
+    from hadoop_hive_analysis_spark.sources.catalog import load_table
+    from hadoop_hive_analysis_spark.streaming.events import (
+        events_stream_left_join_replay,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    d = tmp_path / "multi" / "events.parquet"
+    d.mkdir(parents=True)
+    # adversarial split: LATE half written first, EARLY half second
+    # (newer mtime) — a per-file drain would drop most of the early half
+    mid = ev.selectExpr(
+        "percentile_approx(cast(ts as long), 0.5)"
+    ).first()[0]
+    late = ev.filter(F.col("ts").cast("long") >= mid)
+    early = ev.filter(F.col("ts").cast("long") < mid)
+    for i, part in enumerate((late, early)):
+        tmp = tmp_path / f"part_{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        src = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        os.rename(str(tmp / src), str(d / f"part-{i:05d}.parquet"))
+        time.sleep(0.05)  # distinct mtimes, late file older
+    import duckdb
+
+    from hadoop_hive_analysis_spark.operators.events import (
+        EVENTS_STREAM_LEFT_JOIN_SQL,
+    )
+
+    df = events_stream_left_join_replay(spark, str(tmp_path / "multi"))
+    got = sorted(
+        (r.click_id, r.purchase_id, r.user_id, r.secs_to_purchase)
+        for r in df.collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/multi/events.parquet/*.parquet')"
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(EVENTS_STREAM_LEFT_JOIN_SQL).fetchall()
+    )
+    con.close()
+    assert got == want

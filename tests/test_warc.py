@@ -36,9 +36,14 @@ def archive_dir(tmp_path):
 
 
 def test_warc_reads_plain_and_gzip(spark, archive_dir):
+    import os
+
     rows = read_warc(spark, archive_dir).collect()
-    by_key = {(r.warc_file, r.record_no): r for r in rows}
+    # warc_file is the FULL path (same-named archives in different dirs
+    # must stay distinct); tests key on the basename for readability
+    by_key = {(os.path.basename(r.warc_file), r.record_no): r for r in rows}
     assert len(rows) == 3
+    assert all(os.path.isabs(r.warc_file) or "/" in r.warc_file for r in rows)
     r0 = by_key[("one.warc", 0)]
     assert (r0.warc_type, r0.target_uri) == ("response", "http://a.example/")
     assert bytes(r0.payload) == b"hello warc world"
@@ -55,10 +60,12 @@ def test_warc_quarantines_corruption(spark, tmp_path):
     )
     (tmp_path / "t.warc").write_bytes(good + truncated)
     (tmp_path / "junk.warc").write_bytes(b"NOT A WARC FILE AT ALL\r\n")
+    import os
+
     rows = read_warc(spark, str(tmp_path)).collect()
     by_file = {}
     for r in rows:
-        by_file.setdefault(r.warc_file, []).append(r)
+        by_file.setdefault(os.path.basename(r.warc_file), []).append(r)
     t = sorted(by_file["t.warc"], key=lambda r: (r.record_no, r.warc_type))
     assert t[0].error is None and bytes(t[0].payload) == b"fine"
     errs = [r for r in t if r.warc_type == "__error__"]
@@ -69,8 +76,10 @@ def test_warc_quarantines_corruption(spark, tmp_path):
 
 
 def test_warc_landing_projection_feeds_operator_stack(spark, archive_dir):
+    import os
+
     docs = warc_to_documents(spark, archive_dir)
-    got = {r.source: r for r in docs.collect()}
+    got = {os.path.basename(r.source): r for r in docs.collect()}
     assert set(got) == {"one.warc", "two.warc.gz"}
     assert got["one.warc"].text == "hello warc world"
     assert got["two.warc.gz"].n_chars == len("second doc body here")
@@ -104,3 +113,41 @@ def test_warc_html_to_token_stats_end_to_end(spark, tmp_path):
     ).collect()[0]
     assert row.text == "Title Words body text here"
     assert row.n_tokens == 5
+
+
+def test_warc_gzip_corruption_quarantines_not_fails(spark, tmp_path):
+    """A .warc.gz cut mid-stream (gzip-level corruption, not record-level)
+    must yield an archive-level __error__ row — never a task failure."""
+    import gzip
+    import os
+
+    good = _record("response", "http://ok.example/", b"good body")
+    full = gzip.compress(good * 3)
+    (tmp_path / "cut.warc.gz").write_bytes(full[: len(full) // 2])
+    (tmp_path / "ok.warc.gz").write_bytes(gzip.compress(good))
+    rows = read_warc(spark, str(tmp_path)).collect()
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(os.path.basename(r.warc_file), []).append(r)
+    assert any(
+        r.warc_type == "__error__" and "archive-level" in r.error
+        for r in by_file["cut.warc.gz"]
+    )
+    ok = by_file["ok.warc.gz"]
+    assert len(ok) == 1 and ok[0].error is None
+
+
+def test_warc_same_basename_distinct_doc_ids(spark, tmp_path):
+    """Same-named archives in different directories must keep distinct
+    identities: doc_ids hash the full path, so record 0 of each archive
+    cannot collide."""
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    rec1 = _record("response", "http://a/", b"first corpus doc")
+    rec2 = _record("response", "http://b/", b"second corpus doc")
+    (tmp_path / "a" / "data.warc").write_bytes(rec1)
+    (tmp_path / "b" / "data.warc").write_bytes(rec2)
+    docs = warc_to_documents(spark, str(tmp_path / "*" / "data.warc")).collect()
+    assert len(docs) == 2
+    assert len({r.doc_id for r in docs}) == 2
+    assert len({r.source for r in docs}) == 2
