@@ -326,3 +326,74 @@ def _semantic_collapse_sql() -> str:
 
 
 DEDUP_SEMANTIC_COLLAPSE_SQL = _semantic_collapse_sql()
+
+
+def dedup_ensemble_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENSEMBLE near-dup collapse: one dedup over the UNION of the
+    lexical and semantic duplicate graphs — the production shape
+    (SemDeDup-style pipelines run both detectors and collapse the joint
+    transitive closure, because lexical near-dups and paraphrase
+    near-dups overlap only partially; collapsing the graphs separately
+    can keep BOTH members of a mixed chain A~lex~B~sem~C).
+
+    The fixture's documents and embeddings tables are 1:1 on
+    doc_id == vec_id (the embedding OF the document), so MinHash-LSH
+    pairs over text and hyperplane-LSH pairs over vectors union into a
+    single edge set; large-star/small-star components then collapse the
+    joint clusters, and survivors are removed by broadcast LEFT ANTI —
+    the :func:`dedup_collapse` scale shape with a second (independent,
+    parallel) pair source.
+
+    Scale shape: both pair generators are banded candidate joins (never
+    all-pairs), the union is a cheap distinct over two tiny pair sets,
+    and everything downstream is bounded by dup-cluster cardinality.
+    """
+    from ..sources.catalog import load_table
+    from .dedup import dedup_minhash_lsh
+    from .similarity import dedup_embedding_lsh
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    lex = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    sem = dedup_embedding_lsh(spark, sf_dir).select(
+        F.col("va").alias("u"), F.col("vb").alias("v")
+    )
+    pairs = lex.unionByName(sem).distinct()
+    comp = connected_components_bigstar(pairs, "u", "v")
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    return d.join(F.broadcast(losers), "doc_id", "left_anti")
+
+
+def _ensemble_collapse_sql() -> str:
+    from .dedup import DEDUP_MINHASH_LSH_SQL
+    from .similarity import DEDUP_EMBEDDING_LSH_SQL
+
+    return f"""
+    WITH RECURSIVE lex AS ({DEDUP_MINHASH_LSH_SQL}),
+    sem AS ({DEDUP_EMBEDDING_LSH_SQL}),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM lex
+        UNION SELECT doc_b AS u, doc_a AS v FROM lex
+        UNION SELECT va AS u, vb AS v FROM sem
+        UNION SELECT vb AS u, va AS v FROM sem
+    ),
+    reach(u, v) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    losers AS (
+        SELECT u AS doc_id FROM reach GROUP BY u HAVING u <> min(v)
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+"""
+
+
+DEDUP_ENSEMBLE_COLLAPSE_SQL = _ensemble_collapse_sql()

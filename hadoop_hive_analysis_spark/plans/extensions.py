@@ -156,6 +156,18 @@ def build() -> dict:
         "broadcast anti join; surviving vectors)",
         driver=False,
     )
+    # Round-7 addition, staged for the r8 rotation: the production
+    # ensemble — ONE collapse over the union of the lexical (MinHash)
+    # and semantic (embedding-LSH) duplicate graphs, catching mixed
+    # chains (A~lex~B~sem~C) that per-detector collapses cannot.
+    q["dedup_ensemble_collapse"] = QuerySpec(
+        components.dedup_ensemble_collapse,
+        components.DEDUP_ENSEMBLE_COLLAPSE_SQL,
+        "ext: ensemble near-dup collapse (lexical + semantic pair "
+        "graphs unioned, joint star-contraction CC, broadcast anti "
+        "join)",
+        driver=False,
+    )
 
     # --- Pipeline composition ---
     from . import pipeline

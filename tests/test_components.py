@@ -120,3 +120,47 @@ def test_bigstar_converges_on_chain_where_min_label_cannot(spark):
     assert big == {i: 0 for i in range(n)}
     with pytest.raises(RuntimeError, match="did not converge"):
         _run(spark, connected_components, edges)
+
+
+def test_ensemble_collapse_joins_mixed_chain(spark, tmp_path):
+    """A mixed chain — A~lexical~B (identical text) and B~semantic~C
+    (identical embedding) — must collapse to ONE survivor under the
+    ensemble, while the lexical-only collapse keeps C and the
+    semantic-only collapse keeps A: the union graph is what makes the
+    transitive closure complete."""
+    import random
+
+    from hadoop_hive_analysis_spark.operators.components import (
+        dedup_collapse,
+        dedup_ensemble_collapse,
+    )
+
+    rng = random.Random(7)
+
+    def vec():
+        return [rng.uniform(-1, 1) for _ in range(64)]
+
+    t_dup = " ".join(f"tok{i}" for i in range(30))
+    t_c = " ".join(f"other{i}" for i in range(30))
+    t_d = " ".join(f"third{i}" for i in range(30))
+    docs = [
+        (1, t_dup, "en", "s", len(t_dup)),
+        (2, t_dup, "en", "s", len(t_dup)),
+        (3, t_c, "en", "s", len(t_c)),
+        (4, t_d, "en", "s", len(t_d)),
+    ]
+    e_shared = vec()
+    embs = [(1, vec(), 0), (2, e_shared, 0), (3, e_shared, 0), (4, vec(), 0)]
+    d = tmp_path / "ens"
+    d.mkdir()
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    spark.createDataFrame(
+        embs, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(str(d / "embeddings.parquet"))
+
+    ens = {r.doc_id for r in dedup_ensemble_collapse(spark, str(d)).collect()}
+    lex = {r.doc_id for r in dedup_collapse(spark, str(d)).collect()}
+    assert ens == {1, 4}  # {1,2,3} joint cluster -> survivor 1
+    assert lex == {1, 3, 4}  # lexical alone cannot see 2~3
