@@ -167,6 +167,9 @@ def build() -> dict:
         "graphs unioned, joint star-contraction CC, broadcast anti "
         "join)",
         driver=False,
+        bench=False,  # composes paths the pack already times
+        # individually (MinHash pairs, embedding-LSH pairs, the two
+        # collapses) — benching the union would double-count them
     )
 
     # --- Pipeline composition ---
