@@ -199,7 +199,7 @@ def make_pixel_parser():
             )
         return width, height, channels, pixels
 
-    def parse_bmp(payload: bytes):
+    def parse_bmp(payload: bytes, pixels: bool = True):
         if len(payload) < 54:
             raise ValueError("truncated BMP header")
         data_off = struct.unpack_from("<I", payload, 10)[0]
@@ -211,6 +211,19 @@ def make_pixel_parser():
         channels = bpp // 8
         n_rows, row_bytes = abs(height), width * channels
         stride = (row_bytes + 3) & ~3
+        if not pixels:
+            # stats mode: stream running sums, O(row) extra memory —
+            # never materialize the pixel buffer for a scalar mean
+            total = count = 0
+            for r in range(n_rows):
+                row = payload[
+                    data_off + r * stride : data_off + r * stride + row_bytes
+                ]
+                if len(row) != row_bytes:
+                    raise ValueError(f"truncated BMP: row {r} short")
+                total += sum(row)
+                count += row_bytes
+            return width, n_rows, channels, (total, count)
         rows = []
         for r in range(n_rows):
             row = payload[data_off + r * stride : data_off + r * stride + row_bytes]
@@ -221,14 +234,22 @@ def make_pixel_parser():
             rows.reverse()
         return width, n_rows, channels, b"".join(rows)
 
-    def parse(payload: bytes):
+    def parse(payload: bytes, pixels: bool = True):
+        """pixels=True -> (w, h, c, top-down pixel bytes) for the
+        spatially-sensitive consumers; pixels=False -> (w, h, c,
+        (total, count)) streaming sums for stats-only consumers (a
+        50 MP BMP never allocates its ~150 MB buffer for a mean)."""
         if payload[:2] == b"P6":
-            return parse_pnm(payload, 3)
-        if payload[:2] == b"P5":
-            return parse_pnm(payload, 1)
-        if payload[:2] == b"BM":
-            return parse_bmp(payload)
-        raise ValueError(f"unsupported image format (magic {payload[:2]!r})")
+            w, h, c, px = parse_pnm(payload, 3)
+        elif payload[:2] == b"P5":
+            w, h, c, px = parse_pnm(payload, 1)
+        elif payload[:2] == b"BM":
+            return parse_bmp(payload, pixels)
+        else:
+            raise ValueError(f"unsupported image format (magic {payload[:2]!r})")
+        if not pixels:
+            return w, h, c, (sum(px), len(px))
+        return w, h, c, px
 
     return parse
 
@@ -280,8 +301,8 @@ def decode_images(df: DataFrame) -> DataFrame:
                 out["doc_id"].append(doc_id)
                 out["n_bytes"].append(len(payload))
                 try:
-                    w, h, c, px = parse(payload)
-                    m = (sum(px) / len(px)) if px else 0.0
+                    w, h, c, (total, count) = parse(payload, pixels=False)
+                    m = (total / count) if count else 0.0
                     err = None
                 except (ValueError, IndexError, struct.error) as ex:
                     w = h = c = m = None

@@ -70,16 +70,21 @@ def make_warc_datasource():
         def read(self, partition):
             import gzip
             import io
+            import os
+            import zlib
 
             path = partition.path
-            # Full path, not basename: same-named archives in different
-            # directories (crawl/*/data.warc.gz) must stay distinct —
-            # downstream doc_ids hash this column.
-            base = path
+            # Canonical full path, not basename: same-named archives in
+            # different directories (crawl/*/data.warc.gz) must stay
+            # distinct, AND the identity must not depend on how the user
+            # spelled the source path (relative vs absolute, symlinked
+            # mounts) — downstream doc_ids hash this column, so identity
+            # instability would silently fork dedup state across reruns.
+            base = os.path.realpath(path)
             opener = gzip.open if path.endswith(".gz") else open
             try:
                 yield from self._records(opener, path, base, io)
-            except (EOFError, OSError, gzip.BadGzipFile) as ex:
+            except (EOFError, OSError, gzip.BadGzipFile, zlib.error) as ex:
                 # gzip-level corruption (member cut mid-stream, bad CRC)
                 # surfaces from ANY read call — quarantine the archive
                 # as an error row instead of failing the task: one bad

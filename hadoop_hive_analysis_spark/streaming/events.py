@@ -230,6 +230,26 @@ def streaming_daily_distinct_sketches(events: DataFrame) -> DataFrame:
     )
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _pinned_shuffle_partitions(spark: SparkSession, n: int):
+    """Pin spark.sql.shuffle.partitions for the duration of a streaming
+    drain (state-store count is fixed at checkpoint creation; see
+    :func:`run_available_now` for the measured rationale), restoring the
+    previous value after."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def run_available_now(
     sdf: DataFrame,
     query_name: str,
@@ -260,9 +280,7 @@ def run_available_now(
     volume should pass an explicit value sized to executor count.
     """
     spark = sdf.sparkSession
-    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
-    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    try:
+    with _pinned_shuffle_partitions(spark, shuffle_partitions):
         q = (
             sdf.writeStream.format("memory")
             .queryName(query_name)
@@ -272,11 +290,6 @@ def run_available_now(
             .start()
         )
         q.awaitTermination()
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.shuffle.partitions")
-        else:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(query_name)
 
 
@@ -690,9 +703,7 @@ def events_stream_left_join_replay(spark: SparkSession, sf_dir: str) -> DataFram
     atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
 
     def drain(sdf: DataFrame) -> None:
-        prev = spark.conf.get("spark.sql.shuffle.partitions", None)
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        try:
+        with _pinned_shuffle_partitions(spark, 8):
             q = (
                 sdf.writeStream.format("parquet")
                 .option("path", out_dir)
@@ -702,11 +713,6 @@ def events_stream_left_join_replay(spark: SparkSession, sf_dir: str) -> DataFram
                 .start()
             )
             q.awaitTermination()
-        finally:
-            if prev is None:
-                spark.conf.unset("spark.sql.shuffle.partitions")
-            else:
-                spark.conf.set("spark.sql.shuffle.partitions", prev)
 
     wm_key = "spark.sql.streaming.multipleWatermarkPolicy"
     prev_policy = spark.conf.get(wm_key, None)
@@ -766,8 +772,14 @@ def events_stream_left_join_replay(spark: SparkSession, sf_dir: str) -> DataFram
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     # Materialize before the tmp output dir is cleaned at interpreter
-    # exit: the returned frame must not depend on out_dir's lifetime.
-    rows = spark.read.parquet(out_dir).collect()
-    schema = spark.read.parquet(out_dir).schema
+    # exit. The schema is explicit: an all-empty drain commits no parquet
+    # data files, and schema inference over the bare sink metadata would
+    # throw where the operator should return an empty frame.
+    schema = (
+        "click_id long, purchase_id long, user_id long, "
+        "secs_to_purchase long"
+    )
+    out = spark.read.schema(schema).parquet(out_dir)
+    rows = out.collect()
     shutil.rmtree(out_dir, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return spark.createDataFrame(rows, out.schema)

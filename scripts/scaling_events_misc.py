@@ -102,14 +102,15 @@ def main() -> None:
                                 "rolling_stats",
                             )
                         },
+                        # cross-multiplied: correct for any base multiplier
                         "rolling_rows_exactly_linear": all(
-                            r["rolling_stats"]["rows"]
+                            r["rolling_stats"]["rows"] * a["multiplier"]
                             == a["rolling_stats"]["rows"] * r["multiplier"]
                             for r in results
                         ),
                         "ohlc_bars_constant_volume_linear": all(
                             r["ohlc_bars"]["rows"] == a["ohlc_bars"]["rows"]
-                            and r["ohlc_total_volume"]
+                            and r["ohlc_total_volume"] * a["multiplier"]
                             == a["ohlc_total_volume"] * r["multiplier"]
                             for r in results
                         ),

@@ -594,6 +594,7 @@ def test_left_outer_replay_multifile_time_interleaved(spark, tmp_path):
     import os
     import time
 
+    import duckdb
     from pyspark.sql import functions as F
 
     from hadoop_hive_analysis_spark.operators.events import (
@@ -620,12 +621,6 @@ def test_left_outer_replay_multifile_time_interleaved(spark, tmp_path):
         src = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
         os.rename(str(tmp / src), str(d / f"part-{i:05d}.parquet"))
         time.sleep(0.05)  # distinct mtimes, late file older
-    import duckdb
-
-    from hadoop_hive_analysis_spark.operators.events import (
-        EVENTS_STREAM_LEFT_JOIN_SQL,
-    )
-
     df = events_stream_left_join_replay(spark, str(tmp_path / "multi"))
     got = sorted(
         (r.click_id, r.purchase_id, r.user_id, r.secs_to_purchase)

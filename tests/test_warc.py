@@ -151,3 +151,21 @@ def test_warc_same_basename_distinct_doc_ids(spark, tmp_path):
     assert len(docs) == 2
     assert len({r.doc_id for r in docs}) == 2
     assert len({r.source for r in docs}) == 2
+
+
+def test_warc_gzip_bitflip_quarantines_not_fails(spark, tmp_path):
+    """Corrupted (not truncated) deflate bytes raise zlib.error, which
+    must also quarantine as an archive-level error row."""
+    import gzip
+    import os
+
+    good = _record("response", "http://ok.example/", b"x" * 64)
+    blob = bytearray(gzip.compress(good * 50))
+    for i in range(40, 60):  # flip bytes mid-stream, keep the header
+        blob[len(blob) // 2 + i] ^= 0xFF
+    (tmp_path / "flip.warc.gz").write_bytes(bytes(blob))
+    rows = read_warc(spark, str(tmp_path)).collect()
+    errs = [r for r in rows if r.warc_type == "__error__"]
+    assert errs and all(
+        "archive-level" in r.error for r in errs
+    ), [r.error for r in rows]
