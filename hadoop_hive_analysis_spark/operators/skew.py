@@ -192,3 +192,82 @@ EVENTS_SHARE_OF_KEY_SQL = f"""
                  CAST(round(value * 100, 0) AS BIGINT) AS cents
           FROM events)
 """
+
+
+SKEW_TOP_N = 10
+
+
+def events_key_skew_profile(spark, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew profiler — the diagnostic that decides WHEN the
+    salted rewrites and AQE skew thresholds in this module are worth
+    applying: per-key row counts for the TOP-N hottest user_id keys,
+    each with its exact share of the table in ppm (integer
+    cross-multiply, one final double division).
+
+    Scale shape: one partial-agg groupBy on the key (the profile costs
+    one shuffle of the key space), TakeOrderedAndProject for the top-N
+    — never a global sort; the total is a 1-row broadcast.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .orderBy(F.col("n").desc(), F.col("user_id").asc())
+        .limit(SKEW_TOP_N)
+        .select(
+            "user_id",
+            "n",
+            (F.col("n") * 1_000_000).cast("long").alias("__num"),
+            "total",
+        )
+        .select(
+            "user_id",
+            "n",
+            F.expr("__num div total").alias("share_ppm"),
+            (F.col("n").cast("double") / F.col("total")).alias("share"),
+        )
+    )
+
+
+EVENTS_KEY_SKEW_SQL = f"""
+    WITH c AS (
+        SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    ),
+    t AS (SELECT sum(n) AS total FROM c)
+    SELECT user_id, CAST(n AS BIGINT) AS n,
+           CAST((n * 1000000) // total AS BIGINT) AS share_ppm,
+           CAST(n AS DOUBLE) / total AS share
+    FROM c, t
+    ORDER BY n DESC, user_id ASC
+    LIMIT {SKEW_TOP_N}
+"""
+
+
+def events_null_profile(spark, sf_dir: str) -> DataFrame:
+    """Per-column completeness report — the data-quality scan a pipeline
+    runs before trusting a new drop: one pass, one row, exact null and
+    distinct-ish counts per column. All aggregates are conditional
+    sums/counts in a single partial-agg pass (no per-column jobs)."""
+    ev = load_table(spark, sf_dir, "events")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in ev.columns:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"nulls_{c}")
+        )
+    return ev.agg(*aggs)
+
+
+def _null_profile_sql() -> str:
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    parts = ", ".join(
+        f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS nulls_{c}"
+        for c in cols
+    )
+    return f"SELECT count(*) AS n_rows, {parts} FROM events"
+
+
+EVENTS_NULL_PROFILE_SQL = _null_profile_sql()

@@ -542,6 +542,23 @@ def build() -> dict:
         "groupBy+broadcast join (4.8x vs plain window at 5M rows; the "
         "window-skew case with no built-in mitigation)",
     )
+    # Round-7 additions, staged for the r8 rotation: the ops-side
+    # diagnostics that decide when the skew rewrites apply (hot-key
+    # profile) and whether a new drop is trustworthy (null profile).
+    q["events_key_skew_profile"] = QuerySpec(
+        skew.events_key_skew_profile,
+        skew.EVENTS_KEY_SKEW_SQL,
+        "ext: hot-key skew profile (partial-agg key counts + "
+        "TakeOrderedAndProject top-N, exact ppm shares)",
+        driver=False,
+    )
+    q["events_null_profile"] = QuerySpec(
+        skew.events_null_profile,
+        skew.EVENTS_NULL_PROFILE_SQL,
+        "ext: per-column completeness report (single-pass conditional "
+        "sums, one row)",
+        driver=False,
+    )
     q["daily_distinct_users_hll"] = QuerySpec(
         sketches.daily_distinct_users_hll,
         sketches.DAILY_DISTINCT_USERS_HLL_SQL,

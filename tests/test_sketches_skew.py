@@ -237,3 +237,31 @@ def test_mg_closure_matches_module(spark):
     # the planted hitter must survive both paths
     assert "hh_x" in counts
     assert "hh_x" in {r.tok for r in got}
+
+
+def test_key_skew_profile_planted_hot_key(spark, tmp_path):
+    """A planted 60% hot key must come out rank 1 with the exact ppm
+    share; shares are a downward-rounded integer div of the true ratio."""
+    import datetime
+
+    import pandas as pd
+
+    from hadoop_hive_analysis_spark.operators.skew import (
+        events_key_skew_profile,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(i, t0, 7, "A", 0.0, "{}") for i in range(60)] + [
+        (100 + i, t0, i % 4, "A", 0.0, "{}") for i in range(40)
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    prof = events_key_skew_profile(spark, str(tmp_path)).collect()
+    assert prof[0].user_id == 7
+    assert prof[0].n == 60
+    assert prof[0].share_ppm == 600_000
+    assert abs(prof[0].share - 0.6) < 1e-12
