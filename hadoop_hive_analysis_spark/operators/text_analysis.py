@@ -842,3 +842,78 @@ VOCAB_COVERAGE_SQL = rf"""
            (cum - c) * 100 < {VOCAB_COVERAGE_PCT} * n AS in_vocab
     FROM ranked
 """
+
+
+# ------------------------------------------- quality ECDF (percentile)
+
+ECDF_BINS = 1000
+
+
+def doc_quality_ecdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality PERCENTILE via a histogram ECDF — the
+    curriculum/threshold op ("drop the bottom 20%", "order by quality
+    decile") done scale-correctly: a naive ``percent_rank() OVER
+    (ORDER BY quality)`` is an unpartitioned global sort (one task owns
+    the corpus); the histogram form needs one tiny bin-count shuffle,
+    a cumulative over ECDF_BINS rows, and a broadcast join back.
+
+    ``ecdf_lo`` is the exact fraction of the corpus STRICTLY below the
+    document's bin (the resolution is the bin width — 1/1000 of the
+    score range — which is what a threshold decision needs; exact
+    per-document rank would be the global sort this operator exists to
+    avoid). Bin arithmetic: the quality score is bit-identical across
+    engines (existing oracle), and floor(q * BINS) on the same IEEE
+    double yields the same bin everywhere.
+    """
+    scored = text_quality_score(spark, sf_dir).select(
+        "doc_id",
+        "quality",
+        F.least(
+            F.floor(F.col("quality") * ECDF_BINS).cast("long"),
+            F.lit(ECDF_BINS - 1),
+        ).alias("bin"),
+    )
+    hist = scored.groupBy("bin").agg(F.count("*").alias("n_bin"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    # the window sorts ECDF_BINS rows at most — bounded by design
+    cum = hist.withColumn("cum", F.sum("n_bin").over(w))
+    total = hist.agg(F.sum("n_bin").alias("n_total"))
+    return (
+        scored.join(F.broadcast(cum), "bin")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "quality",
+            "bin",
+            F.col("n_bin").cast("long").alias("n_bin"),
+            ((F.col("cum") - F.col("n_bin")).cast("double") / F.col("n_total")).alias(
+                "ecdf_lo"
+            ),
+            (F.col("cum").cast("double") / F.col("n_total")).alias("ecdf_hi"),
+        )
+    )
+
+
+DOC_QUALITY_ECDF_SQL = f"""
+    WITH scored AS (
+        SELECT doc_id, quality,
+               least(CAST(floor(quality * {ECDF_BINS}) AS BIGINT),
+                     {ECDF_BINS - 1}) AS bin
+        FROM ({TEXT_QUALITY_SQL})
+    ),
+    hist AS (SELECT bin, count(*) AS n_bin FROM scored GROUP BY bin),
+    cum AS (
+        SELECT bin, n_bin,
+               sum(n_bin) OVER (
+                   ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW
+               ) AS cum
+        FROM hist
+    ),
+    t AS (SELECT sum(n_bin) AS n_total FROM hist)
+    SELECT s.doc_id, s.quality, s.bin,
+           CAST(c.n_bin AS BIGINT) AS n_bin,
+           CAST(c.cum - c.n_bin AS DOUBLE) / t.n_total AS ecdf_lo,
+           CAST(c.cum AS DOUBLE) / t.n_total AS ecdf_hi
+    FROM scored s JOIN cum c USING (bin), t
+"""

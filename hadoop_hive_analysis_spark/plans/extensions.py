@@ -276,6 +276,17 @@ def build() -> dict:
         "shuffle; rank/cumsum over vocab only)",
         driver=False,
     )
+    # Round-7 addition, staged for the r8 rotation: percentile scoring
+    # WITHOUT the global sort — histogram ECDF (bin counts + a bounded
+    # 1000-row cumulative + broadcast join back), the curriculum/
+    # threshold op done scale-correctly.
+    q["doc_quality_ecdf"] = QuerySpec(
+        text_analysis.doc_quality_ecdf,
+        text_analysis.DOC_QUALITY_ECDF_SQL,
+        "ext: quality percentile via histogram ECDF (no corpus sort; "
+        "cumulative over bounded bins, broadcast join back)",
+        driver=False,
+    )
     q["doc_bigram_lm_score"] = QuerySpec(
         text_analysis.doc_bigram_lm_score,
         text_analysis.DOC_BIGRAM_LM_SQL,

@@ -596,3 +596,25 @@ def test_doc_html_extract_matches_oracle(spark, sf_dir):
     assert_matches_oracle(
         doc_html_extract(spark, sf_dir), DOC_HTML_EXTRACT_SQL, sf_dir
     )
+
+
+def test_quality_ecdf_monotone_and_consistent(spark, sf_dir):
+    """ECDF invariants over the real fixture: bounds in [0,1],
+    ecdf_lo < ecdf_hi, monotone in quality across bins, per-bin mass
+    equals bin population / corpus, and the top bin's ecdf_hi is 1."""
+    from hadoop_hive_analysis_spark.operators.text_analysis import (
+        doc_quality_ecdf,
+    )
+
+    rows = doc_quality_ecdf(spark, sf_dir).collect()
+    n = len(rows)
+    by_bin = {}
+    for r in rows:
+        assert 0.0 <= r.ecdf_lo < r.ecdf_hi <= 1.0
+        assert abs((r.ecdf_hi - r.ecdf_lo) - r.n_bin / n) < 1e-12
+        by_bin.setdefault(r.bin, r)
+    bins = sorted(by_bin)
+    for a, b in zip(bins, bins[1:]):
+        assert by_bin[a].ecdf_hi <= by_bin[b].ecdf_lo + 1e-12
+    assert abs(by_bin[bins[-1]].ecdf_hi - 1.0) < 1e-12
+    assert sum(r.n_bin for r in by_bin.values()) == n
