@@ -917,3 +917,84 @@ DOC_QUALITY_ECDF_SQL = f"""
            CAST(c.cum AS DOUBLE) / t.n_total AS ecdf_hi
     FROM scored s JOIN cum c USING (bin), t
 """
+
+
+def doc_tokenize_with_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the coverage vocabulary (:func:`vocab_coverage_build`) to
+    the corpus — the encode step after tokenizer training: per document,
+    in-vocab vs OOV instance counts and an order-sensitive hash of the
+    encoded id sequence (OOV -> id 0 = the UNK convention), so two docs
+    encode identically iff their id sequences match.
+
+    Scale shape: the vocabulary (with its ranks-as-ids) broadcasts —
+    tokenizer vocabularies are bounded by design — so the encode pass is
+    one corpus scan + broadcast join on token, then a per-doc
+    aggregation. The sequence hash XORs the portable h64 of
+    "pos:id" per instance (position baked into each term, O(1) per
+    token): order-sensitive in the SEQUENCE yet aggregation-order
+    independent and overflow-free.
+    """
+    vocab = vocab_coverage_build(spark, sf_dir).filter(F.col("in_vocab")).select(
+        "tok", F.col("rank").alias("tok_id")
+    )
+    ex = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
+        )
+    )
+    enc = ex.join(F.broadcast(vocab), "tok", "left").select(
+        "doc_id",
+        "pos",
+        F.coalesce("tok_id", F.lit(0)).alias("tok_id"),  # 0 = UNK
+    )
+    term = h64(
+        F.concat_ws(":", F.col("pos").cast("string"), F.col("tok_id").cast("string"))
+    )
+    return (
+        enc.withColumn("term", term)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("tok_id") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_in_vocab"),
+            F.sum(F.when(F.col("tok_id") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            F.expr("bit_xor(term)").cast("long").alias("seq_hash"),
+        )
+    )
+
+
+def _tokenize_vocab_sql() -> str:
+    h = h64_sql("CAST(pos AS VARCHAR) || ':' || CAST(tok_id AS VARCHAR)")
+    return rf"""
+    WITH v AS (
+        SELECT tok, rank AS tok_id
+        FROM ({VOCAB_COVERAGE_SQL}) WHERE in_vocab
+    ),
+    ex AS (
+        SELECT doc_id,
+               unnest(string_split_regex(text, '\s+')) AS tok,
+               generate_subscripts(string_split_regex(text, '\s+'), 1) - 1
+                   AS pos
+        FROM documents
+    ),
+    enc AS (
+        SELECT ex.doc_id, ex.pos, coalesce(v.tok_id, 0) AS tok_id
+        FROM ex LEFT JOIN v USING (tok)
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(CASE WHEN tok_id > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_in_vocab,
+           CAST(sum(CASE WHEN tok_id = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           CAST(bit_xor({h}) AS BIGINT) AS seq_hash
+    FROM enc
+    GROUP BY doc_id
+"""
+
+
+DOC_TOKENIZE_VOCAB_SQL = _tokenize_vocab_sql()

@@ -280,6 +280,16 @@ def build() -> dict:
     # WITHOUT the global sort — histogram ECDF (bin counts + a bounded
     # 1000-row cumulative + broadcast join back), the curriculum/
     # threshold op done scale-correctly.
+    # Round-7 addition, staged for the r8 rotation: the ENCODE step
+    # after vocabulary training — broadcast-vocab tokenization with
+    # UNK/OOV accounting and an order-sensitive sequence hash.
+    q["doc_tokenize_with_vocab"] = QuerySpec(
+        text_analysis.doc_tokenize_with_vocab,
+        text_analysis.DOC_TOKENIZE_VOCAB_SQL,
+        "ext: vocabulary application / encoding (broadcast vocab join, "
+        "OOV accounting, positional-xor sequence hash)",
+        driver=False,
+    )
     q["doc_quality_ecdf"] = QuerySpec(
         text_analysis.doc_quality_ecdf,
         text_analysis.DOC_QUALITY_ECDF_SQL,

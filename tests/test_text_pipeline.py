@@ -618,3 +618,30 @@ def test_quality_ecdf_monotone_and_consistent(spark, sf_dir):
         assert by_bin[a].ecdf_hi <= by_bin[b].ecdf_lo + 1e-12
     assert abs(by_bin[bins[-1]].ecdf_hi - 1.0) < 1e-12
     assert sum(r.n_bin for r in by_bin.values()) == n
+
+
+def test_tokenize_with_vocab_encode_semantics(spark, tmp_path):
+    """Constructed corpus: common tokens encode in-vocab, a rare token
+    falls to UNK (the 95% coverage cut), identical docs share seq_hash,
+    and reordering tokens changes it (order sensitivity)."""
+    from hadoop_hive_analysis_spark.operators.text_analysis import (
+        doc_tokenize_with_vocab,
+    )
+
+    common = " ".join(["aa bb cc dd"] * 10)
+    rows = [
+        (1, common),
+        (2, common),                    # identical -> same seq_hash
+        (3, " ".join(["bb aa cc dd"] * 10)),  # reordered -> different hash
+        (4, common + " zz"),            # zz appears once -> OOV under 95%
+    ]
+    d = tmp_path / "tok"
+    d.mkdir()
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+        str(d / "documents.parquet")
+    )
+    out = {r.doc_id: r for r in doc_tokenize_with_vocab(spark, str(d)).collect()}
+    assert out[1].n_oov == 0
+    assert out[1].seq_hash == out[2].seq_hash
+    assert out[1].seq_hash != out[3].seq_hash
+    assert out[4].n_oov == 1 and out[4].n_in_vocab == out[1].n_tokens
