@@ -213,7 +213,10 @@ def events_key_skew_profile(spark, sf_dir: str) -> DataFrame:
     total = counts.agg(F.sum("n").alias("total"))
     return (
         counts.crossJoin(F.broadcast(total))
-        .orderBy(F.col("n").desc(), F.col("user_id").asc())
+        # asc_nulls_last matches the oracle: DuckDB ASC sorts NULLs
+        # last, Spark asc sorts them first — a NULL key tying at the
+        # top-N cut would otherwise give the engines different row sets
+        .orderBy(F.col("n").desc(), F.col("user_id").asc_nulls_last())
         .limit(SKEW_TOP_N)
         .select(
             "user_id",
@@ -239,19 +242,23 @@ EVENTS_KEY_SKEW_SQL = f"""
            CAST((n * 1000000) // total AS BIGINT) AS share_ppm,
            CAST(n AS DOUBLE) / total AS share
     FROM c, t
-    ORDER BY n DESC, user_id ASC
+    ORDER BY n DESC, user_id ASC NULLS LAST
     LIMIT {SKEW_TOP_N}
 """
 
 
+_EVENTS_COLUMNS = ("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
 def events_null_profile(spark, sf_dir: str) -> DataFrame:
     """Per-column completeness report — the data-quality scan a pipeline
-    runs before trusting a new drop: one pass, one row, exact null and
-    distinct-ish counts per column. All aggregates are conditional
-    sums/counts in a single partial-agg pass (no per-column jobs)."""
+    runs before trusting a new drop: one pass, one row, exact NULL
+    counts per column. All aggregates are conditional sums in a single
+    partial-agg pass (no per-column jobs). Both this and the oracle SQL
+    derive their column set from _EVENTS_COLUMNS so they cannot drift."""
     ev = load_table(spark, sf_dir, "events")
     aggs = [F.count("*").alias("n_rows")]
-    for c in ev.columns:
+    for c in _EVENTS_COLUMNS:
         aggs.append(
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
             .cast("long")
@@ -261,7 +268,7 @@ def events_null_profile(spark, sf_dir: str) -> DataFrame:
 
 
 def _null_profile_sql() -> str:
-    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    cols = _EVENTS_COLUMNS
     parts = ", ".join(
         f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
         f"AS nulls_{c}"

@@ -865,13 +865,23 @@ def doc_quality_ecdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines (existing oracle), and floor(q * BINS) on the same IEEE
     double yields the same bin everywhere.
     """
-    scored = text_quality_score(spark, sf_dir).select(
-        "doc_id",
-        "quality",
-        F.least(
-            F.floor(F.col("quality") * ECDF_BINS).cast("long"),
-            F.lit(ECDF_BINS - 1),
-        ).alias("bin"),
+    # NULL-quality docs (empty text -> division by zero in the score)
+    # are EXCLUDED: least() skips NULLs in both engines, so an unfiltered
+    # NULL would silently clamp into the TOP bin and rank garbage as
+    # highest-quality. The scored frame is materialized once (it feeds
+    # the probe side, the histogram, and the total).
+    scored = (
+        text_quality_score(spark, sf_dir)
+        .filter(F.col("quality").isNotNull())
+        .select(
+            "doc_id",
+            "quality",
+            F.least(
+                F.floor(F.col("quality") * ECDF_BINS).cast("long"),
+                F.lit(ECDF_BINS - 1),
+            ).alias("bin"),
+        )
+        .localCheckpoint(eager=False)
     )
     hist = scored.groupBy("bin").agg(F.count("*").alias("n_bin"))
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
@@ -900,6 +910,7 @@ DOC_QUALITY_ECDF_SQL = f"""
                least(CAST(floor(quality * {ECDF_BINS}) AS BIGINT),
                      {ECDF_BINS - 1}) AS bin
         FROM ({TEXT_QUALITY_SQL})
+        WHERE quality IS NOT NULL
     ),
     hist AS (SELECT bin, count(*) AS n_bin FROM scored GROUP BY bin),
     cum AS (

@@ -262,9 +262,6 @@ def build() -> dict:
         "ext: corpus-statistics quality filter (CCNet-perplexity "
         "stand-in: exact mean token frequency + rare-token ratio)",
     )
-    # Round-7 addition, staged for the r8 rotation: the SECOND-ORDER
-    # rung of the corpus-LM quality ladder (unigram rarity above) —
-    # per-doc mean bigram conditional probability in exact ppm.
     # Round-7 addition, staged for the r8 rotation: the tokenizer-
     # training data op — smallest frequency-ranked vocabulary covering
     # the target share of corpus token instances, with exact integer
@@ -276,10 +273,6 @@ def build() -> dict:
         "shuffle; rank/cumsum over vocab only)",
         driver=False,
     )
-    # Round-7 addition, staged for the r8 rotation: percentile scoring
-    # WITHOUT the global sort — histogram ECDF (bin counts + a bounded
-    # 1000-row cumulative + broadcast join back), the curriculum/
-    # threshold op done scale-correctly.
     # Round-7 addition, staged for the r8 rotation: the ENCODE step
     # after vocabulary training — broadcast-vocab tokenization with
     # UNK/OOV accounting and an order-sensitive sequence hash.
@@ -290,6 +283,10 @@ def build() -> dict:
         "OOV accounting, positional-xor sequence hash)",
         driver=False,
     )
+    # Round-7 addition, staged for the r8 rotation: percentile scoring
+    # WITHOUT the global sort — histogram ECDF (bin counts + a bounded
+    # 1000-row cumulative + broadcast join back), the curriculum/
+    # threshold op done scale-correctly.
     q["doc_quality_ecdf"] = QuerySpec(
         text_analysis.doc_quality_ecdf,
         text_analysis.DOC_QUALITY_ECDF_SQL,
@@ -297,6 +294,9 @@ def build() -> dict:
         "cumulative over bounded bins, broadcast join back)",
         driver=False,
     )
+    # Round-7 addition, staged for the r8 rotation: the SECOND-ORDER
+    # rung of the corpus-LM quality ladder (unigram rarity above) —
+    # per-doc mean bigram conditional probability in exact ppm.
     q["doc_bigram_lm_score"] = QuerySpec(
         text_analysis.doc_bigram_lm_score,
         text_analysis.DOC_BIGRAM_LM_SQL,

@@ -65,22 +65,23 @@ def make_warc_datasource():
                 )
             else:
                 files = sorted(glob.glob(path)) or [path]
-            return [WarcFilePartition(f) for f in files]
+            # Canonicalize ONCE, on the driver: identity must not depend
+            # on how the user spelled the path, and resolving on the
+            # executors instead would make it depend on each worker's
+            # symlink/mount topology (automounted corpora).
+            return [WarcFilePartition(os.path.realpath(f)) for f in files]
 
         def read(self, partition):
             import gzip
             import io
-            import os
             import zlib
 
             path = partition.path
-            # Canonical full path, not basename: same-named archives in
-            # different directories (crawl/*/data.warc.gz) must stay
-            # distinct, AND the identity must not depend on how the user
-            # spelled the source path (relative vs absolute, symlinked
-            # mounts) — downstream doc_ids hash this column, so identity
-            # instability would silently fork dedup state across reruns.
-            base = os.path.realpath(path)
+            # partition.path is already driver-canonicalized (see
+            # partitions()); executors use it VERBATIM — a per-worker
+            # realpath here would make doc identity depend on each
+            # host's symlink/mount topology (automounted corpora).
+            base = path
             opener = gzip.open if path.endswith(".gz") else open
             try:
                 yield from self._records(opener, path, base, io)

@@ -718,7 +718,12 @@ def events_stream_left_join_replay(spark: SparkSession, sf_dir: str) -> DataFram
     prev_policy = spark.conf.get(wm_key, None)
     spark.conf.set(wm_key, "max")
     try:
-        drain(build_stream(len(links)))
+        first = build_stream(len(links))
+        # capture the output contract NOW — the staged source is deleted
+        # before the final read, and the empty-drain case needs an
+        # explicit schema (no data files to infer from)
+        out_schema = first.schema
+        drain(first)
 
         # heartbeats, written AFTER drain 1 committed its offsets
         mx = load_table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
@@ -772,14 +777,11 @@ def events_stream_left_join_replay(spark: SparkSession, sf_dir: str) -> DataFram
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     # Materialize before the tmp output dir is cleaned at interpreter
-    # exit. The schema is explicit: an all-empty drain commits no parquet
-    # data files, and schema inference over the bare sink metadata would
-    # throw where the operator should return an empty frame.
-    schema = (
-        "click_id long, purchase_id long, user_id long, "
-        "secs_to_purchase long"
-    )
-    out = spark.read.schema(schema).parquet(out_dir)
+    # exit. The schema was captured from the streaming plan itself (an
+    # all-empty drain commits no parquet data files, so inference would
+    # throw) — derived, not restated, so renaming an output column
+    # cannot silently null it at this read.
+    out = spark.read.schema(out_schema).parquet(out_dir)
     rows = out.collect()
     shutil.rmtree(out_dir, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)

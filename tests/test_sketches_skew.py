@@ -265,3 +265,43 @@ def test_key_skew_profile_planted_hot_key(spark, tmp_path):
     assert prof[0].n == 60
     assert prof[0].share_ppm == 600_000
     assert abs(prof[0].share - 0.6) < 1e-12
+
+
+def test_key_skew_profile_null_key_tiebreak(spark, tmp_path):
+    """A NULL user_id group must profile like any key and sort LAST on
+    the tie-break in both engines (Spark asc_nulls_last, DuckDB ASC
+    NULLS LAST) — the divergent-default case that would desync the
+    top-N membership."""
+    import datetime
+
+    import pandas as pd
+
+    import duckdb
+
+    from hadoop_hive_analysis_spark.operators.skew import (
+        EVENTS_KEY_SKEW_SQL,
+        events_key_skew_profile,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(i, t0, None, "A", 0.0, "{}") for i in range(5)] + [
+        (10 + i, t0, k, "A", 0.0, "{}") for k in (1, 2, 3) for i in range(5)
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["user_id"] = pdf["user_id"].astype("Int64")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    prof = events_key_skew_profile(spark, str(tmp_path)).collect()
+    # all four groups tie at n=5: NULL must come LAST
+    assert [r.user_id for r in prof] == [1, 2, 3, None]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    want = [r[0] for r in con.execute(EVENTS_KEY_SKEW_SQL).fetchall()]
+    con.close()
+    assert want == [1, 2, 3, None]

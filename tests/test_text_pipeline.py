@@ -645,3 +645,24 @@ def test_tokenize_with_vocab_encode_semantics(spark, tmp_path):
     assert out[1].seq_hash == out[2].seq_hash
     assert out[1].seq_hash != out[3].seq_hash
     assert out[4].n_oov == 1 and out[4].n_in_vocab == out[1].n_tokens
+
+
+def test_quality_ecdf_excludes_null_quality_docs(spark, tmp_path):
+    """An empty-text document (NULL quality from the zero-length
+    division) must be EXCLUDED from the ECDF — not clamped into the top
+    bin as least() would silently do — and must not inflate any bin."""
+    from hadoop_hive_analysis_spark.operators.text_analysis import (
+        doc_quality_ecdf,
+    )
+
+    rows = [(1, "a b c d e"), (2, "f g h i j"), (3, "")]
+    d = tmp_path / "nullq"
+    d.mkdir()
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+        str(d / "documents.parquet")
+    )
+    out = doc_quality_ecdf(spark, str(d)).collect()
+    assert {r.doc_id for r in out} == {1, 2}
+    for r in out:
+        assert abs(r.ecdf_hi - 1.0) < 1e-12  # both real docs share a bin
+        assert r.n_bin == 2
