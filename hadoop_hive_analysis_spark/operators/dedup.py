@@ -905,3 +905,54 @@ def _decontaminate_sql() -> str:
 
 
 DECONTAMINATE_SPANS_SQL = _decontaminate_sql()
+
+
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-monitoring slice of exact dedup: per SOURCE, document
+    count, distinct content digests, duplicate count, and the duplicate
+    rate — the per-feed health metric a crawl pipeline alarms on (a
+    feed whose dup rate jumps is re-crawling or looping).
+
+    Within-source semantics: a document is a duplicate if its digest
+    already occurs in the SAME source (cross-source duplication is the
+    ensemble collapse's business). One digest aggregation per source —
+    a single partial-agg shuffle on (source, digest), then a tiny
+    per-source rollup; exact integer rate in ppm plus the double.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.md5("text").alias("digest")
+    )
+    per = d.groupBy("source", "digest").agg(F.count("*").alias("k"))
+    return (
+        per.groupBy("source")
+        .agg(
+            F.sum("k").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_distinct"),
+            (F.sum("k") - F.count("*")).cast("long").alias("n_dups"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_distinct",
+            "n_dups",
+            F.expr("n_dups * 1000000 div n_docs").alias("dup_ppm"),
+            (F.col("n_dups").cast("double") / F.col("n_docs")).alias("dup_rate"),
+        )
+    )
+
+
+DEDUP_RATE_BY_SOURCE_SQL = """
+    WITH per AS (
+        SELECT source, md5(text) AS digest, count(*) AS k
+        FROM documents GROUP BY source, md5(text)
+    )
+    SELECT source,
+           CAST(sum(k) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(sum(k) - count(*) AS BIGINT) AS n_dups,
+           CAST(((sum(k) - count(*)) * 1000000) // sum(k) AS BIGINT)
+               AS dup_ppm,
+           CAST(sum(k) - count(*) AS DOUBLE) / sum(k) AS dup_rate
+    FROM per
+    GROUP BY source
+"""

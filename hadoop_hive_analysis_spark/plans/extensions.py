@@ -102,6 +102,16 @@ def build() -> dict:
         "deleted via merged coverage intervals, scrubbed text hashed; "
         "corpus text never shuffles)",
     )
+    # Round-7 addition, staged for the r8 rotation: dedup observability
+    # sliced by feed — the per-source duplicate-rate alarm (a feed whose
+    # rate jumps is re-crawling or looping).
+    q["dedup_rate_by_source"] = QuerySpec(
+        dedup.dedup_rate_by_source,
+        dedup.DEDUP_RATE_BY_SOURCE_SQL,
+        "ext: per-source exact-duplicate rate (one (source, digest) "
+        "partial-agg shuffle, exact ppm rate)",
+        driver=False,
+    )
     q["dedup_embedding_lsh"] = QuerySpec(
         similarity.dedup_embedding_lsh,
         similarity.DEDUP_EMBEDDING_LSH_SQL,

@@ -666,3 +666,31 @@ def test_quality_ecdf_excludes_null_quality_docs(spark, tmp_path):
     for r in out:
         assert abs(r.ecdf_hi - 1.0) < 1e-12  # both real docs share a bin
         assert r.n_bin == 2
+
+
+def test_dedup_rate_by_source_planted(spark, tmp_path):
+    """Planted per-source duplication: a looping feed (3 copies of one
+    doc among 4) reports rate 0.5; a clean feed reports 0; duplication
+    ACROSS sources does not count (that is the collapse's business)."""
+    from hadoop_hive_analysis_spark.operators.dedup import dedup_rate_by_source
+
+    rows = [
+        (1, "same text body", "en", "loopy", 14),
+        (2, "same text body", "en", "loopy", 14),
+        (3, "same text body", "en", "loopy", 14),
+        (4, "unique one", "en", "loopy", 10),
+        (5, "clean a", "en", "clean", 7),
+        (6, "clean b", "en", "clean", 7),
+        (7, "same text body", "en", "clean", 14),  # cross-source: no dup
+    ]
+    d = tmp_path / "dupsrc"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    out = {r.source: r for r in dedup_rate_by_source(spark, str(d)).collect()}
+    lo = out["loopy"]
+    assert (lo.n_docs, lo.n_distinct, lo.n_dups, lo.dup_ppm) == (4, 2, 2, 500_000)
+    assert lo.dup_rate == 0.5
+    cl = out["clean"]
+    assert (cl.n_docs, cl.n_dups, cl.dup_rate) == (3, 0, 0.0)
