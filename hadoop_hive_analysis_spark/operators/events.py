@@ -1003,3 +1003,54 @@ EVENTS_HISTOGRAM_SQL = f"""
     FROM b
     GROUP BY event_type, bin
 """
+
+
+CHURN_DAYS = 7  # inactive for >= this many days before corpus end
+
+
+def events_churn_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn screen over the change log: per user, last-seen epoch
+    second, days inactive relative to the corpus' maximum event time,
+    and the churn flag (inactive >= CHURN_DAYS) — the retention
+    report's forward-looking sibling (cohorts say who came back; this
+    says who left).
+
+    Scale shape: the per-user last-seen is the same partial-agg max
+    the CDC compaction uses (shuffle carries keys, not history); the
+    corpus max is ONE row computed by a parallel aggregate and
+    broadcast. Day arithmetic is exact integer (epoch DIV 86400).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("long").alias("ts_epoch")
+    )
+    last = ev.groupBy("user_id").agg(F.max("ts_epoch").alias("last_epoch"))
+    corpus_max = ev.agg(F.max("ts_epoch").alias("max_epoch"))
+    return (
+        last.crossJoin(F.broadcast(corpus_max))
+        .select(
+            "user_id",
+            "last_epoch",
+            F.expr("(max_epoch div 86400) - (last_epoch div 86400)")
+            .cast("long")
+            .alias("days_inactive"),
+        )
+        .withColumn("churned", F.col("days_inactive") >= CHURN_DAYS)
+    )
+
+
+EVENTS_CHURN_SQL = f"""
+    WITH ev AS (
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+        FROM events
+    ),
+    last AS (
+        SELECT user_id, max(ts_epoch) AS last_epoch FROM ev GROUP BY user_id
+    ),
+    m AS (SELECT max(ts_epoch) AS max_epoch FROM ev)
+    SELECT user_id, last_epoch,
+           CAST((max_epoch // 86400) - (last_epoch // 86400) AS BIGINT)
+               AS days_inactive,
+           ((max_epoch // 86400) - (last_epoch // 86400)) >= {CHURN_DAYS}
+               AS churned
+    FROM last, m
+"""

@@ -869,6 +869,16 @@ def build() -> dict:
         "window pass, O(n) per key via running add/evict)",
         driver=False,
     )
+    # Round-7 addition, staged for the r8 rotation: the retention
+    # matrix's forward-looking sibling — who LEFT (last-seen via the
+    # same partial-agg max the CDC compaction uses).
+    q["events_churn_report"] = QuerySpec(
+        events.events_churn_report,
+        events.EVENTS_CHURN_SQL,
+        "ext: churn screen (per-user last-seen + days-inactive vs the "
+        "corpus clock, exact epoch-day arithmetic)",
+        driver=False,
+    )
     q["events_latest_state"] = QuerySpec(
         events.events_latest_state,
         events.EVENTS_LATEST_STATE_SQL,

@@ -269,3 +269,32 @@ def test_histogram_edges_and_clamps(spark, tmp_path):
     assert rows[HIST_NBINS - 1].n == 1
     assert (rows[1].lo, rows[1].hi) == (25.0, 50.0)
     assert sum(r.n for r in rows.values()) == 5
+
+
+def test_churn_report_planted(spark, tmp_path):
+    """Planted activity horizon: a user whose last event is 10 days
+    before the corpus clock is churned; a user active yesterday is not;
+    boundary exactly at CHURN_DAYS flags churned (>=)."""
+    import datetime
+
+    from hadoop_hive_analysis_spark.operators.events import (
+        CHURN_DAYS,
+        events_churn_report,
+    )
+
+    end = datetime.datetime(2024, 2, 1)
+    _write_events(
+        spark,
+        tmp_path,
+        [
+            (1, end, 1, "A", 0.0, "{}"),  # sets the corpus clock
+            (2, end - datetime.timedelta(days=10), 2, "A", 0.0, "{}"),
+            (3, end - datetime.timedelta(days=1), 3, "A", 0.0, "{}"),
+            (4, end - datetime.timedelta(days=CHURN_DAYS), 4, "A", 0.0, "{}"),
+        ],
+    )
+    out = {r.user_id: r for r in events_churn_report(spark, str(tmp_path)).collect()}
+    assert (out[1].days_inactive, out[1].churned) == (0, False)
+    assert (out[2].days_inactive, out[2].churned) == (10, True)
+    assert (out[3].days_inactive, out[3].churned) == (1, False)
+    assert (out[4].days_inactive, out[4].churned) == (CHURN_DAYS, True)
