@@ -1009,3 +1009,109 @@ def _tokenize_vocab_sql() -> str:
 
 
 DOC_TOKENIZE_VOCAB_SQL = _tokenize_vocab_sql()
+
+
+# ------------------------------------------- collocation mining (PMI)
+
+COLLOC_MIN_COUNT = 5  # bigram support floor (PMI is noise below this)
+COLLOC_TOP_K = 20
+
+
+def corpus_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level collocation mining: the TOP-K bigram phrases by
+    pointwise mutual information — the phrase-discovery op (naming
+    "new york"-style units before tokenizer training or n-gram
+    feature building).
+
+    PMI = log(p(ab) / (p(a)p(b))); log is monotone, so ranking uses the
+    exact lift ratio c_ab * N / (c_a * c_b) directly: numerator and
+    denominator are exact int64 products and the single IEEE division
+    of exact integers is bit-identical across engines (the
+    doc_token_rarity convention). A support floor keeps the list from
+    being dominated by hapax pairs (PMI's classic failure mode).
+
+    Scale shape: one bigram-count shuffle + one unigram-count shuffle
+    (both map-side partial), two joins that ride the counts' own keys,
+    TakeOrderedAndProject for the top-K — never a global sort. The
+    int64 products bound: lift_num = c_ab * N <= N^2, safe to ~3e9
+    token instances per job; beyond that the production variant ranks
+    in the log domain (monotone-equivalent), noted here because the
+    overflow is silent in Spark and loud in DuckDB.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("t")
+    )
+    ex = (
+        d.where(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("t", 1, F.size("t") - 1).alias("w1"),
+                    F.slice("t", 2, F.size("t") - 1).alias("w2"),
+                )
+            ).alias("bg")
+        )
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .localCheckpoint(eager=False)
+    )
+    uni = ex.select(F.col("w1").alias("w")).unionAll(
+        ex.select(F.col("w2").alias("w"))
+    )
+    # unigram counts over bigram SLOTS (each instance contributes its
+    # left and right occupancy) — self-consistent with c_ab's universe
+    cu = uni.groupBy("w").agg(F.count("*").alias("c"))
+    n_total = uni.agg(F.count("*").alias("n"))
+    cb = (
+        ex.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= COLLOC_MIN_COUNT)
+    )
+    return (
+        cb.join(cu.select(F.col("w").alias("w1"), F.col("c").alias("c_a")), "w1")
+        .join(cu.select(F.col("w").alias("w2"), F.col("c").alias("c_b")), "w2")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            "c_a",
+            "c_b",
+            (
+                (F.col("c_ab") * F.col("n")).cast("double")
+                / (F.col("c_a") * F.col("c_b")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(COLLOC_TOP_K)
+    )
+
+
+CORPUS_COLLOCATIONS_SQL = rf"""
+    WITH ex AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM (
+            SELECT string_split_regex(text, '\s+') AS t FROM documents
+        ), unnest(range(1, len(t))) AS r(i)
+        WHERE len(t) >= 2
+    ),
+    uni AS (
+        SELECT w1 AS w FROM ex UNION ALL SELECT w2 AS w FROM ex
+    ),
+    cu AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+    n AS (SELECT count(*) AS n FROM uni),
+    cb AS (
+        SELECT w1, w2, count(*) AS c_ab FROM ex GROUP BY w1, w2
+        HAVING count(*) >= {COLLOC_MIN_COUNT}
+    )
+    SELECT cb.w1, cb.w2,
+           CAST(cb.c_ab AS BIGINT) AS c_ab,
+           CAST(a.c AS BIGINT) AS c_a,
+           CAST(b.c AS BIGINT) AS c_b,
+           CAST(cb.c_ab * n.n AS DOUBLE) / CAST(a.c * b.c AS DOUBLE) AS lift
+    FROM cb
+    JOIN cu a ON cb.w1 = a.w
+    JOIN cu b ON cb.w2 = b.w
+    CROSS JOIN n
+    ORDER BY lift DESC, cb.w1 ASC, cb.w2 ASC
+    LIMIT {COLLOC_TOP_K}
+"""

@@ -304,6 +304,16 @@ def build() -> dict:
         "cumulative over bounded bins, broadcast join back)",
         driver=False,
     )
+    # Round-7 addition, staged for the r8 rotation: phrase discovery —
+    # PMI-ranked corpus collocations (ranking by the exact lift ratio;
+    # log is monotone so no transcendental enters the contract).
+    q["corpus_collocations"] = QuerySpec(
+        text_analysis.corpus_collocations,
+        text_analysis.CORPUS_COLLOCATIONS_SQL,
+        "ext: PMI collocation mining (two partial-agg count shuffles, "
+        "support floor, TakeOrderedAndProject top-K)",
+        driver=False,
+    )
     # Round-7 addition, staged for the r8 rotation: the SECOND-ORDER
     # rung of the corpus-LM quality ladder (unigram rarity above) —
     # per-doc mean bigram conditional probability in exact ppm.

@@ -694,3 +694,28 @@ def test_dedup_rate_by_source_planted(spark, tmp_path):
     assert lo.dup_rate == 0.5
     cl = out["clean"]
     assert (cl.n_docs, cl.n_dups, cl.dup_rate) == (3, 0, 0.0)
+
+
+def test_collocations_rank_planted_phrase_top(spark, tmp_path):
+    """A planted fixed phrase ("san francisco" always adjacent, its
+    words never apart) must outrank independent frequent pairs; pairs
+    under the support floor never appear."""
+    from hadoop_hive_analysis_spark.operators.text_analysis import (
+        COLLOC_MIN_COUNT,
+        corpus_collocations,
+    )
+
+    filler = "the of and to in a is it on at"
+    rows = [
+        (i, f"{filler} san francisco {filler}") for i in range(1, 11)
+    ] + [(100 + i, filler + " rare pair") for i in range(COLLOC_MIN_COUNT - 1)]
+    d = tmp_path / "colloc"
+    d.mkdir()
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+        str(d / "documents.parquet")
+    )
+    out = corpus_collocations(spark, str(d)).collect()
+    assert (out[0].w1, out[0].w2) == ("san", "francisco")
+    assert out[0].c_ab == 10
+    pairs = {(r.w1, r.w2) for r in out}
+    assert ("rare", "pair") not in pairs  # below the support floor
