@@ -956,3 +956,57 @@ DEDUP_RATE_BY_SOURCE_SQL = """
     FROM per
     GROUP BY source
 """
+
+
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over NORMALIZED text — the standard first pass a real
+    pipeline runs before the raw-digest one: lowercase, collapse runs of
+    whitespace to single spaces, trim, THEN digest. Catches the
+    case/spacing variants raw :func:`dedup_exact` treats as distinct
+    (mirrored HTML, re-wrapped plaintext, shouting reposts).
+
+    Emits only fingerprints with >1 member plus how many extra dups the
+    normalization found beyond the raw digest (``n_extra_vs_raw``), so
+    the row doubles as the normalization's value report. Same one-digest
+    -shuffle shape as the raw pass; the normalization is pure codegen.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return (
+        d.select(
+            "doc_id",
+            F.md5(norm).alias("fingerprint"),
+            F.md5("text").alias("raw_fp"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count("*").alias("n_copies"),
+            (F.count("*") - F.count_distinct("raw_fp"))
+            .cast("long")
+            .alias("n_raw_dups"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .select(
+            "fingerprint",
+            "canonical_id",
+            "n_copies",
+            (F.col("n_copies") - 1 - F.col("n_raw_dups"))
+            .cast("long")
+            .alias("n_extra_vs_raw"),
+        )
+    )
+
+
+DEDUP_EXACT_NORMALIZED_SQL = r"""
+    SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+               AS fingerprint,
+           min(doc_id) AS canonical_id,
+           count(*) AS n_copies,
+           CAST(count(*) - 1
+                - (count(*) - count(DISTINCT md5(text))) AS BIGINT)
+               AS n_extra_vs_raw
+    FROM documents
+    GROUP BY 1
+    HAVING count(*) > 1
+"""

@@ -102,6 +102,16 @@ def build() -> dict:
         "deleted via merged coverage intervals, scrubbed text hashed; "
         "corpus text never shuffles)",
     )
+    # Round-7 addition, staged for the r8 rotation: the normalized
+    # first pass real pipelines run before the raw digest (case/
+    # whitespace variants), with a built-in value report vs raw.
+    q["dedup_exact_normalized"] = QuerySpec(
+        dedup.dedup_exact_normalized,
+        dedup.DEDUP_EXACT_NORMALIZED_SQL,
+        "ext: normalized exact dedup (lower/ws-collapse/trim digest, "
+        "one shuffle; reports extra dups found beyond the raw digest)",
+        driver=False,
+    )
     # Round-7 addition, staged for the r8 rotation: dedup observability
     # sliced by feed — the per-source duplicate-rate alarm (a feed whose
     # rate jumps is re-crawling or looping).

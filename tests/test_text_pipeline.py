@@ -719,3 +719,35 @@ def test_collocations_rank_planted_phrase_top(spark, tmp_path):
     assert out[0].c_ab == 10
     pairs = {(r.w1, r.w2) for r in out}
     assert ("rare", "pair") not in pairs  # below the support floor
+
+
+def test_dedup_normalized_catches_case_and_whitespace(spark, tmp_path):
+    """Case/whitespace variants of one document collapse under the
+    normalized digest but not the raw one; n_extra_vs_raw counts exactly
+    the variants the normalization found; unrelated docs untouched."""
+    from hadoop_hive_analysis_spark.operators.dedup import (
+        dedup_exact,
+        dedup_exact_normalized,
+    )
+
+    rows = [
+        (1, "Hello   World Text", "en", "s", 18),
+        (2, "hello world text", "en", "s", 16),      # ws+case variant
+        (3, "  HELLO WORLD TEXT ", "en", "s", 19),   # trim+case variant
+        (4, "hello world text", "en", "s", 16),      # raw dup of 2
+        (5, "something else", "en", "s", 14),
+    ]
+    d = tmp_path / "normdup"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    out = dedup_exact_normalized(spark, str(d)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.canonical_id, r.n_copies) == (1, 4)
+    # 3 dups total beyond canonical; 1 was already a raw dup (4 of 2),
+    # so normalization found 2 extra
+    assert r.n_extra_vs_raw == 2
+    raw = {r.fingerprint: r.n_copies for r in dedup_exact(spark, str(d)).collect()}
+    assert max(raw.values()) == 2  # raw digest saw only the exact pair
