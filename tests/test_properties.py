@@ -481,3 +481,72 @@ def test_latest_state_and_scd2_match_python(spark, tmp_path_factory, rows):
         for r in events_scd2_intervals(spark, str(d)).collect()
     )
     assert got2 == sorted(scd_want)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # user
+            st.integers(min_value=0, max_value=30),  # ts second
+            st.integers(min_value=-500, max_value=500),  # cents
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_rolling_stats_matches_python(spark, tmp_path_factory, rows):
+    """Differential: the bounded ROWS frame vs a pure-Python sliding
+    window over random event logs dense in same-second ties (the
+    event_id tie-break is part of the frame's total order)."""
+    import datetime
+    import uuid
+
+    import pandas as pd
+
+    from hadoop_hive_analysis_spark.operators.events import (
+        ROLLING_N,
+        events_rolling_stats,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    data = [
+        (i, t0 + datetime.timedelta(seconds=sec), u, "A", c / 100.0, "{}")
+        for i, (u, sec, c) in enumerate(rows)
+    ]
+    d = tmp_path_factory.mktemp(f"roll_{uuid.uuid4().hex[:8]}")
+    spark.createDataFrame(
+        pd.DataFrame(
+            data,
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        )
+    ).coalesce(1).write.parquet(str(d / "events.parquet"))
+
+    base = int(t0.replace(tzinfo=datetime.timezone.utc).timestamp())
+    by_user: dict = {}
+    for i, (u, sec, c) in enumerate(rows):
+        by_user.setdefault(u, []).append((base + sec, i, c))
+    want = {}
+    for u, seq in by_user.items():
+        seq.sort()
+        for k in range(len(seq)):
+            frame = seq[max(0, k - ROLLING_N + 1) : k + 1]
+            cents = [c for _, _, c in frame]
+            want[seq[k][1]] = (
+                len(frame),
+                round(sum(cents) / 100.0, 10),
+                round(sum(cents) / (len(frame) * 100.0), 10),
+                round(max(cents) / 100.0, 10),
+            )
+    got = {
+        r.event_id: (
+            r.n_window,
+            round(r.rolling_sum, 10),
+            round(r.rolling_avg, 10),
+            round(r.rolling_max, 10),
+        )
+        for r in events_rolling_stats(spark, str(d)).collect()
+    }
+    assert got == want
