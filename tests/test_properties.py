@@ -550,3 +550,59 @@ def test_rolling_stats_matches_python(spark, tmp_path_factory, rows):
         for r in events_rolling_stats(spark, str(d)).collect()
     }
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B"]),
+            st.integers(min_value=-200_00, max_value=600_00),  # cents
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_histogram_matches_python(spark, tmp_path_factory, rows):
+    """Differential: the integer-binned histogram vs a pure-Python
+    replica over random values INCLUDING negatives and out-of-range
+    highs — the clamp must mask any engine divergence on negative
+    integer division, and counts must conserve exactly."""
+    import datetime
+    import uuid
+
+    import pandas as pd
+
+    from hadoop_hive_analysis_spark.operators.events import (
+        HIST_LO_CENTS,
+        HIST_NBINS,
+        HIST_W_CENTS,
+        events_value_histogram,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    data = [
+        (i, t0, 1, et, c / 100.0, "{}") for i, (et, c) in enumerate(rows)
+    ]
+    d = tmp_path_factory.mktemp(f"hist_{uuid.uuid4().hex[:8]}")
+    spark.createDataFrame(
+        pd.DataFrame(
+            data,
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        )
+    ).coalesce(1).write.parquet(str(d / "events.parquet"))
+
+    want: dict = {}
+    for et, c in rows:
+        # Python // floors like DuckDB; the clamp makes the Spark `div`
+        # (truncation) agree on every reachable value
+        b = min(max((c - HIST_LO_CENTS) // HIST_W_CENTS, 0), HIST_NBINS - 1)
+        want[(et, b)] = want.get((et, b), 0) + 1
+    got = {
+        (r.event_type, r.bin): r.n
+        for r in events_value_histogram(spark, str(d)).collect()
+    }
+    assert got == want
+    assert sum(got.values()) == len(rows)
