@@ -606,3 +606,70 @@ def test_histogram_matches_python(spark, tmp_path_factory, rows):
     }
     assert got == want
     assert sum(got.values()) == len(rows)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B"]),
+            st.integers(min_value=0, max_value=7200),  # ts second
+            st.integers(min_value=-500, max_value=500),  # cents
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_ohlc_matches_python(spark, tmp_path_factory, rows):
+    """Differential: struct-extremum OHLC vs a pure-Python bar builder
+    over random ticks dense in same-second ties — open/close must follow
+    the (ts, event_id) total order, high/low/volume exactly."""
+    import datetime
+    import uuid
+
+    import pandas as pd
+
+    from hadoop_hive_analysis_spark.operators.rollups import events_ohlc_bars
+
+    t0 = datetime.datetime(2024, 1, 1)
+    data = [
+        (i, t0 + datetime.timedelta(seconds=sec), 1, et, c / 100.0, "{}")
+        for i, (et, sec, c) in enumerate(rows)
+    ]
+    d = tmp_path_factory.mktemp(f"ohlc_{uuid.uuid4().hex[:8]}")
+    spark.createDataFrame(
+        pd.DataFrame(
+            data,
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        )
+    ).coalesce(1).write.parquet(str(d / "events.parquet"))
+
+    base = int(t0.replace(tzinfo=datetime.timezone.utc).timestamp())
+    bars: dict = {}
+    for i, (et, sec, c) in enumerate(rows):
+        ts = base + sec
+        bars.setdefault((et, ts - ts % 3600), []).append((ts, i, c))
+    want = {}
+    for key, ticks in bars.items():
+        ticks.sort()
+        cents = [c for _, _, c in ticks]
+        want[key] = (
+            round(ticks[0][2] / 100.0, 10),
+            round(max(cents) / 100.0, 10),
+            round(min(cents) / 100.0, 10),
+            round(ticks[-1][2] / 100.0, 10),
+            len(ticks),
+        )
+    got = {
+        (r.event_type, r.hour_epoch): (
+            round(r.open, 10),
+            round(r.high, 10),
+            round(r.low, 10),
+            round(r.close, 10),
+            r.volume,
+        )
+        for r in events_ohlc_bars(spark, str(d)).collect()
+    }
+    assert got == want
