@@ -1,7 +1,10 @@
 """Deduplication operators over ``documents`` — the 100 TB pipeline surface.
 
-Four strategies, each oracle-checked (identical deterministic arithmetic in
-Spark and DuckDB — see functions.hashing):
+Document-level strategies, each oracle-checked (identical deterministic
+arithmetic in Spark and DuckDB — see functions.hashing), plus the
+exact-substring span family (profile / top-K report / scrub /
+eval-set decontamination), normalized-digest dedup, and per-source
+duplicate-rate monitoring further down. The core four:
 
 * exact          — md5-fingerprint groupBy; one shuffle on the digest.
 * n-gram Jaccard — candidate pairs via shared-shingle equi-join, exact

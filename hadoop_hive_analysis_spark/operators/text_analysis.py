@@ -1,10 +1,14 @@
 """Text analysis over the ``documents`` table — training-data-pipeline ops.
 
-Four oracle-checked operators: token stats, quality scoring, heuristic
-language ID, and document fingerprinting. All pure JVM-side column
-expressions (whole-stage codegen end-to-end): at 100 TB each is an
-embarrassingly-parallel map over the corpus + at most one aggregation —
-no shuffle except where grouping is the semantics.
+The per-document and corpus-statistics family, every operator oracle-
+checked: token stats, quality scoring (+ histogram-ECDF percentiles),
+heuristic language ID, fingerprinting, repetition and token-rarity
+filters, the bigram-LM score, TF-IDF top terms and sparse idf-cosine
+pairs, per-source token drift, PMI collocations, and the vocabulary
+build/apply pair. Everything stays in JVM-side column expressions
+(whole-stage codegen); shuffles exist only where grouping IS the
+semantics, and heavyweight intermediates (exploded token/bigram
+frames) are materialized once and reused.
 """
 
 from __future__ import annotations
