@@ -731,6 +731,15 @@ def events_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     the compaction reads 100 TB of log but shuffles only the key space.
     The oracle states the same semantics in the conventional
     ``row_number() OVER (... DESC) = 1`` form.
+
+    Contract: ``(ts_epoch, event_id)`` is unique per user — event_id is
+    the log's record identifier. The struct carries the payload fields
+    (event_type, cents) AFTER the ordering keys, so with the contract
+    held they are never consulted by the lexicographic comparison; if a
+    log ever violated it, Spark would break the tie on payload while the
+    oracle's ``row_number`` would break it arbitrarily. The contract is
+    asserted on the fixture in ``tests/test_asof.py``
+    (test_latest_state_ordering_key_unique).
     """
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",

@@ -550,6 +550,14 @@ def pq_fit(spark: SparkSession, sf_dir: str) -> list[list[list[int]]]:
 
     q = _quantized(spark, sf_dir)
     dim = len(q.select("q").first()["q"])
+    if dim % PQ_M != 0:
+        # A silent `dim // PQ_M` would drop the trailing dim % PQ_M
+        # dimensions from codebooks, codes, AND ADC scoring — recall
+        # would degrade invisibly. Fail loudly instead; widening the
+        # last subspace is the fix if a non-divisible corpus ever ships.
+        raise ValueError(
+            f"PQ requires dim % PQ_M == 0, got dim={dim}, PQ_M={PQ_M}"
+        )
     dsub = dim // PQ_M
     books = []
     for m in range(PQ_M):

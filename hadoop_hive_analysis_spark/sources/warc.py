@@ -202,19 +202,38 @@ def warc_to_documents(spark: SparkSession, path: str) -> DataFrame:
     shape (doc_id from a stable hash of (file, record), text decoded
     permissively, source = archive name). The one-time conversion runs
     once per archive and everything downstream is columnar — the same
-    landing discipline as ``jsonl_to_parquet``."""
+    landing discipline as ``jsonl_to_parquet``.
+
+    A real WARC ``response`` record's payload is a full HTTP message
+    (status line + headers + CRLFCRLF + body), not the bare body — on
+    actual Common Crawl archives the headers would otherwise leak into
+    ``text``. When the record's Content-Type says ``application/http``
+    or the decoded payload starts with ``HTTP/``, the header block is
+    stripped at the first blank line (CRLF framing per RFC 9112, with a
+    bare-LF fallback for sloppy servers). Pure codegen — locate +
+    substring, no Python in the path."""
     from pyspark.sql import functions as F
 
     w = read_warc(spark, path)
+    body = """
+        CASE WHEN (content_type LIKE '%application/http%'
+                   OR _txt LIKE 'HTTP/%')
+             THEN CASE
+                 WHEN locate('\r\n\r\n', _txt) > 0
+                     THEN substring(_txt, locate('\r\n\r\n', _txt) + 4)
+                 WHEN locate('\n\n', _txt) > 0
+                     THEN substring(_txt, locate('\n\n', _txt) + 2)
+                 ELSE _txt END
+             ELSE _txt END
+    """
     return (
         w.filter(F.col("warc_type") == "response")
+        .withColumn("_txt", F.decode(F.col("payload"), "UTF-8"))
         .select(
             F.xxhash64("warc_file", "record_no").alias("doc_id"),
-            F.decode(F.col("payload"), "UTF-8").alias("text"),
+            F.expr(body).alias("text"),
             F.lit(None).cast("string").alias("lang"),
             F.col("warc_file").alias("source"),
-            F.length(F.decode(F.col("payload"), "UTF-8")).cast("long").alias(
-                "n_chars"
-            ),
+            F.length(F.expr(body)).cast("long").alias("n_chars"),
         )
     )

@@ -298,3 +298,23 @@ def test_churn_report_planted(spark, tmp_path):
     assert (out[2].days_inactive, out[2].churned) == (10, True)
     assert (out[3].days_inactive, out[3].churned) == (1, False)
     assert (out[4].days_inactive, out[4].churned) == (CHURN_DAYS, True)
+
+
+def test_latest_state_ordering_key_unique(spark, sf_dir):
+    """The events_latest_state contract: (ts_epoch, event_id) is unique
+    per user, so the struct-max's trailing payload fields are never
+    consulted and the engine agrees with the oracle's row_number
+    tie-break deterministically (ADVICE r7: if event_id were non-unique
+    within a user the engines could disagree)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_hive_analysis_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    dupes = (
+        ev.groupBy("user_id", F.col("ts").cast("long"), "event_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dupes == 0

@@ -585,7 +585,7 @@ def test_left_outer_replay_encoding_agnostic(spark, tmp_path):
         assert got == want, tag
 
 
-def test_left_outer_replay_multifile_time_interleaved(spark, tmp_path):
+def test_left_outer_replay_multifile_time_interleaved(spark, sf_dir, tmp_path):
     """A directory-shaped events table whose part files interleave in
     event time (a newer-mtime file holding OLDER timestamps) must still
     replay bit-equal to the batch LEFT JOIN: drain 1 ingests every real
@@ -605,7 +605,7 @@ def test_left_outer_replay_multifile_time_interleaved(spark, tmp_path):
         events_stream_left_join_replay,
     )
 
-    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    ev = load_table(spark, sf_dir, "events")
     d = tmp_path / "multi" / "events.parquet"
     d.mkdir(parents=True)
     # adversarial split: LATE half written first, EARLY half second

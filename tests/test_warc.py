@@ -169,3 +169,49 @@ def test_warc_gzip_bitflip_quarantines_not_fails(spark, tmp_path):
     assert errs and all(
         "archive-level" in r.error for r in errs
     ), [r.error for r in rows]
+
+
+def _http_record(uri: str, http_msg: bytes) -> bytes:
+    """WARC response record carrying a FULL HTTP message (status line +
+    headers + body) with the real Common Crawl Content-Type."""
+    return (
+        b"WARC/1.0\r\n"
+        + b"WARC-Type: response\r\n"
+        + f"WARC-Target-URI: {uri}\r\n".encode()
+        + b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        + b"Content-Type: application/http; msgtype=response\r\n"
+        + f"Content-Length: {len(http_msg)}\r\n".encode()
+        + b"\r\n"
+        + http_msg
+        + b"\r\n\r\n"
+    )
+
+
+def test_warc_http_framed_payload_headers_stripped(spark, tmp_path):
+    """Real CC archives frame the payload as an HTTP message — the
+    landing projection must strip the status line + headers (ADVICE r7).
+    Covers: CRLF framing, bare-LF fallback, HTTP/-sniff without the
+    content_type, and the untouched bare-body case."""
+    crlf = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nServer: x\r\n\r\nbody one here"
+    lf = b"HTTP/1.0 200 OK\nServer: y\n\nbody two"
+    # HTTP/ sniff: generic content-type but payload IS an HTTP message
+    sniff = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://c.example/\r\n"
+        b"Content-Type: text/plain\r\n"
+        + f"Content-Length: {len(crlf)}\r\n".encode()
+        + b"\r\n" + crlf + b"\r\n\r\n"
+    )
+    bare = _record("response", "http://d.example/", b"no framing at all")
+    (tmp_path / "a.warc").write_bytes(
+        _http_record("http://a.example/", crlf)
+        + _http_record("http://b.example/", lf)
+        + sniff
+        + bare
+    )
+    docs = warc_to_documents(spark, str(tmp_path)).collect()
+    texts = sorted(r.text for r in docs)
+    assert texts == sorted(
+        ["body one here", "body two", "body one here", "no framing at all"]
+    )
+    assert all(r.n_chars == len(r.text) for r in docs)
