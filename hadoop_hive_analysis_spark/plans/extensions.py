@@ -168,13 +168,16 @@ def build() -> dict:
     # (embedding-space) twin of dedup_collapse — paraphrase/re-encode
     # duplicates lexical dedup cannot see, collapsed via hyperplane-LSH
     # pairs + the same star-contraction CC + broadcast anti-join.
+    # Promoted in the round-8 rotation (slot from embedding_group_
+    # centroid): the paraphrase-dup case lexical dedup misses — also the
+    # pack's slowest bench entry, so driver visibility doubles as a perf
+    # canary.
     q["dedup_semantic_collapse"] = QuerySpec(
         components.dedup_semantic_collapse,
         components.DEDUP_SEMANTIC_COLLAPSE_SQL,
         "ext: semantic near-dup collapse over embeddings (banded "
         "hyperplane-LSH pairs -> star-contraction components -> "
         "broadcast anti join; surviving vectors)",
-        driver=False,
     )
     # Round-7 addition, staged for the r8 rotation: the production
     # ensemble — ONE collapse over the union of the lexical (MinHash)
@@ -229,13 +232,15 @@ def build() -> dict:
     # (contamination_ngram flags whole documents; this salvages them by
     # cutting the leaked passage, GPT-3-style n-gram decontamination as
     # exact-substring removal via the span_scrub machinery).
+    # Promoted in the round-8 rotation (slot from doc_tfidf_topterms):
+    # eval-set decontamination is the single most user-critical staged
+    # op — table stakes for a training pipeline.
     q["decontaminate_spans"] = QuerySpec(
         dedup.decontaminate_spans,
         dedup.DECONTAMINATE_SPANS_SQL,
         "ext: span-level benchmark decontamination (broadcast eval-set "
         "span hashes, merged-interval removal, corpus text never "
         "shuffles)",
-        driver=False,
     )
     # Rotated out of the driver window in round 7 (slot went to
     # doc_tfidf_cosine_pairs): posexplode token-window projection is the
@@ -286,12 +291,14 @@ def build() -> dict:
     # training data op — smallest frequency-ranked vocabulary covering
     # the target share of corpus token instances, with exact integer
     # cut semantics (window cumsum runs on the VOCAB, never the corpus).
+    # Promoted in the round-8 rotation (slot from events_value_by_user_
+    # salted, whose skew-rewrite signal events_share_of_key_total keeps
+    # scored): the tokenizer-training-data op.
     q["vocab_coverage_build"] = QuerySpec(
         text_analysis.vocab_coverage_build,
         text_analysis.VOCAB_COVERAGE_SQL,
         "ext: coverage-target vocabulary build (corpus-linear counts "
         "shuffle; rank/cumsum over vocab only)",
-        driver=False,
     )
     # Round-7 addition, staged for the r8 rotation: the ENCODE step
     # after vocabulary training — broadcast-vocab tokenization with
@@ -334,10 +341,16 @@ def build() -> dict:
         "probabilities, corpus tokenized once)",
         driver=False,
     )
+    # Rotated out of the driver window in round 8 (slot went to
+    # decontaminate_spans): the idf-weighting signal stays driver-
+    # visible through doc_tfidf_cosine_pairs (built on the same df/
+    # weight machinery) and the per-doc top-K WindowGroupLimit through
+    # train_stratified_sample; keeps pytest parity + bench.
     q["doc_tfidf_topterms"] = QuerySpec(
         text_analysis.doc_tfidf_topterms,
         text_analysis.DOC_TFIDF_SQL,
         "ext: TF-IDF-style top-K terms per doc (fixed-point, log-free)",
+        driver=False,
     )
     # Promoted in the round-7 rotation (slot from doc_chunks):
     # SPARSE-vector similarity — the lexical complement of the
@@ -432,8 +445,15 @@ def build() -> dict:
         "ext: ROLLUP grouping sets",
         driver=False,
     )
+    # Rotated out of the driver window in round 8 (slot went to
+    # events_scd2_intervals): grouping-set expansion stays driver-
+    # visible through events_hierarchical_rollup; keeps pytest parity +
+    # bench + raw-SQL dual.
     q["cube_orders"] = QuerySpec(
-        rx.cube_orders, rx.CUBE_ORDERS_SQL, "ext: CUBE grouping sets"
+        rx.cube_orders,
+        rx.CUBE_ORDERS_SQL,
+        "ext: CUBE grouping sets",
+        driver=False,
     )
     # Rotated out of the driver window in round 4 (slot went to
     # seq_packing): Catalyst plans EXISTS/IN subqueries, INTERSECT, and
@@ -446,8 +466,16 @@ def build() -> dict:
         "ext: left-semi join",
         driver=False,
     )
+    # Rotated out of the driver window in round 8 (slot went to
+    # events_stream_left_join_replay): the left-anti physical shape
+    # stays driver-visible through dedup_collapse and dedup_semantic_
+    # collapse (broadcast LEFT ANTI survivor cut); keeps pytest parity
+    # + bench + raw-SQL dual.
     q["anti_join_customers"] = QuerySpec(
-        rx.anti_join_customers, rx.ANTI_JOIN_SQL, "ext: left-anti join"
+        rx.anti_join_customers,
+        rx.ANTI_JOIN_SQL,
+        "ext: left-anti join",
+        driver=False,
     )
     # Rotated out of the driver window in round 4 (slot went to
     # train_stratified_sample): Catalyst rewrites INTERSECT/EXCEPT to the
@@ -459,8 +487,15 @@ def build() -> dict:
         "ext: INTERSECT/EXCEPT set ops",
         driver=False,
     )
+    # Rotated out of the driver window in round 8 (slot went to
+    # doc_bm25_search): A4-A6 stay driver-visible through
+    # pricing_summary (count/min/max/avg) and the two sketch rows
+    # (exact distinct + quantiles); keeps pytest parity + bench + dual.
     q["grouped_stats_orders"] = QuerySpec(
-        rx.grouped_stats_orders, rx.GROUPED_STATS_SQL, "ext: multi-agg stats (A4-A6)"
+        rx.grouped_stats_orders,
+        rx.GROUPED_STATS_SQL,
+        "ext: multi-agg stats (A4-A6)",
+        driver=False,
     )
 
     # --- TPC-H-style analytical queries ---
@@ -506,10 +541,16 @@ def build() -> dict:
         "ext: TPC-H Q6-style filter-sum",
         driver=False,
     )
+    # Rotated out of the driver window in round 8 (slot went to
+    # multimodal_frame_sample): the correlated-EXISTS semi-join plan
+    # stays driver-visible through contamination_ngram's broadcast
+    # semi probe, and the correlated-subquery family keeps
+    # orders_above_customer_avg scored; keeps pytest parity + bench.
     q["order_priority_late_ship"] = QuerySpec(
         th.order_priority_late_ship,
         th.ORDER_PRIORITY_LATE_SQL,
         "ext: TPC-H Q4-style correlated EXISTS (semi-join plan)",
+        driver=False,
     )
 
     # --- Rollups / pivot / semi-structured ---
@@ -567,10 +608,15 @@ def build() -> dict:
     # --- Skew handling + sketches ---
     from ..operators import sketches, skew
 
+    # Rotated out of the driver window in round 8 (slot went to
+    # vocab_coverage_build): the equivalence demo's skew-mitigation
+    # signal stays scored via events_share_of_key_total (the window-skew
+    # rewrite with no built-in mitigation); keeps pytest parity + bench.
     q["events_value_by_user_salted"] = QuerySpec(
         skew.events_value_by_user_salted,
         skew.EVENTS_SALTED_SQL,
         "ext: salted two-phase aggregation == plain GROUP BY",
+        driver=False,
     )
     # Rotated out of the driver window in round 4 (slot went to
     # doc_tfidf_topterms): its docstring's own measurement shows Spark
@@ -641,12 +687,13 @@ def build() -> dict:
     # quantized ln per distinct df), top-K per probe query.
     from ..operators import retrieval
 
+    # Promoted in the round-8 rotation (slot from grouped_stats_orders):
+    # ranked keyword retrieval — the search-side face of the corpus.
     q["doc_bm25_search"] = QuerySpec(
         retrieval.doc_bm25_search,
         retrieval.DOC_BM25_SQL,
         "ext: BM25 top-K retrieval (fixed-point scoring, exact int64 "
         "corpus statistics, per-query row_number)",
-        driver=False,
     )
     # Round-7 addition, staged for the r8 rotation: the frequency-sketch
     # member of the family — per-partition Misra-Gries candidate pass
@@ -692,11 +739,17 @@ def build() -> dict:
     # of a distributed k-means. pytest parity + bench (window full).
     from ..operators import vectors
 
-    # Promoted to a driver slot in round 5 (slot from shipping_priority).
+    # Promoted to a driver slot in round 5 (slot from shipping_priority);
+    # rotated out again in round 8 (slot went to dedup_semantic_collapse):
+    # the posexplode + partial-agg centroid path runs INSIDE
+    # embedding_kmeans_quality's driver-scored fit (M-step), and the
+    # streaming centroid replay pins the same contract. Keeps pytest
+    # parity + bench.
     q["embedding_group_centroid"] = QuerySpec(
         vectors.embedding_group_centroid,
         vectors.EMBEDDING_GROUP_CENTROID_SQL,
         "ext: per-group embedding centroid (exact quantized sums)",
+        driver=False,
     )
     # Round-5 addition: full distributed Lloyd's (iterative E/M rounds in
     # exact quantized-integer space — the trajectory, not just the final
@@ -826,10 +879,16 @@ def build() -> dict:
         "ext: tumbling-window aggregation",
         driver=False,
     )
+    # Rotated out of the driver window in round 8 (slot went to
+    # events_latest_state): windowed event-time aggregation stays
+    # driver-visible through events_tumbling_replay (same window
+    # machinery through the streaming engine) and the hierarchical
+    # rollup; keeps pytest parity + bench.
     q["events_sliding_window"] = QuerySpec(
         events.events_sliding_window,
         events.EVENTS_SLIDING_SQL,
         "ext: sliding-window aggregation (10 min / 5 min overlap)",
+        driver=False,
     )
     # Rotated out of the driver window in round 5 (slot went to
     # events_session_replay): the replay runs the SAME gap-session
@@ -899,19 +958,20 @@ def build() -> dict:
         "corpus clock, exact epoch-day arithmetic)",
         driver=False,
     )
+    # Both promoted in the round-8 rotation (slots from
+    # events_sliding_window and cube_orders): the CDC/warehouse pair,
+    # both measured FLAT at 10x (SCALING.md).
     q["events_latest_state"] = QuerySpec(
         events.events_latest_state,
         events.EVENTS_LATEST_STATE_SQL,
         "ext: CDC latest-record-wins compaction (struct-max partial "
         "agg — shuffles keys, not history)",
-        driver=False,
     )
     q["events_scd2_intervals"] = QuerySpec(
         events.events_scd2_intervals,
         events.EVENTS_SCD2_SQL,
         "ext: SCD type-2 validity intervals from a change log (run "
         "collapse + lead valid_to, one shuffle for three windows)",
-        driver=False,
     )
     q["events_conversion_funnel"] = QuerySpec(
         events.events_conversion_funnel,
@@ -986,7 +1046,11 @@ def build() -> dict:
         "ext: watermarked stream-stream LEFT OUTER join (null rows "
         "emitted on watermark-proven no-match), batch-replayed against "
         "the batch LEFT JOIN oracle",
-        driver=False,
+        # Promoted in the round-8 rotation (slot from anti_join_
+        # customers, whose left-anti physical shape dedup_collapse's
+        # broadcast anti join keeps scored): eviction-time null emission
+        # is the one join semantics the five driver-proven streaming
+        # shapes don't cover.
         bench=False,  # replay harness; the three events replays carry
         # streaming cost in the pack
     )
@@ -1069,11 +1133,15 @@ def build() -> dict:
         "ext: true-cosine top-K (float path)",
         driver=False,
     )
+    # Promoted in the round-8 rotation (slot from order_priority_late_
+    # ship, whose semi-join plan contamination_ngram's broadcast probe
+    # keeps scored): restores the multimodal pillar's driver-scored row
+    # (lost in the r7 rotation) via the ASCII-substring DuckDB twin over
+    # the mapInPandas binary frame-sampling path.
     q["multimodal_frame_sample"] = QuerySpec(
         multimodal.multimodal_frame_sample,
-        multimodal.FRAME_SAMPLE_SQL,  # ASCII-substring twin (pytest)
+        multimodal.FRAME_SAMPLE_SQL,  # ASCII-substring byte twin
         "ext: frame sampling over video-like payloads (stubbed codec)",
-        driver=False,
     )
 
     # --- SQL duals for the relational extensions (portable text; parses in
