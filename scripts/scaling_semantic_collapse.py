@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""Measured scale-up proof for ``components.dedup_semantic_collapse``
+(SCALING.md) — promoted to a driver slot in round 8.
+
+Corpus growth: ``multiplier`` SIGN-REFLECTED copies of the sf0.1
+embeddings table. Copy k multiplies every vector elementwise by a
+deterministic ±1 pattern derived from k. Within a copy this preserves
+the exact integer geometry bit-for-bit: quantization commutes with
+negation (Spark's HALF_UP rounds away from zero, so round(-v) =
+-round(v)), and <s⊙x, s⊙y> = <x, y> for any sign vector s, so every
+in-copy dot, norm, and exact-verify outcome reproduces exactly.
+
+Unlike the lexical harness, the output does NOT grow linearly — and
+that is the measured finding, not a harness defect. The fixture's
+embeddings are CLUSTERED (label structure), and at the operator's
+loose 0.4-cosine dedup threshold two same-direction vectors from
+DIFFERENT copies are genuine cos>=0.4 pairs (random 64-dim cosines
+have sigma~0.125, so 0.4 is only ~3.2 sigma): every pair the exact
+int64 verify admits is real. As copies accumulate, clusters densify
+and the dup graph PERCOLATES — measured pairs grow ~quadratically
+(702 -> 2,899 -> 19,056 -> 84,842 for 1/2/5/10x) and survivors
+collapse (1302 -> 15). The scale claim under test is therefore the
+WALL curve: bucketed pair generation + O(log n) big-star CC +
+broadcast anti join must absorb a densifying graph without wall
+blowup. (Production semantic dedup runs at ~0.9+ cosine, where
+distinct-content vectors never chain; 0.4 is the registry contract
+pinned by the oracle.)
+
+Usage: python scripts/scaling_semantic_collapse.py [multipliers...]
+Prints one JSON line per scale plus a summary line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from scaling_minhash import cpu_seconds, peak_mem_mb  # noqa: E402
+
+BASE_SF_DIR = "/root/testdata/sf0.1"
+ID_OFFSET = 1_000_000_000
+
+
+def build_scaled_embeddings(spark, multiplier: int) -> str:
+    """Write an ``embeddings.parquet`` with ``multiplier`` sign-reflected
+    copies of the base table into a temp sf_dir; return the dir."""
+    from pyspark.sql import functions as F
+
+    from hadoop_hive_analysis_spark.sources.catalog import load_table
+
+    base = load_table(spark, BASE_SF_DIR, "embeddings")
+    dim = len(base.select("embedding").first()["embedding"])
+    parts = []
+    for k in range(multiplier):
+        # deterministic ±1 pattern per copy: bit i of a simple LCG of
+        # (k, i); copy 0 is the identity so the base reproduces exactly
+        signs = [
+            1 if k == 0 or ((1103515245 * (k * dim + i) + 12345) >> 16) & 1 else -1
+            for i in range(dim)
+        ]
+        lit = ", ".join(f"CAST({s} AS FLOAT)" for s in signs)
+        parts.append(
+            base.select(
+                (F.col("vec_id") + F.lit(k * ID_OFFSET)).alias("vec_id"),
+                F.expr(
+                    f"zip_with(embedding, array({lit}), (x, s) -> x * s)"
+                ).alias("embedding"),
+                "label",
+            )
+        )
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    d = tempfile.mkdtemp(prefix=f"hha_semscale_{multiplier}x_")
+    union.repartition(max(8, 4 * multiplier)).write.mode("overwrite").parquet(
+        os.path.join(d, "embeddings.parquet")
+    )
+    return d
+
+
+def main() -> None:
+    multipliers = [int(a) for a in sys.argv[1:]] or [1, 2, 5, 10]
+
+    from hadoop_hive_analysis_spark.operators.components import (
+        dedup_semantic_collapse,
+    )
+    from hadoop_hive_analysis_spark.session import get_spark
+
+    spark = get_spark(
+        "hha-scaling-semantic-collapse", extra_conf={"spark.driver.memory": "8g"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results = []
+    for m in multipliers:
+        d = build_scaled_embeddings(spark, m)
+        try:
+            from hadoop_hive_analysis_spark.operators.similarity import (
+                dedup_embedding_lsh,
+            )
+
+            samples = []
+            df = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                cpu0 = cpu_seconds(spark)
+                df = dedup_semantic_collapse(spark, d)
+                df.write.format("noop").mode("overwrite").save()
+                samples.append(
+                    {
+                        "wall_sec": round(time.perf_counter() - t0, 3),
+                        "cpu_sec": round(cpu_seconds(spark) - cpu0, 2),
+                    }
+                )
+            best = min(samples, key=lambda s: s["wall_sec"])
+            survivors = df.count()
+            pairs = dedup_embedding_lsh(spark, d).count()
+            row = {
+                "multiplier": m,
+                "vectors": 2000 * m,
+                "survivors": survivors,
+                "pairs": pairs,
+                "wall_sec": best["wall_sec"],
+                "cpu_sec": best["cpu_sec"],
+                "samples": samples,
+                "peak_mem_mb": peak_mem_mb(spark),
+            }
+            results.append(row)
+            print(json.dumps(row), flush=True)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    if len(results) > 1:
+        a, b = results[0], results[-1]
+        print(
+            json.dumps(
+                {
+                    "summary": {
+                        "metric": "dedup_semantic_collapse_scaling",
+                        "data_ratio": b["multiplier"] / a["multiplier"],
+                        "wall_ratio": round(b["wall_sec"] / a["wall_sec"], 2),
+                        # percolation is EXPECTED at threshold 0.4 on
+                        # clustered fixtures (see module doc): report
+                        # the graph densification alongside the wall
+                        "pair_ratio": round(b["pairs"] / max(1, a["pairs"]), 1),
+                        "survivors": [r["survivors"] for r in results],
+                    }
+                }
+            )
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
