@@ -317,8 +317,23 @@ def _regressions_vs_prior(timings: dict[str, float], sf: float) -> dict:
         f: (_median(v) if len(v) >= MIN_NAMES_FOR_FILE_MEDIAN else global_median)
         for f, v in by_file.items()
     }
+    # Sub-half-second queries measure stage-scheduling overhead, not a
+    # plan: at ~0.3 s a single extra GC pause or task-launch hiccup is a
+    # 30%+ "regression". doc_fingerprint (0.9 s committed, improving
+    # round-over-round) tripped the flagger twice on exactly this noise
+    # (r5, r7 — adjudicated via scripts/ab_fingerprint.py both times),
+    # so queries where BOTH sides of the comparison sit under the floor
+    # are exempt from per-name flagging; they remain in the artifact's
+    # timings and in the pack median, so a pack-wide slowdown still
+    # surfaces through host_speed_factor.
+    FLAG_FLOOR_SEC = 0.5
     flagged = {}
     for name, ratio in ratios.items():
+        if (
+            timings[name] < FLAG_FLOOR_SEC
+            and baseline[name][0] < FLAG_FLOOR_SEC
+        ):
+            continue
         # Never normalize a genuine pack-wide slowdown away as "the host
         # got faster would hide it" — only divide out factors > 1, and
         # carry the factor in the artifact either way.

@@ -487,20 +487,21 @@ def doc_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap (O(corpus x cap), never quadratic in a hot shingle), partial-agg
     dot products, broadcast-friendly norms join.
 
-    The weight frame is checkpointed DISK_ONLY, not the default
-    deserialized in-memory level: the frame is the query's largest
+    The weight frame is checkpointed SERIALIZED (MEMORY_AND_DISK), not
+    the default deserialized level: the frame is the query's largest
     intermediate (doc x shingle with the shingle STRING), and storing
-    millions of row objects on-heap both thrashes the GC during the
-    self-join's sort and — because localCheckpoint blocks are freed
-    asynchronously by the ContextCleaner — accumulates across repeated
-    runs in one JVM. The r7 scale audit's "10x data = 4.1x wall" bend
-    was exactly this: an interleaved A/B (scripts/ab_tfidf_cosine.py)
-    showed the posting self-join itself scales sublinearly (CPU 1.4x
-    per 2x) while back-to-back runs of the checkpointing query degraded
-    15.3s -> 8.7s -> 18.1s in one 8 GiB JVM; DISK_ONLY levels the same
-    three runs to 14.4 -> 7.8 -> 7.1 s and cuts peak heap 5.7 -> 4.5 GB.
-    On a cluster, DISK_ONLY is the shuffle-write discipline: local-disk
-    blocks, zero storage-memory competition with the join.
+    millions of individual row objects on-heap both thrashes the GC
+    during the self-join's sort and — because localCheckpoint blocks
+    are freed asynchronously by the ContextCleaner — accumulates across
+    repeated runs in one JVM. The r7 scale audit's "10x data = 4.1x
+    wall" bend was exactly this: an interleaved A/B
+    (scripts/ab_tfidf_cosine.py) showed the posting self-join itself
+    scales sublinearly (CPU 1.4x per 2x) while back-to-back runs of
+    the deserialized-checkpoint query degraded 15.3s -> 8.7s -> 18.1s
+    in one 8 GiB JVM; serialized blocks (flat buffers, ~5x smaller,
+    not per-row objects) level the runs monotone and cut peak heap.
+    DISK_ONLY measures the same at 10x but pays a write at bench scale
+    where memory is free; MEMORY_AND_DISK spills only under pressure.
     """
     from pyspark import StorageLevel
 
@@ -512,7 +513,9 @@ def doc_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.join(df.filter(F.col("df") <= STOP_SHINGLE_DF), "shingle")
         .withColumn("w", F.expr(f"{TFIDF_SIM_SCALE} DIV df"))
         .select("doc_id", "shingle", "w")
-        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+        .localCheckpoint(
+            eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
+        )
     )
     norms = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
     a, b = w.alias("a"), w.alias("b")
