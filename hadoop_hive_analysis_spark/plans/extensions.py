@@ -733,6 +733,24 @@ def build() -> dict:
         driver=False,
     )
 
+    # Round-8 addition, staged for the r9 rotation: the ingest story
+    # proven END TO END rather than per stage — documents rendered as
+    # HTTP-framed HTML-wrapped WARC archives (distributed write, plain
+    # + gzip), re-ingested through the WARC DataSource -> HTTP strip ->
+    # HTML strip chain, hash-compared against html_to_text of the raw
+    # table. bench=False: the query writes temp archives (a round-trip
+    # harness, not a steady-state operator).
+    from ..sources.warc import WARC_ROUNDTRIP_SQL, warc_corpus_roundtrip
+
+    q["warc_corpus_roundtrip"] = QuerySpec(
+        warc_corpus_roundtrip,
+        WARC_ROUNDTRIP_SQL,
+        "ext: WARC->documents ingest round trip (DataSource scan, HTTP "
+        "header strip, HTML boilerplate strip; doc_id via Target-URI)",
+        driver=False,
+        bench=False,
+    )
+
     # --- Similarity search (embeddings) ---
     # Vector AGGREGATION (vs the pairwise ops below): element-wise group
     # centroids via posexplode + partial-agg-bounded groupBy — the M-step

@@ -197,6 +197,23 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.format("warc").option("path", path).load()
 
 
+# HTTP-message body extraction over the decoded payload column `_txt`:
+# strip the status line + header block at the first blank line (CRLF
+# framing per RFC 9112, bare-LF fallback) when the record is an HTTP
+# message by Content-Type or by sniff. Pure codegen (locate+substring).
+_HTTP_BODY_CASE = """
+    CASE WHEN (content_type LIKE '%application/http%'
+               OR _txt LIKE 'HTTP/%')
+         THEN CASE
+             WHEN locate('\r\n\r\n', _txt) > 0
+                 THEN substring(_txt, locate('\r\n\r\n', _txt) + 4)
+             WHEN locate('\n\n', _txt) > 0
+                 THEN substring(_txt, locate('\n\n', _txt) + 2)
+             ELSE _txt END
+         ELSE _txt END
+"""
+
+
 def warc_to_documents(spark: SparkSession, path: str) -> DataFrame:
     """Landing projection: response records → the engine's documents
     shape (doc_id from a stable hash of (file, record), text decoded
@@ -215,17 +232,7 @@ def warc_to_documents(spark: SparkSession, path: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     w = read_warc(spark, path)
-    body = """
-        CASE WHEN (content_type LIKE '%application/http%'
-                   OR _txt LIKE 'HTTP/%')
-             THEN CASE
-                 WHEN locate('\r\n\r\n', _txt) > 0
-                     THEN substring(_txt, locate('\r\n\r\n', _txt) + 4)
-                 WHEN locate('\n\n', _txt) > 0
-                     THEN substring(_txt, locate('\n\n', _txt) + 2)
-                 ELSE _txt END
-             ELSE _txt END
-    """
+    body = _HTTP_BODY_CASE
     return (
         w.filter(F.col("warc_type") == "response")
         .withColumn("_txt", F.decode(F.col("payload"), "UTF-8"))
@@ -237,3 +244,151 @@ def warc_to_documents(spark: SparkSession, path: str) -> DataFrame:
             F.length(F.expr(body)).cast("long").alias("n_chars"),
         )
     )
+
+
+# ------------------------------------------- end-to-end ingest round trip
+
+
+def write_corpus_as_warc(spark: SparkSession, sf_dir: str, out_dir: str) -> int:
+    """Render the ``documents`` table as HTTP-framed WARC archives — one
+    archive per partition (the archive IS the split unit, mirroring how
+    Common Crawl ships), written DISTRIBUTED via mapPartitionsWithIndex
+    (one of the rare justified RDD uses: per-partition imperative file
+    IO). Every document becomes a ``response`` record whose payload is a
+    full HTTP message wrapping the text in non-trivial HTML (a script
+    subtree + body), and whose WARC-Target-URI carries the doc_id so the
+    ingest side can recover identity without trusting file layout. Even
+    partitions write plain ``.warc``, odd partitions ``.warc.gz``, so a
+    round trip exercises both codecs. Returns the number of records
+    written. Closure is stdlib-only (self-containment rule)."""
+    import os
+
+    from ..sources.catalog import load_table
+
+    os.makedirs(out_dir, exist_ok=True)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    if docs.rdd.getNumPartitions() < 2:
+        # tiny fixtures land in one partition — force two so every
+        # round trip exercises both codecs (even→plain, odd→gzip)
+        docs = docs.repartition(2)
+
+    def write_part(idx, rows):
+        import gzip
+        import io
+        import os
+
+        buf = io.BytesIO()
+        n = 0
+        for row in rows:
+            # head carries a script subtree (stripped as a SUBTREE, not
+            # just tags) but no text content — title text would survive
+            # stripping and break byte parity with the unwrapped text
+            html = (
+                "<html><head>"
+                "<script>var tracking = 1;</script></head>\n<body>\n"
+                + (row.text or "")
+                + "\n</body></html>"
+            ).encode("utf-8")
+            http = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html; "
+                b"charset=utf-8\r\n\r\n" + html
+            )
+            buf.write(
+                b"WARC/1.0\r\n"
+                b"WARC-Type: response\r\n"
+                + f"WARC-Target-URI: http://corpus/{row.doc_id}\r\n".encode()
+                + b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+                b"Content-Type: application/http; msgtype=response\r\n"
+                + f"Content-Length: {len(http)}\r\n".encode()
+                + b"\r\n" + http + b"\r\n\r\n"
+            )
+            n += 1
+        if n:
+            data = buf.getvalue()
+            if idx % 2:
+                path = os.path.join(out_dir, f"part-{idx:05d}.warc.gz")
+                with gzip.open(path, "wb") as f:
+                    f.write(data)
+            else:
+                path = os.path.join(out_dir, f"part-{idx:05d}.warc")
+                with open(path, "wb") as f:
+                    f.write(data)
+        yield n
+
+    return sum(docs.rdd.mapPartitionsWithIndex(write_part).collect())
+
+
+def warc_ingest_documents(spark: SparkSession, path: str) -> DataFrame:
+    """The full Common Crawl-shaped ingest: WARC DataSource scan →
+    response filter → HTTP header-block strip → HTML boilerplate strip →
+    documents projection, with doc_id recovered from the corpus
+    Target-URI scheme (falling back to the (file, record) hash for
+    foreign archives). One declarative plan, zero Python in the
+    transform path — the DataSource yields rows, everything after is
+    codegen."""
+    from pyspark.sql import functions as F
+
+    from ..operators.text_pipeline import html_to_text
+
+    w = read_warc(spark, path)
+    return (
+        w.filter(F.col("warc_type") == "response")
+        .withColumn("_txt", F.decode(F.col("payload"), "UTF-8"))
+        .withColumn("_body", F.expr(_HTTP_BODY_CASE))
+        .select(
+            F.coalesce(
+                F.regexp_extract("target_uri", r"^http://corpus/(-?\d+)$", 1)
+                .try_cast("long"),
+                F.xxhash64("warc_file", "record_no"),
+            ).alias("doc_id"),
+            html_to_text("_body").alias("text"),
+            F.lit(None).cast("string").alias("lang"),
+            F.col("warc_file").alias("source"),
+            F.length(html_to_text("_body")).cast("long").alias("n_chars"),
+        )
+    )
+
+
+def warc_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query proving the ingest story END TO END rather than
+    per stage: documents → HTTP-framed HTML-wrapped WARC archives
+    (distributed write, plain + gzip) → DataSource scan → HTTP strip →
+    HTML strip → per-doc (doc_id, n_clean_chars, text_h). The DuckDB
+    oracle computes the same projection DIRECTLY from the documents
+    table (html_to_text of the raw text — the wrap must round-trip to
+    exactly what stripping the unwrapped text yields, so every byte of
+    framing, codec, and strip logic is on the hash path).
+
+    Archives land in a per-invocation temp dir (they must outlive this
+    lazy DataFrame; the OS owns /tmp cleanup — same lifecycle as the
+    streaming replays' checkpoint dirs)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import h64
+
+    out = tempfile.mkdtemp(prefix="hha_warc_roundtrip_")
+    write_corpus_as_warc(spark, sf_dir, out)
+    ing = warc_ingest_documents(spark, out)
+    return ing.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_clean_chars"),
+        h64("text").alias("text_h"),
+    )
+
+
+def _warc_roundtrip_sql() -> str:
+    from ..functions.hashing import h64_sql
+    from ..operators.text_pipeline import html_to_text_sql
+
+    clean = html_to_text_sql("text")
+    return f"""
+    SELECT doc_id,
+           CAST(length({clean}) AS BIGINT) AS n_clean_chars,
+           {h64_sql(clean)} AS text_h
+    FROM documents
+"""
+
+
+WARC_ROUNDTRIP_SQL = _warc_roundtrip_sql()
