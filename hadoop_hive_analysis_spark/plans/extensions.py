@@ -432,8 +432,16 @@ def build() -> dict:
         "ext: ranking window fn",
         driver=False,
     )
+    # Rotated out of the driver window in round 8 (slot kept cube_orders
+    # scored after rotation_plan.py falsified its planned demotion): the
+    # star-join broadcast+agg physical shape stays driver-visible
+    # through q2, pricing_summary, and orders_above_customer_avg; keeps
+    # pytest parity + bench + raw-SQL dual.
     q["revenue_by_region"] = QuerySpec(
-        rx.revenue_by_region, rx.REVENUE_BY_REGION_SQL, "ext: 5-table star join"
+        rx.revenue_by_region,
+        rx.REVENUE_BY_REGION_SQL,
+        "ext: 5-table star join",
+        driver=False,
     )
     # Rotated out of the driver window in round 4 (slot went to
     # events_sliding_window): ROLLUP grouping-set signal stays driver-
@@ -445,15 +453,15 @@ def build() -> dict:
         "ext: ROLLUP grouping sets",
         driver=False,
     )
-    # Rotated out of the driver window in round 8 (slot went to
-    # events_scd2_intervals): grouping-set expansion stays driver-
-    # visible through events_hierarchical_rollup; keeps pytest parity +
-    # bench + raw-SQL dual.
+    # Kept scored in round 8: the planned r8 demotion ("grouping-set
+    # expansion stays visible through events_hierarchical_rollup") was
+    # FALSIFIED by scripts/rotation_plan.py — the rollup aggregates
+    # daily bars from hourly partials without an Expand node, so
+    # demoting cube_orders + events_sliding_window together would have
+    # dropped the Expand operator from the scored window entirely. The
+    # r8 slot came from revenue_by_region instead.
     q["cube_orders"] = QuerySpec(
-        rx.cube_orders,
-        rx.CUBE_ORDERS_SQL,
-        "ext: CUBE grouping sets",
-        driver=False,
+        rx.cube_orders, rx.CUBE_ORDERS_SQL, "ext: CUBE grouping sets"
     )
     # Rotated out of the driver window in round 4 (slot went to
     # seq_packing): Catalyst plans EXISTS/IN subqueries, INTERSECT, and
