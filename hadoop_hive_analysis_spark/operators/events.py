@@ -1063,3 +1063,230 @@ EVENTS_CHURN_SQL = f"""
                AS churned
     FROM last, m
 """
+
+
+# ------------------------------------------------- gap fill / resample
+
+GAPFILL_BUCKET_SEC = 600  # 10-minute resample grid
+
+
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resampling with gap filling — the hypertable
+    ``time_bucket_gapfill`` staple: per event_type, every 10-minute
+    bucket of the corpus time range appears exactly once, observed
+    buckets carry their exact count/sum, and EMPTY buckets are emitted
+    with n_events = 0 and the last observed cents carried forward
+    (LOCF), so downstream consumers see an unbroken series.
+
+    Scale shape: the events table is reduced by ONE partial-agg shuffle
+    on (event_type, bucket) — the only pass over raw data. The dense
+    grid is generated from a 1-row min/max aggregate cross-joined with
+    the distinct types and exploded via ``sequence()`` — O(types x
+    buckets) rows, independent of event count — and the observed
+    buckets LEFT-join into it (broadcast of the observed side is wrong
+    at 100 TB, but the GRID side stays small enough that the join keys
+    co-partition; Catalyst picks the join build side from sizes). The
+    LOCF carry-forward is ``last(cents, ignoreNulls)`` over the GRID
+    (types x buckets rows), never over raw events — the window pass
+    costs O(grid), not O(data).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("ts").cast("long") / GAPFILL_BUCKET_SEC)
+        .cast("long")
+        .alias("bucket"),
+        F.expr(_VAL_CENTS).alias("cents"),
+    )
+    observed = ev.groupBy("event_type", "bucket").agg(
+        F.count("*").alias("n_events"), F.sum("cents").alias("cents")
+    )
+    bounds = ev.agg(
+        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type", F.explode(F.expr("sequence(b0, b1)")).alias("bucket")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = (
+        grid.join(observed, ["event_type", "bucket"], "left")
+        .withColumn("n_events", F.coalesce("n_events", F.lit(0)))
+        .withColumn("locf_cents", F.last("cents", ignorenulls=True).over(w))
+    )
+    return filled.select(
+        "event_type",
+        (F.col("bucket") * GAPFILL_BUCKET_SEC).alias("bucket_epoch"),
+        "n_events",
+        (F.col("cents").cast("double") / 100.0).alias("bucket_value"),
+        (F.col("locf_cents").cast("double") / 100.0).alias("locf_value"),
+    )
+
+
+EVENTS_GAP_FILL_SQL = f"""
+    WITH ev AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) // {GAPFILL_BUCKET_SEC}
+                   AS bucket,
+               {_VAL_CENTS} AS cents
+        FROM events
+    ),
+    observed AS (
+        SELECT event_type, bucket,
+               count(*) AS n_events, sum(cents) AS cents
+        FROM ev GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(bucket) AS b0, max(bucket) AS b1 FROM ev),
+    grid AS (
+        SELECT t.event_type, g.bucket
+        FROM (SELECT DISTINCT event_type FROM ev) t,
+             (SELECT unnest(generate_series(b0, b1)) AS bucket
+              FROM bounds) g
+    ),
+    filled AS (
+        SELECT grid.event_type, grid.bucket,
+               COALESCE(observed.n_events, 0) AS n_events,
+               observed.cents AS cents,
+               last_value(observed.cents IGNORE NULLS) OVER (
+                   PARTITION BY grid.event_type ORDER BY grid.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS locf_cents
+        FROM grid LEFT JOIN observed USING (event_type, bucket)
+    )
+    SELECT event_type,
+           CAST(bucket * {GAPFILL_BUCKET_SEC} AS BIGINT) AS bucket_epoch,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(cents AS DOUBLE) / 100.0 AS bucket_value,
+           CAST(locf_cents AS DOUBLE) / 100.0 AS locf_value
+    FROM filled
+"""
+
+
+# ------------------------------------------------- MERGE / upsert apply
+
+MERGE_CUTOFF_NUM = 3  # cutoff = min + 3/4 of the corpus time range
+MERGE_CUTOFF_DEN = 4
+
+
+def events_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The warehouse MERGE (upsert) apply as a batch plan: a SNAPSHOT
+    (latest state per user over the first 3/4 of the corpus time range)
+    has a CHANGE BATCH (latest change per user from the last 1/4)
+    applied to it — update where both sides have the key, insert where
+    only the change batch does, carry where only the snapshot does.
+    ``op`` labels the action per key, so the result doubles as the
+    merge audit a production MERGE INTO emits as metrics.
+
+    Scale shape: both sides reduce by the same struct-max partial
+    aggregate as :func:`events_latest_state` (the shuffle carries keys,
+    not history), then ONE full-outer sort-merge join on user_id — the
+    two aggregations and the join all share the user_id partitioning,
+    so Catalyst plans a single exchange per side and no residual
+    shuffle for the join. The deterministic cutoff derives from the
+    corpus min/max epoch (1-row aggregate, broadcast) in exact integer
+    arithmetic.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("long").alias("ts_epoch"),
+        "event_id",
+        "event_type",
+        F.expr(_VAL_CENTS).alias("cents"),
+    )
+    bounds = ev.agg(
+        F.min("ts_epoch").alias("t0"), F.max("ts_epoch").alias("t1")
+    ).select(
+        F.expr(
+            f"t0 + (t1 - t0) * {MERGE_CUTOFF_NUM} DIV {MERGE_CUTOFF_DEN}"
+        ).alias("cutoff")
+    )
+    ev = ev.crossJoin(F.broadcast(bounds))
+
+    def latest(side):
+        return (
+            side.groupBy("user_id")
+            .agg(
+                F.max(
+                    F.struct("ts_epoch", "event_id", "event_type", "cents")
+                ).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .select(
+                "user_id",
+                F.col("s.ts_epoch").alias("ts_epoch"),
+                F.col("s.event_type").alias("event_type"),
+                F.col("s.cents").alias("cents"),
+                "n",
+            )
+        )
+
+    snap = latest(ev.filter(F.col("ts_epoch") <= F.col("cutoff")))
+    chg = latest(ev.filter(F.col("ts_epoch") > F.col("cutoff")))
+    s, c = snap.alias("s"), chg.alias("c")
+    merged = s.join(c, F.col("s.user_id") == F.col("c.user_id"), "full_outer")
+    return merged.select(
+        F.coalesce(F.col("s.user_id"), F.col("c.user_id")).alias("user_id"),
+        F.when(F.col("s.user_id").isNull(), F.lit("insert"))
+        .when(F.col("c.user_id").isNull(), F.lit("carry"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.coalesce(F.col("c.ts_epoch"), F.col("s.ts_epoch")).alias(
+            "last_ts_epoch"
+        ),
+        F.coalesce(F.col("c.event_type"), F.col("s.event_type")).alias(
+            "last_event_type"
+        ),
+        (
+            F.coalesce(F.col("c.cents"), F.col("s.cents")).cast("double")
+            / 100.0
+        ).alias("last_value"),
+        (
+            F.coalesce(F.col("s.n"), F.lit(0))
+            + F.coalesce(F.col("c.n"), F.lit(0))
+        ).cast("long").alias("n_versions"),
+    )
+
+
+EVENTS_MERGE_UPSERT_SQL = f"""
+    WITH ev AS (
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+               event_id, event_type, {_VAL_CENTS} AS cents
+        FROM events
+    ),
+    b AS (
+        SELECT min(ts_epoch)
+               + (max(ts_epoch) - min(ts_epoch))
+                 * {MERGE_CUTOFF_NUM} // {MERGE_CUTOFF_DEN} AS cutoff
+        FROM ev
+    ),
+    snap AS (
+        SELECT user_id, ts_epoch, event_type, cents, n FROM (
+            SELECT user_id, ts_epoch, event_type, cents,
+                   row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts_epoch DESC, event_id DESC) AS rn,
+                   count(*) OVER (PARTITION BY user_id) AS n
+            FROM ev, b WHERE ts_epoch <= cutoff
+        ) WHERE rn = 1
+    ),
+    chg AS (
+        SELECT user_id, ts_epoch, event_type, cents, n FROM (
+            SELECT user_id, ts_epoch, event_type, cents,
+                   row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts_epoch DESC, event_id DESC) AS rn,
+                   count(*) OVER (PARTITION BY user_id) AS n
+            FROM ev, b WHERE ts_epoch > cutoff
+        ) WHERE rn = 1
+    )
+    SELECT COALESCE(s.user_id, c.user_id) AS user_id,
+           CASE WHEN s.user_id IS NULL THEN 'insert'
+                WHEN c.user_id IS NULL THEN 'carry'
+                ELSE 'update' END AS op,
+           COALESCE(c.ts_epoch, s.ts_epoch) AS last_ts_epoch,
+           COALESCE(c.event_type, s.event_type) AS last_event_type,
+           CAST(COALESCE(c.cents, s.cents) AS DOUBLE) / 100.0 AS last_value,
+           CAST(COALESCE(s.n, 0) + COALESCE(c.n, 0) AS BIGINT) AS n_versions
+    FROM snap s FULL OUTER JOIN chg c ON s.user_id = c.user_id
+"""

@@ -842,3 +842,104 @@ def resize_images(df: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFrame:
             yield pd.DataFrame(o)
 
     return df.select("doc_id", "payload").mapInPandas(resize, RESIZE_SCHEMA)
+
+
+# ------------------------------------------------- audio-like payloads
+
+AUDIO_STATS_SCHEMA = (
+    "doc_id long, n_samples long, sum_sq long, peak long, "
+    "zero_crossings long, rms double"
+)
+
+
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waveform feature extraction over audio-like binary payloads: the
+    payload bytes are interpreted as little-endian PCM16 samples (the
+    WAV data-chunk layout) and reduced to the standard audio-pipeline
+    screens — exact int64 energy (sum of squares), peak amplitude,
+    zero-crossing count, and the derived RMS. The decode is one
+    vectorized numpy ``frombuffer`` per Arrow batch (no per-sample
+    Python), the same mapInPandas shape as the image decoders; a real
+    deployment swaps the PCM interpretation for a codec call and keeps
+    every other line.
+
+    Scale shape: embarrassingly parallel single pass, zero shuffles,
+    output row-per-payload. Exactness: sum_sq/peak/zero_crossings are
+    exact integers (PCM16 squares bound 2^30, corpus-length sums far
+    inside int64); ``rms`` is the one derived double. A trailing odd
+    byte is dropped (PCM frames are 2-byte aligned). Sign semantics are
+    true int16 two's complement — exercised on constructed negative
+    samples in tests; the hex-free DuckDB twin mirrors the arithmetic
+    over the fixture's ASCII payload bytes.
+    """
+    import pandas as pd
+
+    d = with_payload(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "payload"
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_samples": [], "sum_sq": [], "peak": [],
+                "zero_crossings": [], "rms": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = len(b) // 2
+                s = np.frombuffer(b[: 2 * n], dtype="<i2").astype(np.int64)
+                sum_sq = int((s * s).sum()) if n else 0
+                peak = int(np.abs(s).max()) if n else 0
+                # crossing = adjacent strict sign change (0 is no sign)
+                zc = int(((s[:-1] * s[1:]) < 0).sum()) if n > 1 else 0
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(n)
+                out["sum_sq"].append(sum_sq)
+                out["peak"].append(peak)
+                out["zero_crossings"].append(zc)
+                # math.sqrt, not ** 0.5: pow(x, 0.5) can be off by an
+                # ulp from the correctly-rounded sqrt the SQL twin uses
+                out["rms"].append(math.sqrt(sum_sq / n) if n else None)
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(stats, AUDIO_STATS_SCHEMA)
+
+
+# DuckDB twin: the fixture payload is the text's ASCII bytes (asserted
+# in tests), so sample i = ascii(t[2i-1]) + 256*ascii(t[2i]) in int16
+# two's complement (the CASE handles the sign bit even though ASCII
+# never sets it — same expression a real PCM blob would need).
+_PCM_SAMPLE = (
+    "list_transform(range(1, length(text) // 2 + 1), "
+    "i -> CASE WHEN ascii(text[2*i-1]) + 256 * ascii(text[2*i]) >= 32768 "
+    "THEN ascii(text[2*i-1]) + 256 * ascii(text[2*i]) - 65536 "
+    "ELSE ascii(text[2*i-1]) + 256 * ascii(text[2*i]) END)"
+)
+
+MULTIMODAL_AUDIO_STATS_SQL = f"""
+    WITH s AS (
+        SELECT doc_id,
+               CAST(length(text) // 2 AS BIGINT) AS n_samples,
+               {_PCM_SAMPLE} AS pcm
+        FROM documents
+    )
+    SELECT doc_id,
+           n_samples,
+           CAST(COALESCE(list_sum(list_transform(pcm, x -> x * x)), 0)
+               AS BIGINT) AS sum_sq,
+           CAST(COALESCE(list_max(list_transform(pcm, x -> abs(x))), 0)
+               AS BIGINT) AS peak,
+           CAST(COALESCE(list_sum(list_transform(
+                   range(1, len(pcm)), i ->
+                   CASE WHEN pcm[i] * pcm[i+1] < 0 THEN 1 ELSE 0 END)), 0)
+               AS BIGINT) AS zero_crossings,
+           CASE WHEN n_samples > 0
+                THEN sqrt(CAST(list_sum(list_transform(pcm, x -> x * x))
+                          AS DOUBLE) / n_samples)
+                ELSE NULL END AS rms
+    FROM s
+"""

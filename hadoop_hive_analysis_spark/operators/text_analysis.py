@@ -1139,3 +1139,91 @@ CORPUS_COLLOCATIONS_SQL = rf"""
     ORDER BY lift DESC, cb.w1 ASC, cb.w2 ASC
     LIMIT {COLLOC_TOP_K}
 """
+
+
+# ----------------------------------------- hashed-feature classifier
+
+CLS_BUCKETS = 4096  # hashing-trick feature space
+CLS_W_RANGE = 1000  # weights in [-1000, 1000] fixed-point milli-units
+
+
+def _cls_weight_spark(tok: str) -> str:
+    """Fixed-point weight of token expression ``tok`` (Spark SQL text):
+    bucket by the portable md5 h64 mod CLS_BUCKETS, then derive the
+    bucket's weight from a second keyed hash — a frozen random linear
+    model, reproducible in any engine with md5."""
+    h = f"CAST(conv(substr(md5({tok}), 1, 15), 16, 10) AS BIGINT)"
+    b = f"({h} % {CLS_BUCKETS})"
+    hw = (
+        f"CAST(conv(substr(md5(concat('w:', CAST({b} AS STRING))), 1, 15),"
+        f" 16, 10) AS BIGINT)"
+    )
+    return f"({hw} % {2 * CLS_W_RANGE + 1} - {CLS_W_RANGE})"
+
+
+def _cls_weight_duck(tok: str) -> str:
+    h = f"('0x' || substr(md5({tok}), 1, 15))::BIGINT"
+    b = f"({h} % {CLS_BUCKETS})"
+    hw = f"('0x' || substr(md5('w:' || CAST({b} AS VARCHAR)), 1, 15))::BIGINT"
+    return f"({hw} % {2 * CLS_W_RANGE + 1} - {CLS_W_RANGE})"
+
+
+def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring — the CCNet/FineWeb pipeline stage the
+    heuristic filters approximate: a LINEAR CLASSIFIER over
+    hashing-trick token features (fastText-style bag of hashed words),
+    scored at inference time. The model here is a frozen pseudo-random
+    weight table (bucket weight = keyed md5 of the bucket id) so both
+    engines reconstruct identical weights from nothing but the hash —
+    swapping in trained weights is a literal-table change, not a plan
+    change.
+
+    Scale shape: ZERO shuffles, zero joins — the whole inference is one
+    higher-order fold per document (tokenize → per-token bucket hash →
+    weight hash → exact int64 logit sum), whole-stage codegen over a
+    single corpus scan. This is the right 100 TB shape for classifier
+    inference: embarrassingly parallel, no weight broadcast needed
+    (the hashing trick makes the weight table a pure function), output
+    row-per-doc. ``keep`` is the sign of the exact fixed-point logit,
+    so the decision is bit-identical across engines; the per-token
+    mean is the one derived double.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = r"filter(split(text, '\\s+'), t -> t <> '')"
+    logit = (
+        f"aggregate({toks}, 0L, (acc, t) -> acc + {_cls_weight_spark('t')})"
+    )
+    return d.select(
+        "doc_id",
+        F.expr(f"size({toks})").cast("long").alias("n_tokens"),
+        F.expr(logit).alias("logit_fp"),
+        (F.expr(logit) >= 0).alias("keep"),
+        F.when(
+            F.expr(f"size({toks})") > 0,
+            F.expr(logit).cast("double")
+            / (F.lit(float(CLS_W_RANGE)) * F.expr(f"size({toks})")),
+        ).alias("mean_token_score"),
+    )
+
+
+DOC_QUALITY_CLASSIFIER_SQL = rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'),
+                           t -> t <> '') AS ts
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(len(ts) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(list_sum(list_transform(ts,
+                   t -> {_cls_weight_duck('t')})), 0) AS BIGINT) AS logit_fp
+        FROM toks
+    )
+    SELECT doc_id, n_tokens, logit_fp,
+           logit_fp >= 0 AS keep,
+           CASE WHEN n_tokens > 0
+                THEN CAST(logit_fp AS DOUBLE) / ({CLS_W_RANGE}.0 * n_tokens)
+                ELSE NULL END AS mean_token_score
+    FROM scored
+"""

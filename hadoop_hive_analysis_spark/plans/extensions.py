@@ -346,6 +346,18 @@ def build() -> dict:
     # visible through doc_tfidf_cosine_pairs (built on the same df/
     # weight machinery) and the per-doc top-K WindowGroupLimit through
     # train_stratified_sample; keeps pytest parity + bench.
+    # Round-8 addition, staged for the r9 rotation: model-based quality
+    # scoring (the CCNet/FineWeb classifier stage) — a frozen linear
+    # model over hashing-trick token features, inference as ONE
+    # zero-shuffle codegen fold per document; exact fixed-point logit
+    # so the keep decision is bit-identical across engines.
+    q["doc_quality_classifier"] = QuerySpec(
+        text_analysis.doc_quality_classifier,
+        text_analysis.DOC_QUALITY_CLASSIFIER_SQL,
+        "ext: hashed-feature linear quality classifier (zero-shuffle "
+        "codegen inference, exact int64 logit)",
+        driver=False,
+    )
     q["doc_tfidf_topterms"] = QuerySpec(
         text_analysis.doc_tfidf_topterms,
         text_analysis.DOC_TFIDF_SQL,
@@ -987,6 +999,26 @@ def build() -> dict:
     # Both promoted in the round-8 rotation (slots from
     # events_sliding_window and cube_orders): the CDC/warehouse pair,
     # both measured FLAT at 10x (SCALING.md).
+    # Round-8 additions, staged for the r9 rotation: the MERGE/upsert
+    # APPLY (full-outer join — the one join type no other registered
+    # plan exercises) and regular-grid gap filling with LOCF (the
+    # hypertable time_bucket_gapfill staple; the window pass runs over
+    # the generated grid, never over raw events).
+    q["events_merge_upsert"] = QuerySpec(
+        events.events_merge_upsert,
+        events.EVENTS_MERGE_UPSERT_SQL,
+        "ext: MERGE/upsert apply (snapshot full-outer change batch, "
+        "insert/update/carry audit; struct-max sides share the join's "
+        "user_id partitioning)",
+        driver=False,
+    )
+    q["events_gap_fill"] = QuerySpec(
+        events.events_gap_fill,
+        events.EVENTS_GAP_FILL_SQL,
+        "ext: time-bucket gap fill + LOCF (dense grid generated from a "
+        "1-row bounds agg; one partial-agg shuffle over raw events)",
+        driver=False,
+    )
     q["events_latest_state"] = QuerySpec(
         events.events_latest_state,
         events.EVENTS_LATEST_STATE_SQL,
@@ -1157,6 +1189,19 @@ def build() -> dict:
         similarity.ann_cosine_topk_float,
         None,  # float path: cross-engine low-bit drift → rows-only check
         "ext: true-cosine top-K (float path)",
+        driver=False,
+    )
+    # Round-8 addition, staged for the r9 rotation: the AUDIO face of
+    # the multimodal pillar — payload bytes as little-endian PCM16,
+    # reduced to exact int64 energy/peak/zero-crossings + derived RMS
+    # in one vectorized numpy pass per Arrow batch; true two's-
+    # complement sign semantics pinned on constructed negative samples
+    # in tests.
+    q["multimodal_audio_stats"] = QuerySpec(
+        multimodal.multimodal_audio_stats,
+        multimodal.MULTIMODAL_AUDIO_STATS_SQL,
+        "ext: PCM16 waveform stats over audio-like payloads (Arrow "
+        "mapInPandas, exact integer energy/peak/crossings)",
         driver=False,
     )
     # Promoted in the round-8 rotation (slot from order_priority_late_

@@ -318,3 +318,78 @@ def test_latest_state_ordering_key_unique(spark, sf_dir):
         .count()
     )
     assert dupes == 0
+
+
+def test_merge_upsert_three_ops(spark, tmp_path):
+    """The MERGE apply must label all three actions: carry (snapshot
+    only), update (both sides — change wins), insert (change only).
+    Cutoff = min + 3/4 range = t0 + 75 over a 100-second span."""
+    import datetime
+
+    from hadoop_hive_analysis_spark.operators.events import events_merge_upsert
+
+    t = lambda s: datetime.datetime(2024, 1, 1, 0, 0, 0) + datetime.timedelta(
+        seconds=s
+    )
+    _write_events(
+        spark,
+        tmp_path,
+        [
+            # span [0, 100] -> cutoff at 75
+            (1, t(0), 1, "view", 1.00, "{}"),      # carry user
+            (2, t(10), 2, "view", 2.00, "{}"),     # update user: snapshot
+            (3, t(76), 2, "purchase", 9.00, "{}"),  # update user: change
+            (4, t(80), 3, "signup", 5.00, "{}"),    # insert user
+            (5, t(100), 3, "click", 7.00, "{}"),    # insert user, later
+        ],
+    )
+    got = {r.user_id: r for r in events_merge_upsert(spark, str(tmp_path)).collect()}
+    assert got[1].op == "carry" and got[1].last_value == 1.0
+    assert got[1].n_versions == 1
+    assert got[2].op == "update" and got[2].last_event_type == "purchase"
+    assert got[2].last_value == 9.0 and got[2].n_versions == 2
+    assert got[3].op == "insert" and got[3].last_event_type == "click"
+    assert got[3].last_value == 7.0 and got[3].n_versions == 2
+
+
+def test_gap_fill_locf_and_leading_nulls(spark, tmp_path):
+    """Gap filling: empty buckets appear with n_events=0 and the last
+    observed value carried forward; buckets BEFORE a type's first
+    observation carry NULL (nothing to carry)."""
+    import datetime
+
+    from hadoop_hive_analysis_spark.operators.events import (
+        GAPFILL_BUCKET_SEC,
+        events_gap_fill,
+    )
+
+    t = lambda s: datetime.datetime(2024, 1, 1, 0, 0, 0) + datetime.timedelta(
+        seconds=s
+    )
+    B = GAPFILL_BUCKET_SEC
+    _write_events(
+        spark,
+        tmp_path,
+        [
+            # type A: buckets 0 and 3 observed; 1, 2 are gaps
+            (1, t(10), 1, "A", 2.00, "{}"),
+            (2, t(3 * B + 5), 1, "A", 5.00, "{}"),
+            # type B: first observation in bucket 2 -> leading NULLs
+            (3, t(2 * B + 1), 2, "B", 7.00, "{}"),
+        ],
+    )
+    rows = {
+        (r.event_type, r.bucket_epoch): r
+        for r in events_gap_fill(spark, str(tmp_path)).collect()
+    }
+    base = min(k[1] for k in rows)  # grid-aligned epoch of bucket 0
+    # grid is types x full range: 2 types x 4 buckets
+    assert len(rows) == 8
+    a1 = rows[("A", base + B)]
+    assert (a1.n_events, a1.bucket_value, a1.locf_value) == (0, None, 2.0)
+    a3 = rows[("A", base + 3 * B)]
+    assert (a3.n_events, a3.locf_value) == (1, 5.0)
+    b0 = rows[("B", base)]
+    assert (b0.n_events, b0.bucket_value, b0.locf_value) == (0, None, None)
+    b3 = rows[("B", base + 3 * B)]
+    assert (b3.n_events, b3.locf_value) == (0, 7.0)

@@ -460,3 +460,57 @@ def test_ahash_and_resize_agree_across_ppm_and_bmp(spark):
     # and the thumbnail is upright: top row darker than bottom row
     t = thumbs[1]
     assert sum(t[:4]) < sum(t[12:])
+
+
+def test_audio_stats_signed_pcm_and_odd_byte(spark, tmp_path):
+    """PCM16 semantics on adversarial payloads: non-ASCII text UTF-8-
+    encodes to bytes with the sign bit set, so samples go NEGATIVE —
+    sum_sq/peak/zero_crossings must match an independent numpy
+    reference on the encoded bytes; a trailing odd byte is dropped."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from hadoop_hive_analysis_spark.operators.multimodal import (
+        multimodal_audio_stats,
+    )
+
+    texts = {
+        1: "abcd",          # even ASCII
+        2: "éué½x",         # multi-byte UTF-8 -> high-bit bytes, odd len
+        3: "",              # empty -> zero samples
+        4: "é" * 51,        # 102 bytes of alternating 0xC3 0xA9
+    }
+    pdf = pd.DataFrame(
+        {"doc_id": list(texts), "text": list(texts.values()),
+         "lang": ["en"] * 4, "source": ["t"] * 4,
+         "n_chars": [len(v) for v in texts.values()]}
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    got = {
+        r.doc_id: r
+        for r in multimodal_audio_stats(spark, str(tmp_path)).collect()
+    }
+    for doc_id, text in texts.items():
+        b = text.encode("utf-8")
+        n = len(b) // 2
+        s = np.frombuffer(b[: 2 * n], dtype="<i2").astype(np.int64)
+        r = got[doc_id]
+        assert r.n_samples == n
+        assert r.sum_sq == int((s * s).sum()) if n else r.sum_sq == 0
+        assert r.peak == (int(np.abs(s).max()) if n else 0)
+        assert r.zero_crossings == (
+            int(((s[:-1] * s[1:]) < 0).sum()) if n > 1 else 0
+        )
+        if n:
+            import math
+
+            assert r.rms == math.sqrt(int((s * s).sum()) / n)
+        else:
+            assert r.rms is None
+    # the multi-byte docs must actually exercise negative samples
+    neg = np.frombuffer(texts[2].encode("utf-8")[:8], dtype="<i2")
+    assert (neg < 0).any()

@@ -466,3 +466,35 @@ def test_rolling_stats_single_window_pass(plans):
     p = plans("events_rolling_stats")
     assert p.count("Window [") == 1
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_merge_upsert_full_outer_reuses_agg_partitioning(plans):
+    # The MERGE apply: both sides reduce via struct-max partial->final
+    # HashAggregate on user_id, and the full-outer SortMergeJoin reuses
+    # that partitioning — exactly one exchange per side, none between
+    # the aggregates and the join.
+    p = plans("events_merge_upsert")
+    assert "FullOuter" in p
+    assert p.count("Exchange hashpartitioning(user_id") <= 2
+    assert "partial_max" in p or "partial_count" in p
+
+
+def test_gap_fill_window_runs_on_grid_not_events(plans):
+    # The dense grid comes from sequence()+explode of a 1-row bounds
+    # aggregate (Generate), the raw events reduce through ONE partial-agg
+    # shuffle, and the LOCF window sorts the GRID, never raw events.
+    p = plans("events_gap_fill")
+    assert "Generate explode(sequence(" in p
+    assert "Window" in p
+    # exactly one exchange carries the (event_type, bucket) aggregation
+    # of raw events; the grid side exchanges only grid-sized frames
+    assert "partial_count" in p
+
+
+def test_quality_classifier_zero_shuffle_single_scan(plans):
+    # Classifier inference is ONE codegen fold per document: no
+    # exchanges, no joins, one parquet scan.
+    p = plans("doc_quality_classifier")
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert p.count("Scan parquet") == 1

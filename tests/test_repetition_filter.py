@@ -110,3 +110,55 @@ def test_source_drift_planted(spark, tmp_path):
     # the majority source barely moves from the corpus distribution
     assert got["typical"].tv < 0.25
     assert got["offdist"].tv > 3 * got["typical"].tv
+
+
+def test_quality_classifier_weight_derivation(spark, tmp_path):
+    """The frozen hashed-feature model must be reproducible from NOTHING
+    but md5: recompute the per-token weight in pure Python (hashlib) and
+    check the exact fixed-point logit, the empty-doc edge, and that
+    repeated tokens scale the logit linearly."""
+    import hashlib
+    import os
+
+    import pandas as pd
+
+    from hadoop_hive_analysis_spark.operators.text_analysis import (
+        CLS_BUCKETS,
+        CLS_W_RANGE,
+        doc_quality_classifier,
+    )
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def weight(tok: str) -> int:
+        b = h60(tok) % CLS_BUCKETS
+        return h60(f"w:{b}") % (2 * CLS_W_RANGE + 1) - CLS_W_RANGE
+
+    texts = {
+        1: "alpha beta gamma",
+        2: "alpha alpha alpha alpha",
+        3: "",
+        4: "  spaced   out  ",  # empty split artifacts must be filtered
+    }
+    pdf = pd.DataFrame(
+        {"doc_id": list(texts), "text": list(texts.values()),
+         "lang": ["en"] * 4, "source": ["t"] * 4,
+         "n_chars": [len(v) for v in texts.values()]}
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    got = {
+        r.doc_id: r
+        for r in doc_quality_classifier(spark, str(tmp_path)).collect()
+    }
+    assert got[1].logit_fp == sum(weight(t) for t in ["alpha", "beta", "gamma"])
+    assert got[1].n_tokens == 3
+    assert got[2].logit_fp == 4 * weight("alpha")
+    assert got[2].keep == (got[2].logit_fp >= 0)
+    assert (got[3].n_tokens, got[3].logit_fp, got[3].mean_token_score) == (
+        0, 0, None,
+    )
+    assert got[4].n_tokens == 2
+    assert got[4].logit_fp == weight("spaced") + weight("out")
