@@ -1290,3 +1290,141 @@ EVENTS_MERGE_UPSERT_SQL = f"""
            CAST(COALESCE(s.n, 0) + COALESCE(c.n, 0) AS BIGINT) AS n_versions
     FROM snap s FULL OUTER JOIN chg c ON s.user_id = c.user_id
 """
+
+
+# ------------------------------------------------- rolling active users
+
+RAU_WINDOW_DAYS = 7
+
+
+def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct active users per day (the WAU curve) —
+    the sliding-window DISTINCT aggregation, which unlike sums cannot
+    ride a running add/evict window frame: distinct is not subtractable.
+
+    Scale shape: the standard explode-to-window rewrite — each (user,
+    active day) pair (ONE distinct partial-agg over raw events first,
+    so the explode amplifies unique user-days, not raw events) fans out
+    to the RAU_WINDOW_DAYS report days it supports, then one
+    (report_day, user) distinct count. Work is O(user-days x window),
+    independent of raw event volume beyond the first partial agg —
+    the same rewrite every warehouse uses for rolling MAU at scale.
+    Report days cover only days observed in the corpus (grid from the
+    observed distinct days, so the curve has no empty tail).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("CAST(ts AS LONG) div 86400").alias("day")
+    )
+    user_days = ev.distinct()
+    fanout = user_days.select(
+        "user_id",
+        F.explode(
+            F.expr(f"sequence(day, day + {RAU_WINDOW_DAYS - 1})")
+        ).alias("report_day"),
+    )
+    observed = ev.select("day").distinct().withColumnRenamed("day", "report_day")
+    return (
+        fanout.join(observed, "report_day")
+        .groupBy("report_day")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .select(
+            (F.col("report_day") * 86400).alias("day_epoch"),
+            F.col("active_users").cast("long").alias("active_users"),
+        )
+    )
+
+
+EVENTS_ROLLING_ACTIVE_SQL = f"""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+        FROM events
+    ),
+    fanout AS (
+        SELECT user_id, day + d.off AS report_day
+        FROM ud, (SELECT unnest(generate_series(0, {RAU_WINDOW_DAYS - 1}))
+                  AS off) d
+    ),
+    observed AS (SELECT DISTINCT day AS report_day FROM ud)
+    SELECT CAST(report_day * 86400 AS BIGINT) AS day_epoch,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+    FROM fanout JOIN observed USING (report_day)
+    GROUP BY report_day
+"""
+
+
+# ------------------------------------------------- audience overlap
+
+
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience intersection across event types: for every
+    unordered pair of event types, the exact distinct-user overlap and
+    its Jaccard — the "which segments share users" report sketches
+    (HLL) cannot answer (HLL unions merge; intersections don't).
+
+    Scale shape: raw events reduce to the distinct (event_type, user)
+    frame FIRST (one partial-agg shuffle — the frame is bounded by
+    users x types, not events), the pair enumeration is a self-join on
+    user_id of that reduced frame (per-user cost = types-per-user
+    squared, bounded by the type-universe cardinality — the classic
+    bounded-dimension self-join), and per-type audience sizes join
+    back by broadcast.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    tu = ev.distinct()
+    sizes = tu.groupBy("event_type").agg(F.count("*").alias("n"))
+    a, b = tu.alias("a"), tu.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_both"))
+    )
+    na = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("n_a")
+    )
+    nb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_both").cast("long").alias("n_both"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            (
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+EVENTS_AUDIENCE_OVERLAP_SQL = """
+    WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+    sizes AS (SELECT event_type, count(*) AS n FROM tu GROUP BY 1),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS n_both
+        FROM tu a JOIN tu b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT type_a, type_b,
+           CAST(n_both AS BIGINT) AS n_both,
+           CAST(na.n AS BIGINT) AS n_a,
+           CAST(nb.n AS BIGINT) AS n_b,
+           CAST(n_both AS DOUBLE) / (na.n + nb.n - n_both) AS jaccard
+    FROM pairs
+    JOIN sizes na ON na.event_type = type_a
+    JOIN sizes nb ON nb.event_type = type_b
+"""

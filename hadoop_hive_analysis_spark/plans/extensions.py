@@ -58,6 +58,19 @@ def build() -> dict:
         "ext: n-gram Jaccard near-dup",
         driver=False,
     )
+    # Round-8 addition, staged for the r9 rotation: the OTHER classical
+    # set-similarity candidate generator — PPJoin-style prefix
+    # filtering (rarest-first canonical order, prefix-only join, exact
+    # candidate-restricted verify). Shares the full-join query's oracle
+    # (identical contract, different algorithm — the clusters/bigstar
+    # precedent); completeness + pruning ratio pinned in tests.
+    q["dedup_prefix_filter_jaccard"] = QuerySpec(
+        dedup.dedup_prefix_filter_jaccard,
+        dedup.DEDUP_NGRAM_JACCARD_SQL,  # same contract, other algorithm
+        "ext: n-gram Jaccard near-dup via PPJoin prefix filtering "
+        "(prefix-only candidate join, ~5x posting cut at t=0.8)",
+        driver=False,
+    )
     q["dedup_minhash_lsh"] = QuerySpec(
         dedup.dedup_minhash_lsh,
         dedup.DEDUP_MINHASH_LSH_SQL,
@@ -1004,6 +1017,25 @@ def build() -> dict:
     # plan exercises) and regular-grid gap filling with LOCF (the
     # hypertable time_bucket_gapfill staple; the window pass runs over
     # the generated grid, never over raw events).
+    # Round-8 additions, staged for the r9 rotation: the rolling
+    # distinct-actives curve (WAU — distinct is not subtractable, so
+    # the sliding window becomes the explode-to-window rewrite over
+    # unique user-days) and the pairwise audience-overlap report (the
+    # intersection question HLL sketches cannot answer).
+    q["events_rolling_active_users"] = QuerySpec(
+        events.events_rolling_active_users,
+        events.EVENTS_ROLLING_ACTIVE_SQL,
+        "ext: trailing 7-day distinct active users (user-day distinct "
+        "first, x7 fanout, one distinct count per report day)",
+        driver=False,
+    )
+    q["events_audience_overlap"] = QuerySpec(
+        events.events_audience_overlap,
+        events.EVENTS_AUDIENCE_OVERLAP_SQL,
+        "ext: pairwise audience intersection + Jaccard across event "
+        "types (distinct (type,user) frame self-join, broadcast sizes)",
+        driver=False,
+    )
     q["events_merge_upsert"] = QuerySpec(
         events.events_merge_upsert,
         events.EVENTS_MERGE_UPSERT_SQL,

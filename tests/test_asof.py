@@ -393,3 +393,39 @@ def test_gap_fill_locf_and_leading_nulls(spark, tmp_path):
     assert (b0.n_events, b0.bucket_value, b0.locf_value) == (0, None, None)
     b3 = rows[("B", base + 3 * B)]
     assert (b3.n_events, b3.locf_value) == (0, 7.0)
+
+
+def test_rolling_active_users_window_math(spark, tmp_path):
+    """WAU fanout: a user active on day D supports report days
+    D..D+6, but only OBSERVED days appear; distinct users counted once
+    however many events they have in the window."""
+    import datetime
+
+    from hadoop_hive_analysis_spark.operators.events import (
+        events_rolling_active_users,
+    )
+
+    day = lambda d, s=0: datetime.datetime(2024, 1, 1) + datetime.timedelta(
+        days=d, seconds=s
+    )
+    _write_events(
+        spark,
+        tmp_path,
+        [
+            (1, day(0), 1, "A", 1.0, "{}"),
+            (2, day(0, 60), 1, "A", 1.0, "{}"),  # same user+day: once
+            (3, day(0), 2, "A", 1.0, "{}"),
+            (4, day(6), 2, "A", 1.0, "{}"),   # day 6: users 1,2 in window
+            (5, day(8), 3, "A", 1.0, "{}"),   # day 8: user 2 (day6) + 3
+        ],
+    )
+    base = int(day(0).replace(tzinfo=datetime.timezone.utc).timestamp())
+    got = {
+        r.day_epoch: r.active_users
+        for r in events_rolling_active_users(spark, str(tmp_path)).collect()
+    }
+    # observed days: 0, 6, 8 only
+    assert set(got) == {base, base + 6 * 86400, base + 8 * 86400}
+    assert got[base] == 2              # users 1, 2 on day 0
+    assert got[base + 6 * 86400] == 2  # users 1, 2 (day-0 activity still in window)
+    assert got[base + 8 * 86400] == 2  # user 2 (day 6) + user 3

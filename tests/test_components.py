@@ -164,3 +164,69 @@ def test_ensemble_collapse_joins_mixed_chain(spark, tmp_path):
     lex = {r.doc_id for r in dedup_collapse(spark, str(d)).collect()}
     assert ens == {1, 4}  # {1,2,3} joint cluster -> survivor 1
     assert lex == {1, 3, 4}  # lexical alone cannot see 2~3
+
+
+def test_prefix_filter_jaccard_complete_and_pruning(spark, sf_dir):
+    """PPJoin prefix filtering must (a) produce EXACTLY the full
+    posting-join algorithm's pair set — the prefix theorem guarantees
+    no true pair is pruned — and (b) actually prune: the prefix
+    candidate-pair count must be strictly below the full join's."""
+    from pyspark.sql import functions as F
+
+    from hadoop_hive_analysis_spark.operators.dedup import (
+        _informative_shingles,
+        dedup_ngram_jaccard,
+        dedup_prefix_filter_jaccard,
+    )
+
+    full = sorted(
+        tuple(r) for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+    )
+    pref = sorted(
+        tuple(r) for r in dedup_prefix_filter_jaccard(spark, sf_dir).collect()
+    )
+    assert full == pref and len(full) > 0
+
+    # measure the pruning: candidate pairs from full posting join vs
+    # from the prefix-only join (same canonical order as the operator)
+    from pyspark.sql import Window
+
+    sh = _informative_shingles(spark, sf_dir).localCheckpoint(eager=False)
+    a, b = sh.alias("a"), sh.alias("b")
+    full_cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id"), F.col("b.doc_id"))
+        .distinct()
+        .count()
+    )
+    dfs = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    ranked = (
+        sh.join(dfs, "shingle")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "shingle")
+            ),
+        )
+        .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
+    )
+    pref_frame = ranked.filter(
+        F.col("rk") <= F.col("n") - F.expr("(4 * n + 4) DIV 5") + 1
+    ).select("doc_id", "shingle")
+    pa, pb = pref_frame.alias("pa"), pref_frame.alias("pb")
+    pref_cand = (
+        pa.join(
+            pb,
+            (F.col("pa.shingle") == F.col("pb.shingle"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(F.col("pa.doc_id"), F.col("pb.doc_id"))
+        .distinct()
+        .count()
+    )
+    assert pref_cand < full_cand
+    assert pref_cand >= len(full)  # still a superset of true pairs
