@@ -233,3 +233,37 @@ def write_zorder_clustered(
             spark.conf.unset(conf_key)
         else:
             spark.conf.set(conf_key, prev)
+
+
+def write_bloom_indexed(
+    df: DataFrame,
+    path: str,
+    bloom_cols: list[str],
+    n_files: int,
+    expected_ndv: int = 1_000_000,
+    **writer_options: str,
+) -> None:
+    """Write ``df`` with parquet BLOOM FILTERS on ``bloom_cols`` — the
+    layout lever for POINT lookups that range/Z-order clustering cannot
+    serve: min/max row-group stats prune range predicates, but an
+    equality probe on a high-cardinality unclustered key (a digest, an
+    event_id) falls inside every group's min/max and scans everything.
+    A bloom filter answers "definitely absent" per row group, so
+    NEGATIVE lookups — the dominant case in ingest-time existence
+    checks ("is this content digest already in the corpus?", the
+    streaming-dedup snapshot probe) — skip every group. Measured in
+    ``tests/test_layout.py``: an absent-key equality probe scans ALL
+    rows without the filter and ZERO rows with it.
+
+    At 100 TB: blooms cost ~1.2 bytes/ndv per group (expected_ndv
+    bounds the false-positive rate), read only when an eq predicate
+    names the column, and compose with clustering — range-cluster the
+    time dimension, bloom the identity dimension.
+    """
+    w = df.repartition(n_files).write.mode("overwrite")
+    for c in bloom_cols:
+        w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        w = w.option(f"parquet.bloom.filter.expected.ndv#{c}", str(expected_ndv))
+    for k, v in writer_options.items():
+        w = w.option(k, v)
+    w.parquet(path)

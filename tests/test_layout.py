@@ -262,3 +262,47 @@ def test_zorder_prunes_both_dimensions(spark, sf_dir, tmp_path, no_aqe):
     lexi_t, zord_t = scanned(lexi, t_pred), scanned(zord, t_pred)
     assert lexi_t >= total * 9 // 10, (lexi_t, total)
     assert zord_t <= (total * 3) // 4, (zord_t, lexi_t, total)
+
+
+def test_bloom_filter_skips_absent_key_lookups(spark, sf_dir, tmp_path, no_aqe):
+    """Point lookup of an ABSENT key inside the global min/max range:
+    min/max stats cannot prune (every row group's range contains the
+    probe), so the plain layout scans everything; the bloom-indexed
+    layout must skip every row group. Present-key lookups stay correct."""
+    from hadoop_hive_analysis_spark.sources.layout import write_bloom_indexed
+
+    # spread ids so absent values exist INSIDE the occupied range
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("event_id") * 2).alias("event_id"), "user_id", "value"
+    )
+    plain = str(tmp_path / "plain")
+    bloom = str(tmp_path / "bloom")
+    ev.repartition(4).write.mode("overwrite").option(
+        "parquet.block.size", str(64 * 1024)
+    ).parquet(plain)
+    write_bloom_indexed(
+        ev, bloom, ["event_id"], n_files=4, expected_ndv=100_000,
+        **{"parquet.block.size": str(64 * 1024)},
+    )
+    total = ev.count()
+    mx = ev.agg(F.max("event_id")).first()[0]
+    probe = mx // 2
+    if probe % 2 == 0:
+        probe += 1  # odd -> guaranteed absent, inside [min, max]
+
+    got_plain = _scan_output_rows(
+        spark, spark.read.parquet(plain).filter(F.col("event_id") == probe)
+    )
+    got_bloom = _scan_output_rows(
+        spark, spark.read.parquet(bloom).filter(F.col("event_id") == probe)
+    )
+    assert got_plain == total  # min/max can't help an in-range probe
+    assert got_bloom == 0      # bloom proves absence per row group
+    # present key: bloom layout still returns the right row
+    present = ev.select("event_id").first()[0]
+    rows = (
+        spark.read.parquet(bloom)
+        .filter(F.col("event_id") == present)
+        .collect()
+    )
+    assert len(rows) >= 1 and all(r.event_id == present for r in rows)
