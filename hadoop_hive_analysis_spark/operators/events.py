@@ -1428,3 +1428,127 @@ EVENTS_AUDIENCE_OVERLAP_SQL = """
     JOIN sizes na ON na.event_type = type_a
     JOIN sizes nb ON nb.event_type = type_b
 """
+
+
+# ------------------------------------------------- trend / transitions
+
+
+def events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type linear trend of daily value: the OLS slope of (daily
+    cents sum) against the epoch-day index, computed from EXACT integer
+    cross-moments — n, Σx, Σy, Σxy, Σx² are int64 sums that commute and
+    re-aggregate (the distributed-regression shape: moments are the
+    partial-aggregable state; the only floats are the two final
+    divisions). slope in cents/day and the daily mean ship as doubles
+    derived from exact integers, so both engines agree bit-for-bit.
+
+    Scale shape: one (type, day) partial-agg shuffle over raw events,
+    then a types-sized moment aggregation — at 100 TB the raw pass
+    dominates and the moment state per type is five int64s.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(ts AS LONG) div 86400").alias("day"),
+        F.expr(_VAL_CENTS).alias("cents"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.sum("cents").alias("y")
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("day").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("day") * F.col("y")).alias("sxy"),
+        F.sum(F.col("day") * F.col("day")).alias("sxx"),
+    )
+    num = m["n"] * m["sxy"] - m["sx"] * m["sy"]
+    den = m["n"] * m["sxx"] - m["sx"] * m["sx"]
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.when(den != 0, num.cast("double") / den.cast("double") / 100.0)
+        .alias("slope_per_day"),
+        (m["sy"].cast("double") / m["n"] / 100.0).alias("mean_daily_value"),
+    )
+
+
+EVENTS_DAILY_TREND_SQL = f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+               sum({_VAL_CENTS}) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT event_type, count(*) AS n, sum(day) AS sx, sum(y) AS sy,
+               sum(day * y) AS sxy, sum(day * day) AS sxx
+        FROM daily GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_days,
+           CASE WHEN n * sxx - sx * sx <> 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0
+                END AS slope_per_day,
+           CAST(sy AS DOUBLE) / n / 100.0 AS mean_daily_value
+    FROM m
+"""
+
+
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral model: the event-type transition matrix —
+    for each ordered (prev_type, next_type) pair, how often a user's
+    next action follows the previous one, with the exact conditional
+    probability in ppm (integer DIV, so both engines agree on every
+    cell even at row boundaries).
+
+    Scale shape: one shuffle on user_id serves the ordering window
+    (lag over (ts, event_id) — the deterministic tie-break contract
+    shared with sessionize/SCD2); transitions then reduce by a
+    (prev, next) partial agg bounded by the type universe squared, and
+    the conditional denominator joins back by broadcast of the
+    types-sized row-total frame.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("long").alias("ts_epoch"),
+        "event_id",
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_epoch", "event_id")
+    tr = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    totals = tr.groupBy("prev_type").agg(F.sum("n").alias("row_total"))
+    return (
+        tr.join(F.broadcast(totals), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            F.col("n").cast("long").alias("n"),
+            F.expr("n * 1000000 DIV row_total").cast("long").alias("p_ppm"),
+        )
+    )
+
+
+EVENTS_MARKOV_SQL = """
+    WITH tr AS (
+        SELECT prev_type, event_type AS next_type, count(*) AS n FROM (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id
+                   ) AS prev_type
+            FROM events
+        ) WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    totals AS (SELECT prev_type, sum(n) AS row_total FROM tr GROUP BY 1)
+    SELECT prev_type, next_type,
+           CAST(n AS BIGINT) AS n,
+           CAST(n * 1000000 // row_total AS BIGINT) AS p_ppm
+    FROM tr JOIN totals USING (prev_type)
+"""

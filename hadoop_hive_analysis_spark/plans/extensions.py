@@ -1036,6 +1036,24 @@ def build() -> dict:
         "types (distinct (type,user) frame self-join, broadcast sizes)",
         driver=False,
     )
+    # Round-8 additions, staged for the r9 rotation: exact-moment OLS
+    # trend (the distributed-regression shape — five int64 moments per
+    # type are the whole state) and the first-order behavior model
+    # (transition matrix with exact ppm conditionals).
+    q["events_daily_trend"] = QuerySpec(
+        events.events_daily_trend,
+        events.EVENTS_DAILY_TREND_SQL,
+        "ext: per-type OLS daily-value trend (exact int64 cross-"
+        "moments, re-aggregatable; floats only at the final division)",
+        driver=False,
+    )
+    q["events_markov_transitions"] = QuerySpec(
+        events.events_markov_transitions,
+        events.EVENTS_MARKOV_SQL,
+        "ext: event-type transition matrix (one user_id window "
+        "shuffle, type-bounded pair agg, exact ppm conditionals)",
+        driver=False,
+    )
     q["events_merge_upsert"] = QuerySpec(
         events.events_merge_upsert,
         events.EVENTS_MERGE_UPSERT_SQL,
