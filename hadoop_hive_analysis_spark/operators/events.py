@@ -1516,11 +1516,16 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
     )
     w = Window.partitionBy("user_id").orderBy("ts_epoch", "event_id")
+    # tr is type²-bounded (tiny); materialize it so the row-total
+    # branch reads it instead of re-running the corpus window pass —
+    # without this the executed plan carries TWO user_id exchanges
+    # (measured; pinned in tests/test_plans.py)
     tr = (
         ev.withColumn("prev_type", F.lag("event_type").over(w))
         .filter(F.col("prev_type").isNotNull())
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
     )
     totals = tr.groupBy("prev_type").agg(F.sum("n").alias("row_total"))
     return (

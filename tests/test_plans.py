@@ -498,3 +498,27 @@ def test_quality_classifier_zero_shuffle_single_scan(plans):
     assert "Exchange" not in p
     assert "Join" not in p
     assert p.count("Scan parquet") == 1
+
+
+def test_daily_trend_moment_aggregation(plans):
+    # The regression state is partial-aggregable int64 moments — two
+    # HashAggregate pairs (daily rollup, then moments), no window, no
+    # join, one scan.
+    p = plans("events_daily_trend")
+    assert "Join" not in p
+    assert "Window" not in p
+    assert p.count("Scan parquet") == 1
+
+
+def test_markov_transition_frame_materialized_once(plans):
+    # The type²-bounded transition frame is materialized once (RDD
+    # scan) so the row-total branch reads it instead of re-running the
+    # corpus window pass (unmaterialized, the executed plan carried TWO
+    # user_id exchanges — measured); the conditional denominator joins
+    # back via broadcast, and no corpus-sized exchange survives in the
+    # consumer plan.
+    p = plans("events_markov_transitions")
+    assert "Scan ExistingRDD" in p
+    assert "Exchange hashpartitioning(user_id" not in p
+    assert "BroadcastHashJoin" in p
+    assert "events.parquet" not in p
