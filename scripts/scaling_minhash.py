@@ -144,9 +144,14 @@ def main() -> None:
         "size_ratio_at_max": results[-1]["multiplier"] / base["multiplier"],
         # MinHash banding is hash-dependent, so the renamed copies see
         # slightly different candidate sets — allow 1% estimate noise.
+        # Scale relative to the BASE run's multiplier, not absolute 1,
+        # so partial invocations (e.g. `5 10`) check the right ratio.
         "pairs_linear": all(
-            abs(r["pairs"] - base["pairs"] * r["multiplier"])
-            <= max(2, 0.01 * base["pairs"] * r["multiplier"])
+            abs(
+                r["pairs"]
+                - base["pairs"] * r["multiplier"] / base["multiplier"]
+            )
+            <= max(2, 0.01 * base["pairs"] * r["multiplier"] / base["multiplier"])
             for r in results
         ),
     }

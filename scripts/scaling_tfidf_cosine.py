@@ -87,9 +87,11 @@ def main() -> None:
                         "wall_ratio": round(b["wall_sec"] / a["wall_sec"], 2),
                         # weights depend only on within-copy dfs (shingle
                         # rename is a bijection): pairs must be EXACTLY
-                        # linear
+                        # linear (relative to the base run's multiplier,
+                        # so partial invocations check the right ratio)
                         "pairs_exactly_linear": all(
-                            r["pairs"] == a["pairs"] * r["multiplier"]
+                            r["pairs"] * a["multiplier"]
+                            == a["pairs"] * r["multiplier"]
                             for r in results
                         ),
                     }
