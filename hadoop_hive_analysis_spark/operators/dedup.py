@@ -1092,3 +1092,164 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= F.lit(JACCARD_THRESHOLD))
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+CONTAINMENT_THRESHOLD = 0.9  # |A ∩ B| / min(|A|, |B|)
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection: containment |A∩B| / min(|A|,|B|)
+    ≥ 0.9 over informative shingles — the quote/excerpt/superset case
+    symmetric Jaccard misses by construction (a 100-token excerpt
+    inside a 10,000-token doc has Jaccard ≈ 0.01 but containment 1.0).
+    The standard second pass of a production dedup stack (Lee et al.
+    run both document-level AND substring-level; containment is the
+    document-level face of the substring problem).
+
+    Output: (doc_small, doc_big, containment) where doc_small is the
+    side with the smaller informative-shingle set (ties broken by
+    doc_id so the pair orientation is deterministic in both engines).
+
+    Scale shape: identical to the Jaccard path — df-capped posting
+    self-join, partial-agg intersection counts, broadcast-friendly
+    cardinality join-backs; only the final predicate differs (min
+    instead of union), so the same candidate bound applies. The
+    division is exact-integer cross-multiplied: ix·10 ≥ 9·min(na,nb),
+    so threshold membership is bit-identical across engines.
+    """
+    sh = _informative_shingles(spark, sf_dir).localCheckpoint(eager=False)
+    card = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("ix"))
+    )
+    ca = card.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = card.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    j = inter.join(ca, "doc_a").join(cb, "doc_b")
+    mn = F.least(F.col("na"), F.col("nb"))
+    oriented = j.select(
+        F.when(
+            (F.col("na") < F.col("nb"))
+            | ((F.col("na") == F.col("nb")) & (F.col("doc_a") < F.col("doc_b"))),
+            F.col("doc_a"),
+        )
+        .otherwise(F.col("doc_b"))
+        .alias("doc_small"),
+        F.when(
+            (F.col("na") < F.col("nb"))
+            | ((F.col("na") == F.col("nb")) & (F.col("doc_a") < F.col("doc_b"))),
+            F.col("doc_b"),
+        )
+        .otherwise(F.col("doc_a"))
+        .alias("doc_big"),
+        F.col("ix"),
+        mn.alias("mn"),
+    )
+    return (
+        oriented.filter(F.col("ix") * 10 >= F.col("mn") * 9)
+        .select(
+            "doc_small",
+            "doc_big",
+            (F.col("ix").cast("double") / F.col("mn")).alias("containment"),
+        )
+    )
+
+
+DEDUP_CONTAINMENT_SQL = f"""
+    {_SHINGLE_SQL},
+    shf AS (
+        SELECT doc_id, shingle FROM (
+            SELECT doc_id, shingle,
+                   count(*) OVER (PARTITION BY shingle) AS df
+            FROM sh
+        ) WHERE df <= {STOP_SHINGLE_DF}
+    ),
+    card AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ix
+        FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT doc_a, doc_b, ix, ca.n AS na, cb.n AS nb,
+               least(ca.n, cb.n) AS mn
+        FROM inter
+        JOIN card ca ON ca.doc_id = doc_a
+        JOIN card cb ON cb.doc_id = doc_b
+    )
+    SELECT CASE WHEN na < nb OR (na = nb AND doc_a < doc_b)
+                THEN doc_a ELSE doc_b END AS doc_small,
+           CASE WHEN na < nb OR (na = nb AND doc_a < doc_b)
+                THEN doc_b ELSE doc_a END AS doc_big,
+           CAST(ix AS DOUBLE) / mn AS containment
+    FROM j WHERE ix * 10 >= mn * 9
+"""
+
+
+def dedup_family_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observability over the near-dup graph the collapse acts on: the
+    CLUSTER-SIZE HISTOGRAM — how many dup families of each size exist,
+    and how many docs each size class deletes. The report that decides
+    whether a corpus has a boilerplate problem (many tiny families) or
+    a mirror problem (few giant ones) before anything is removed.
+
+    Scale shape: runs the same star-contraction components as the
+    collapse (O(log n) rounds over pair edges), then two bounded
+    aggregations — per-component size, then per-size counts. Everything
+    after the pairs is component-table-sized.
+    """
+    from .components import connected_components_bigstar
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components_bigstar(pairs, "doc_a", "doc_b")
+    sizes = comp.groupBy("component").agg(F.count("*").alias("family_size"))
+    return (
+        sizes.groupBy("family_size")
+        .agg(F.count("*").alias("n_families"))
+        .select(
+            F.col("family_size").cast("long").alias("family_size"),
+            F.col("n_families").cast("long").alias("n_families"),
+            (F.col("family_size") * F.col("n_families"))
+            .cast("long")
+            .alias("n_docs"),
+            ((F.col("family_size") - 1) * F.col("n_families"))
+            .cast("long")
+            .alias("n_would_remove"),
+        )
+    )
+
+
+def _family_profile_sql() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS ({DEDUP_MINHASH_LSH_SQL}),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION
+        SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    labels AS (SELECT u AS node, min(v) AS component FROM reach GROUP BY u),
+    sizes AS (
+        SELECT component, count(*) AS family_size FROM labels GROUP BY 1
+    )
+    SELECT CAST(family_size AS BIGINT) AS family_size,
+           CAST(count(*) AS BIGINT) AS n_families,
+           CAST(family_size * count(*) AS BIGINT) AS n_docs,
+           CAST((family_size - 1) * count(*) AS BIGINT) AS n_would_remove
+    FROM sizes GROUP BY family_size
+"""
+
+
+DEDUP_FAMILY_PROFILE_SQL = _family_profile_sql()

@@ -710,3 +710,69 @@ def _ann_pq_recall_sql() -> str:
 
 
 ANN_PQ_RECALL_SQL = _ann_pq_recall_sql()
+
+
+# ------------------------------------------------- embedding QA screen
+
+
+def embedding_quality_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality screen over the embeddings table — the checks an
+    embedding store runs at ingest, before any index build trusts the
+    vectors: per-vector quantized squared norm (exact int64), zero- and
+    near-zero-norm flags (degenerate vectors poison cosine math:
+    normalization divides by ~0), non-finite counts (NaN/Inf propagate
+    through every dot product), and dimensionality agreement (a wrong-
+    width vector breaks every zip_with silently — better loudly here).
+
+    Pure codegen single pass, zero shuffles: each check is a
+    higher-order fold over the embedding array. The quantized norm
+    matches the search stack's own quantization (_QUANT), so a vector
+    flagged near-zero HERE is exactly one that would misbehave THERE.
+    """
+    from .similarity import _QUANT
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    q = F.expr(_QUANT)
+    n2 = F.expr(
+        f"aggregate(transform({_QUANT}, x -> x * x), 0L, (acc, v) -> acc + v)"
+    )
+    nonfinite = F.expr(
+        "size(filter(embedding, x -> isnan(x) OR abs(x) = CAST('Infinity' AS FLOAT)))"
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        (F.size("embedding") == F.lit(dim)).alias("dim_ok"),
+        n2.alias("norm2_q"),
+        (n2 == 0).alias("is_zero"),
+        # near-zero: quantized norm² under (0.05 * 1000)² = 2500
+        (n2 < 2500).alias("near_zero"),
+        nonfinite.cast("long").alias("n_nonfinite"),
+    )
+
+
+EMBEDDING_QUALITY_SCREEN_SQL = """
+    WITH d AS (
+        SELECT (SELECT len(embedding) FROM embeddings LIMIT 1) AS dim
+    ),
+    v AS (
+        SELECT vec_id, embedding,
+               COALESCE(list_sum(list_transform(
+                   list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)),
+                   x -> x * x)), 0) AS norm2_q,
+               len(list_filter(embedding,
+                   x -> isnan(CAST(x AS DOUBLE)) OR abs(x) = 'Infinity'::FLOAT))
+                   AS n_nonfinite
+        FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           len(embedding) = (SELECT dim FROM d) AS dim_ok,
+           CAST(norm2_q AS BIGINT) AS norm2_q,
+           norm2_q = 0 AS is_zero,
+           norm2_q < 2500 AS near_zero,
+           CAST(n_nonfinite AS BIGINT) AS n_nonfinite
+    FROM v
+"""

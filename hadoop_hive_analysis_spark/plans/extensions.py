@@ -135,6 +135,24 @@ def build() -> dict:
         "partial-agg shuffle, exact ppm rate)",
         driver=False,
     )
+    # Round-8 additions, staged for the r9 rotation: the ASYMMETRIC
+    # similarity the symmetric family misses (quote/excerpt containment)
+    # and the pre-removal observability report over the dup graph.
+    q["dedup_containment"] = QuerySpec(
+        dedup.dedup_containment,
+        dedup.DEDUP_CONTAINMENT_SQL,
+        "ext: containment near-dup (|A∩B|/min — catches excerpts "
+        "Jaccard misses; integer cross-multiplied threshold, "
+        "deterministic small/big orientation)",
+        driver=False,
+    )
+    q["dedup_family_profile"] = QuerySpec(
+        dedup.dedup_family_profile,
+        dedup.DEDUP_FAMILY_PROFILE_SQL,
+        "ext: dup-family size histogram (star-contraction CC + two "
+        "bounded aggs; boilerplate-vs-mirror diagnosis before removal)",
+        driver=False,
+    )
     q["dedup_embedding_lsh"] = QuerySpec(
         similarity.dedup_embedding_lsh,
         similarity.DEDUP_EMBEDDING_LSH_SQL,
@@ -850,6 +868,18 @@ def build() -> dict:
     # Round-6 addition, staged for the r7 rotation: the SQ8 compression
     # step an embedding store applies before indexing, with exact
     # integer reconstruction-error accounting.
+    # Round-8 addition, staged for the r9 rotation: the ingest-time QA
+    # screen an embedding store runs before any index build — zero/
+    # near-zero norms, non-finite elements, dimensionality agreement;
+    # quantization matches the search stack's own (_QUANT), so a vector
+    # flagged here is exactly one that misbehaves there.
+    q["embedding_quality_screen"] = QuerySpec(
+        vectors.embedding_quality_screen,
+        vectors.EMBEDDING_QUALITY_SCREEN_SQL,
+        "ext: embedding ingest QA (exact quantized norms, degenerate/"
+        "non-finite flags, dim check; zero-shuffle codegen pass)",
+        driver=False,
+    )
     q["embedding_int8_quantize"] = QuerySpec(
         vectors.embedding_int8_quantize,
         vectors.EMBEDDING_INT8_QUANTIZE_SQL,

@@ -230,3 +230,47 @@ def test_prefix_filter_jaccard_complete_and_pruning(spark, sf_dir):
     )
     assert pref_cand < full_cand
     assert pref_cand >= len(full)  # still a superset of true pairs
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark, tmp_path):
+    """The asymmetric case that motivates containment: a short excerpt
+    inside a much larger doc has near-zero Jaccard (union is huge) but
+    containment 1.0 — dedup_containment must flag it while
+    dedup_ngram_jaccard must NOT."""
+    import os
+
+    import pandas as pd
+
+    from hadoop_hive_analysis_spark.operators.dedup import (
+        dedup_containment,
+        dedup_ngram_jaccard,
+    )
+
+    # big doc: 200 unique words; excerpt: words 50..79 (30 tokens)
+    words = [f"w{i:03d}" for i in range(200)]
+    big = " ".join(words)
+    excerpt = " ".join(words[50:80])
+    other = " ".join(f"z{i:03d}" for i in range(100))
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [big, excerpt, other],
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+            "n_chars": [len(big), len(excerpt), len(other)],
+        }
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    cont = {
+        (r.doc_small, r.doc_big): r.containment
+        for r in dedup_containment(spark, str(tmp_path)).collect()
+    }
+    jac = [
+        (r.doc_a, r.doc_b)
+        for r in dedup_ngram_jaccard(spark, str(tmp_path)).collect()
+    ]
+    assert cont[(2, 1)] == 1.0  # every excerpt shingle is in the big doc
+    assert (1, 2) not in jac and (2, 1) not in jac  # Jaccard blind to it
+    assert (3, 1) not in cont and (1, 3) not in cont
