@@ -636,3 +636,99 @@ def test_left_outer_replay_multifile_time_interleaved(spark, sf_dir, tmp_path):
     )
     con.close()
     assert got == want
+
+
+def test_tumbling_resumes_from_checkpoint_across_restarts(spark, sf_dir, tmp_path):
+    """Exactly-once across query RESTARTS: drain half the files, stop
+    the query, add the other half, start a NEW query on the SAME
+    checkpoint — the resumed run must process only the new files (state
+    recovery, no reprocessing) and the final complete-mode result must
+    equal the batch aggregation over everything. This is the recovery
+    property a production streaming job actually relies on; the
+    single-drain replays never exercise it."""
+    import os
+    import shutil
+
+    ev = load_table(spark, sf_dir, "events")
+    d = tmp_path / "stream"
+    d.mkdir(parents=True)
+    h1 = ev.filter(F.abs(F.hash("event_id")) % 2 == 0)
+    h2 = ev.filter(F.abs(F.hash("event_id")) % 2 == 1)
+    for i, part in enumerate((h1, h2)):
+        tmp = tmp_path / f"half_{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        src = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        os.rename(str(tmp / src), str(tmp_path / f"staged-{i}.parquet"))
+        shutil.rmtree(tmp)
+    ckpt = str(tmp_path / "ckpt")
+
+    # phase 1: only half 1 visible (pathGlobFilter matches leaf file
+    # names, so the halves sit directly in the stream dir)
+    os.rename(
+        str(tmp_path / "staged-0.parquet"), str(d / "half-0.parquet")
+    )
+    first = run_available_now(
+        streaming_tumbling_counts(
+            read_events_stream(
+                spark, str(d), file_glob="*.parquet",
+                footer_file="half-0.parquet",
+            )
+        ),
+        query_name="resume_phase1",
+        checkpoint_dir=ckpt,
+    )
+    cols = ["window_start_epoch", "event_type", "n_events", "sum_value"]
+    got1 = _rows(first, cols)
+    # phase 2: add half 2, NEW query, SAME checkpoint
+    os.rename(
+        str(tmp_path / "staged-1.parquet"), str(d / "half-1.parquet")
+    )
+    second = run_available_now(
+        streaming_tumbling_counts(
+            read_events_stream(
+                spark, str(d), file_glob="*.parquet",
+                footer_file="half-0.parquet",
+            )
+        ),
+        query_name="resume_phase2",
+        checkpoint_dir=ckpt,
+    )
+    got2 = _rows(second, cols)
+
+    want1 = _rows(
+        h1.groupBy(F.window("ts", "300 seconds").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            (
+                F.sum(F.expr("CAST(round(value * 100, 0) AS BIGINT)"))
+                / F.lit(100.0)
+            ).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        ),
+        cols,
+    )
+    want2 = _rows(
+        ev.groupBy(F.window("ts", "300 seconds").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            (
+                F.sum(F.expr("CAST(round(value * 100, 0) AS BIGINT)"))
+                / F.lit(100.0)
+            ).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        ),
+        cols,
+    )
+    assert got1 == want1  # phase 1 saw exactly half 1
+    assert got2 == want2  # resumed state + new files == full batch
+    assert got1 != got2   # phase 2 genuinely advanced past phase 1
