@@ -1089,6 +1089,12 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     LOCF carry-forward is ``last(cents, ignoreNulls)`` over the GRID
     (types x buckets rows), never over raw events — the window pass
     costs O(grid), not O(data).
+
+    Hazard the caller owns: the grid spans [min(ts), max(ts)], so ONE
+    corrupt far-future timestamp inflates it (sequence() of millions
+    of buckets per type). Production runs clamp the range or run the
+    events_null_profile / robust-outlier screens first — the same
+    discipline as any time_bucket_gapfill.
     """
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
