@@ -205,3 +205,31 @@ def test_full_sidecar_preferred_over_round_artifacts(tmp_path, monkeypatch):
     # ratios computed vs FULL (q0 would be 0.2 vs the stale r04 value)
     assert out.pop("_host_speed_factor") == 1.0
     assert list(out) == ["extra_q"]  # pytest-only query still flagged
+
+
+def test_sub_floor_queries_exempt_from_per_name_flags(tmp_path, monkeypatch):
+    """Queries under 0.5 s on BOTH sides measure stage-scheduling
+    overhead, not plans (r8 hardening after doc_fingerprint tripped the
+    flagger twice on host noise): a 2x jump on a 0.2 s query is not
+    flagged, but the same ratio on a 1 s query still is — and a query
+    that CROSSES the floor (0.3 -> 0.9 s) is flagged too."""
+    prior = {f"q{i}": 1.0 for i in range(8)}
+    prior["tiny"] = 0.2
+    prior["crosser"] = 0.3
+    now = {f"q{i}": 1.0 for i in range(8)}
+    now["tiny"] = 0.45      # 2.25x but both sides under the floor
+    now["crosser"] = 0.9    # 3x AND lands above the floor: real signal
+    out = _run(tmp_path, monkeypatch, prior, now)
+    out.pop("_host_speed_factor")
+    assert "tiny" not in out
+    assert list(out) == ["crosser"]
+
+
+def test_sub_floor_queries_still_count_in_pack_median(tmp_path, monkeypatch):
+    """The floor exempts per-name flags only — a pack-wide slowdown
+    carried by small queries still surfaces through the median factor."""
+    prior = {f"q{i}": 0.3 for i in range(10)}
+    now = {f"q{i}": 0.6 for i in range(10)}
+    out = _run(tmp_path, monkeypatch, prior, now)
+    assert out.pop("_host_speed_factor") == 2.0
+    assert out == {}
