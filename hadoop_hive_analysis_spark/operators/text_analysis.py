@@ -1227,3 +1227,144 @@ DOC_QUALITY_CLASSIFIER_SQL = rf"""
                 ELSE NULL END AS mean_token_score
     FROM scored
 """
+
+
+# ------------------------------------------- corpus redundancy growth
+
+
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    shingles never seen in any EARLIER doc (doc_id order — the corpus's
+    arrival order in these fixtures). The marginal-information profile
+    behind dedup-saturation decisions: a feed whose novelty trends to
+    zero is re-crawling content the corpus already has, even when no
+    single document trips a near-dup detector.
+
+    "First seen" is a min(doc_id) aggregate per shingle — the same
+    partial-agg shape as document frequency, so the shuffle carries
+    distinct shingles, and the join back to the per-doc frame rides the
+    same shingle key. Novelty is an exact integer ppm (count DIV), so
+    the profile hashes identically across engines.
+    """
+    from ..operators.dedup import _doc_shingles
+
+    sh = _doc_shingles(spark, sf_dir).localCheckpoint(eager=False)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_novel").cast("long").alias("n_novel"),
+        F.expr("n_novel * 1000000 DIV n_shingles")
+        .cast("long")
+        .alias("novelty_ppm"),
+    )
+
+
+def _ngram_novelty_sql() -> str:
+    from ..operators.dedup import _SHINGLE_SQL
+
+    return f"""
+    {_SHINGLE_SQL},
+    first AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1),
+    per_doc AS (
+        SELECT sh.doc_id,
+               count(*) AS n_shingles,
+               sum(CASE WHEN sh.doc_id = first.first_doc THEN 1 ELSE 0 END)
+                   AS n_novel
+        FROM sh JOIN first USING (shingle)
+        GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_novel AS BIGINT) AS n_novel,
+           CAST(n_novel * 1000000 // n_shingles AS BIGINT) AS novelty_ppm
+    FROM per_doc
+"""
+
+
+DOC_NGRAM_NOVELTY_SQL = _ngram_novelty_sql()
+
+SATURATION_BUCKETS = 20
+
+
+def corpus_dedup_saturation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup SATURATION curve: the exact-duplicate rate per corpus
+    cohort (docs bucketed by doc_id position into SATURATION_BUCKETS
+    equal id-range slices) — how fast marginal data stops being new.
+    The curve a data-acquisition team reads to decide whether the next
+    crawl batch is worth its cost; flat-near-zero = healthy feed,
+    rising = the source is exhausted.
+
+    A doc is a duplicate iff an earlier doc_id carries the same content
+    digest (min-per-digest partial agg — one digest shuffle, the exact
+    dedup shape). Bucket edges derive from the corpus min/max id (1-row
+    broadcast agg) in exact integer arithmetic; rates are exact ppm.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("digest")
+    )
+    first = d.groupBy("digest").agg(F.min("doc_id").alias("first_doc"))
+    flagged = d.join(first, "digest").select(
+        "doc_id", (F.col("doc_id") > F.col("first_doc")).alias("is_dup")
+    )
+    bounds = d.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    return (
+        flagged.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "bucket",
+            F.expr(
+                f"least({SATURATION_BUCKETS - 1}, "
+                f"CAST((doc_id - lo) * {SATURATION_BUCKETS} "
+                f"DIV (hi - lo + 1) AS INT))"
+            ),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("is_dup").cast("long")).alias("n_dups"),
+        )
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_dups").cast("long").alias("n_dups"),
+            F.expr("n_dups * 1000000 DIV n_docs")
+            .cast("long")
+            .alias("dup_rate_ppm"),
+        )
+    )
+
+
+CORPUS_DEDUP_SATURATION_SQL = f"""
+    WITH d AS (SELECT doc_id, md5(text) AS digest FROM documents),
+    first AS (SELECT digest, min(doc_id) AS first_doc FROM d GROUP BY 1),
+    flagged AS (
+        SELECT d.doc_id, d.doc_id > first.first_doc AS is_dup
+        FROM d JOIN first USING (digest)
+    ),
+    b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM d),
+    bucketed AS (
+        SELECT least({SATURATION_BUCKETS - 1},
+                   CAST((doc_id - lo) * {SATURATION_BUCKETS}
+                        // (hi - lo + 1) AS INT)) AS bucket,
+               is_dup
+        FROM flagged, b
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+           CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS dup_rate_ppm
+    FROM bucketed GROUP BY bucket
+"""

@@ -389,6 +389,24 @@ def build() -> dict:
         "codegen inference, exact int64 logit)",
         driver=False,
     )
+    # Round-8 additions, staged for the r9 rotation: the redundancy-
+    # growth pair — per-doc n-gram novelty (marginal information by
+    # arrival order) and the dedup-saturation curve (duplicate rate per
+    # corpus cohort — the is-the-next-crawl-worth-it report).
+    q["doc_ngram_novelty"] = QuerySpec(
+        text_analysis.doc_ngram_novelty,
+        text_analysis.DOC_NGRAM_NOVELTY_SQL,
+        "ext: per-doc n-gram novelty vs earlier corpus (first-seen "
+        "min-agg on the shingle key, exact ppm)",
+        driver=False,
+    )
+    q["corpus_dedup_saturation"] = QuerySpec(
+        text_analysis.corpus_dedup_saturation,
+        text_analysis.CORPUS_DEDUP_SATURATION_SQL,
+        "ext: dedup saturation curve (exact-dup rate per id-range "
+        "cohort; one digest shuffle + broadcast bounds)",
+        driver=False,
+    )
     q["doc_tfidf_topterms"] = QuerySpec(
         text_analysis.doc_tfidf_topterms,
         text_analysis.DOC_TFIDF_SQL,

@@ -162,3 +162,49 @@ def test_quality_classifier_weight_derivation(spark, tmp_path):
     )
     assert got[4].n_tokens == 2
     assert got[4].logit_fp == weight("spaced") + weight("out")
+
+
+def test_novelty_and_saturation_on_constructed_corpus(spark, tmp_path):
+    """Constructed arrival order: doc 1 is all-novel, doc 2 repeats doc
+    1 verbatim (novelty 0), doc 3 is half-new; the saturation curve
+    over 4 docs in 2 cohorts flags the exact-dup in the later cohort."""
+    import os
+
+    import pandas as pd
+
+    from hadoop_hive_analysis_spark.operators.text_analysis import (
+        corpus_dedup_saturation,
+        doc_ngram_novelty,
+    )
+
+    a = "alpha beta gamma delta epsilon zeta"
+    half = "alpha beta gamma delta nu xi omicron pi"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [a, a, half, "totally fresh words here"],
+            "lang": ["en"] * 4,
+            "source": ["t"] * 4,
+            "n_chars": [len(a), len(a), len(half), 24],
+        }
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    nov = {
+        r.doc_id: r for r in doc_ngram_novelty(spark, str(tmp_path)).collect()
+    }
+    assert nov[1].novelty_ppm == 1_000_000
+    assert nov[2].novelty_ppm == 0  # verbatim repeat of doc 1
+    # doc 3: shingles 1-2 ("alpha beta gamma", "beta gamma delta") seen
+    # in doc 1; the rest (4 of 6) are new
+    assert nov[3].n_novel == 4 and nov[3].n_shingles == 6
+    assert nov[4].novelty_ppm == 1_000_000
+    sat = {
+        r.bucket: r
+        for r in corpus_dedup_saturation(spark, str(tmp_path)).collect()
+    }
+    # ids 1..4 into 20 range-slices: doc 2 (the exact dup) lands in an
+    # early-but-not-first bucket; total dups == 1
+    assert sum(r.n_dups for r in sat.values()) == 1
+    assert sum(r.n_docs for r in sat.values()) == 4
