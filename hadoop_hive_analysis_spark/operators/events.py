@@ -1027,7 +1027,10 @@ def events_churn_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the per-user last-seen is the same partial-agg max
     the CDC compaction uses (shuffle carries keys, not history); the
     corpus max is ONE row computed by a parallel aggregate and
-    broadcast. Day arithmetic is exact integer (epoch DIV 86400).
+    broadcast. Day arithmetic uses FLOOR division (matching the
+    oracle's ``//``), so pre-1970 timestamps bucket identically in
+    both engines — ``div`` truncates toward zero and would disagree
+    by one day on negative epochs.
     """
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.col("ts").cast("long").alias("ts_epoch")
@@ -1039,7 +1042,7 @@ def events_churn_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             "last_epoch",
-            F.expr("(max_epoch div 86400) - (last_epoch div 86400)")
+            F.expr("FLOOR(max_epoch / 86400) - FLOOR(last_epoch / 86400)")
             .cast("long")
             .alias("days_inactive"),
         )
@@ -1098,7 +1101,7 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
-        (F.col("ts").cast("long") / GAPFILL_BUCKET_SEC)
+        F.floor(F.col("ts").cast("long") / GAPFILL_BUCKET_SEC)
         .cast("long")
         .alias("bucket"),
         F.expr(_VAL_CENTS).alias("cents"),
@@ -1319,7 +1322,7 @@ def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed distinct days, so the curve has no empty tail).
     """
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.expr("CAST(ts AS LONG) div 86400").alias("day")
+        "user_id", F.expr("CAST(FLOOR(CAST(ts AS LONG) / 86400) AS BIGINT)").alias("day")
     )
     user_days = ev.distinct()
     fanout = user_days.select(
@@ -1454,7 +1457,7 @@ def events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
-        F.expr("CAST(ts AS LONG) div 86400").alias("day"),
+        F.expr("CAST(FLOOR(CAST(ts AS LONG) / 86400) AS BIGINT)").alias("day"),
         F.expr(_VAL_CENTS).alias("cents"),
     )
     daily = ev.groupBy("event_type", "day").agg(

@@ -726,16 +726,27 @@ def embedding_quality_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pure codegen single pass, zero shuffles: each check is a
     higher-order fold over the embedding array. The quantized norm
-    matches the search stack's own quantization (_QUANT), so a vector
-    flagged near-zero HERE is exactly one that would misbehave THERE.
+    matches the search stack's quantization (_QUANT) scale, but guards
+    each element with a finiteness check first: the degenerate vectors
+    this screen EXISTS to flag are exactly the ones a bare BIGINT cast
+    poisons (ANSI-off Spark maps NaN→0 / Inf→Long.MAX; DuckDB's CAST
+    raises) — non-finite elements contribute 0 to the norm and are
+    reported via ``n_nonfinite`` instead. The reference dimensionality
+    is the min-vec_id row's width (``min_by``) — deterministic in both
+    engines on ragged corpora, null-safe on an empty table — rather
+    than an unordered ``first()``.
     """
-    from .similarity import _QUANT
-
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()["embedding"])
-    q = F.expr(_QUANT)
+    dim = emb.agg(
+        F.expr("min_by(size(embedding), vec_id)").alias("d")
+    ).first()["d"]
+    safe_q = (
+        "transform(embedding, x -> CASE WHEN isnan(x) "
+        "OR abs(x) = CAST('Infinity' AS FLOAT) THEN 0L "
+        "ELSE CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT) END)"
+    )
     n2 = F.expr(
-        f"aggregate(transform({_QUANT}, x -> x * x), 0L, (acc, v) -> acc + v)"
+        f"aggregate(transform({safe_q}, x -> x * x), 0L, (acc, v) -> acc + v)"
     )
     nonfinite = F.expr(
         "size(filter(embedding, x -> isnan(x) OR abs(x) = CAST('Infinity' AS FLOAT)))"
@@ -754,13 +765,16 @@ def embedding_quality_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EMBEDDING_QUALITY_SCREEN_SQL = """
     WITH d AS (
-        SELECT (SELECT len(embedding) FROM embeddings LIMIT 1) AS dim
+        SELECT (SELECT min_by(len(embedding), vec_id) FROM embeddings) AS dim
     ),
     v AS (
         SELECT vec_id, embedding,
                COALESCE(list_sum(list_transform(
                    list_transform(embedding,
-                       x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)),
+                       x -> CASE WHEN isnan(CAST(x AS DOUBLE))
+                                 OR abs(x) = 'Infinity'::FLOAT THEN 0
+                            ELSE CAST(round(CAST(x AS DOUBLE) * 1000, 0)
+                                      AS BIGINT) END),
                    x -> x * x)), 0) AS norm2_q,
                len(list_filter(embedding,
                    x -> isnan(CAST(x AS DOUBLE)) OR abs(x) = 'Infinity'::FLOAT))

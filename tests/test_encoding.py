@@ -27,15 +27,16 @@ import pytest
 from hadoop_hive_analysis_spark.schemas import TESTDATA_SCHEMAS, TESTDATA_TABLES
 from hadoop_hive_analysis_spark.sources.catalog import load_table
 
-SF_DIRS = [
-    d
-    for d in (
-        "/root/testdata/sf0.001",
-        "/root/testdata/sf0.01",
-        "/root/testdata/sf0.1",
-    )
-    if os.path.isdir(d)
-]
+# all sibling sf* fixture dirs of the conftest default (portable: no
+# absolute paths beyond the one env-overridable conftest root)
+from .conftest import SF_DIR as _BASE_SF
+
+SF_DIRS = sorted(
+    os.path.join(os.path.dirname(_BASE_SF), d)
+    for d in os.listdir(os.path.dirname(_BASE_SF))
+    if d.startswith("sf")
+    and os.path.isdir(os.path.join(os.path.dirname(_BASE_SF), d))
+)
 
 
 @pytest.mark.parametrize("sf", SF_DIRS, ids=[os.path.basename(d) for d in SF_DIRS])

@@ -269,3 +269,64 @@ def test_pq_codes_deterministic_and_compact(spark, sf_dir):
         for c in row[1:]:
             assert 0 <= c < PQ_K
     assert len(a[0]) == 1 + PQ_M
+
+
+def _write_embeddings(tmp_path, sf_dir, rows):
+    """Tmp sf_dir: degenerate embeddings + symlinks to the real tables
+    (the oracle helper binds a view for every testdata table)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_hive_analysis_spark.schemas import TESTDATA_TABLES
+
+    for t in TESTDATA_TABLES:
+        if t != "embeddings":
+            os.symlink(f"{sf_dir}/{t}.parquet", tmp_path / f"{t}.parquet")
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [r[1] for r in rows], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * len(rows), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    return str(tmp_path)
+
+
+def test_embedding_quality_screen_degenerate_vectors(spark, sf_dir, tmp_path):
+    """ADVICE r8 (medium): the screen must survive — and hash-match the
+    oracle on — exactly the degenerate vectors it exists to flag.
+    NaN/Inf elements contribute 0 to norm2_q and surface in
+    n_nonfinite (a bare BIGINT cast would map NaN→0/Inf→Long.MAX in
+    ANSI-off Spark and CRASH DuckDB); ragged widths resolve dim_ok
+    against the deterministic min-vec_id reference row."""
+    from hadoop_hive_analysis_spark.operators.vectors import (
+        EMBEDDING_QUALITY_SCREEN_SQL,
+        embedding_quality_screen,
+    )
+
+    from .oracle import assert_matches_oracle
+
+    d = _write_embeddings(
+        tmp_path,
+        sf_dir,
+        [
+            (1, [1.0, 2.0, -1.0, 0.5]),
+            (2, [float("nan"), float("inf"), 1.0, 2.0]),
+            (3, [0.0, 0.0, 0.0, 0.0]),
+            (4, [1.0, 2.0]),  # ragged: dim_ok must be False
+            (5, [float("-inf"), 0.01, 0.0, 0.0]),
+        ],
+    )
+    df = embedding_quality_screen(spark, d)
+    by_id = {r.vec_id: r for r in df.collect()}
+    assert by_id[2].n_nonfinite == 2
+    assert by_id[2].norm2_q == 1_000_000 + 4_000_000  # finite elems only
+    assert by_id[3].is_zero and by_id[3].near_zero
+    assert not by_id[4].dim_ok and by_id[1].dim_ok
+    assert by_id[5].n_nonfinite == 1 and by_id[5].near_zero
+    assert_matches_oracle(df, EMBEDDING_QUALITY_SCREEN_SQL, d)

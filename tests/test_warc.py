@@ -258,3 +258,42 @@ def test_warc_ingest_recovers_doc_ids_and_codecs(spark, sf_dir, tmp_path):
     files = os.listdir(out)
     assert any(f.endswith(".warc") for f in files)
     assert any(f.endswith(".warc.gz") for f in files)
+
+
+def test_warc_http_framing_edge_cases(spark, tmp_path):
+    """ADVICE r8 framing nits: (a) an LF-framed header block whose BODY
+    later contains a CRLFCRLF must split at the EARLIER bare-LF blank
+    line (fixed CRLF-first precedence would hand the headers to the
+    body); (b) a bare-body record whose content legitimately starts
+    with "HTTP/" but is not a status line must NOT be stripped (the
+    sniff requires `HTTP/x[.y] SP 3-digit-status`)."""
+    lf_then_crlf = (
+        b"HTTP/1.0 200 OK\nServer: y\n\n"
+        b"lf body with\r\n\r\ninternal crlf blank"
+    )
+    not_status = _record(
+        "response", "http://e.example/", b"HTTP/2 is a protocol, not a status line"
+    )
+    (tmp_path / "edge.warc").write_bytes(
+        _http_record("http://a.example/", lf_then_crlf) + not_status
+    )
+    texts = sorted(
+        r.text for r in warc_to_documents(spark, str(tmp_path)).collect()
+    )
+    assert texts == sorted(
+        [
+            "lf body with\r\n\r\ninternal crlf blank",
+            "HTTP/2 is a protocol, not a status line",
+        ]
+    )
+
+
+def test_warc_roundtrip_dir_cached_per_session(spark, sf_dir):
+    """ADVICE r8: repeated roundtrip invocations in one session must
+    reuse the archive dir, not accumulate corpus copies in /tmp."""
+    from hadoop_hive_analysis_spark.sources import warc as W
+
+    W.warc_corpus_roundtrip(spark, sf_dir)
+    first = dict(W._ROUNDTRIP_DIRS)
+    W.warc_corpus_roundtrip(spark, sf_dir)
+    assert W._ROUNDTRIP_DIRS[sf_dir] == first[sf_dir]
