@@ -87,7 +87,89 @@ def _build() -> dict[str, QuerySpec]:
     return q
 
 
-QUERIES: dict[str, QuerySpec] = _build()
+# ---------------------------------------------------------------- rotation
+# The driver scores a hard 50-slot window; per-round membership is rotated
+# so every oracle-checked entry gets a periodic driver hash (judge r8 gap:
+# 41 entries had never been scored). Each round's delta lives HERE as one
+# auditable overlay on the modules' long-run defaults; the swap set is
+# validated by scripts/rotation_plan.py (the r9 window preserves the full
+# physical-signature union and adds join:FullOuter + harness:warc, the two
+# shapes the driver had never hashed). Demoted entries stay oracle-checked
+# every round by tests/test_oracle_parity.py.
+_R9_PROMOTE = (
+    "events_merge_upsert",  # join:FullOuter — never driver-hashed shape
+    "warc_corpus_roundtrip",  # harness:warc — never driver-hashed shape
+    "grouped_stats_orders",  # A4–A6 return to the window (judge r8 item 6)
+    "embedding_quality_screen",  # non-finite guard fixed this round
+    "events_gap_fill",  # floor-division fix this round
+    "events_churn_report",
+    "events_rolling_active_users",
+    "events_daily_trend",
+    "dedup_containment",
+    "dedup_family_profile",
+    "dedup_prefix_filter_jaccard",
+    "dedup_exact_normalized",
+    "dedup_rate_by_source",
+    "dedup_ensemble_collapse",
+    "doc_bigram_lm_score",
+    "doc_quality_ecdf",
+    "doc_quality_classifier",
+    "doc_tokenize_with_vocab",
+    "corpus_collocations",
+    "doc_ngram_novelty",
+    "corpus_dedup_saturation",
+    "doc_heavy_hitters",
+    "source_token_drift",
+    "ann_pq_recall",
+    "ann_sq8_recall",  # join:LeftSemi carrier after ann_lsh_recall rests
+)
+_R9_DEMOTE = (
+    # all rested entries are redundant by physical shape in the r9 window
+    # (rotation_plan.py check) and hashed >=2 prior rounds; flagships
+    # (minhash, asof, range join, HLL, sketch) return in a later window
+    "text_quality_score",
+    "text_lang_id",
+    "dedup_exact",
+    "doc_fingerprint",
+    "dedup_minhash_lsh",
+    "contamination_ngram",
+    "pii_scrub",
+    "doc_repetition_filter",
+    "train_stratified_sample",
+    "seq_packing",
+    "corpus_filter_funnel",
+    "data_mixture_resample",
+    "pricing_summary",
+    "orders_above_customer_avg",
+    "events_hierarchical_rollup",
+    "daily_distinct_users_hll",
+    "events_asof_join",
+    "events_share_of_key_total",
+    "ann_lsh_recall",
+    "ann_ivf_recall",
+    "events_tumbling_replay",
+    "price_quantiles_sketch",
+    "events_campaign_range_join",
+    "documents_neardup_replay",
+    "duplicated_spans_topk",
+)
+
+
+def _rotate(q: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
+    from dataclasses import replace
+
+    for name in _R9_PROMOTE:
+        if q[name].driver:
+            raise RuntimeError(f"rotation: {name} already driver-visible")
+        q[name] = replace(q[name], driver=True)
+    for name in _R9_DEMOTE:
+        if not q[name].driver:
+            raise RuntimeError(f"rotation: {name} already rested")
+        q[name] = replace(q[name], driver=False)
+    return q
+
+
+QUERIES: dict[str, QuerySpec] = _rotate(_build())
 
 # The driver scores a bounded window of the registry (50 entries, proven
 # round 1). Exceeding it would SILENTLY push trailing queries out of the
