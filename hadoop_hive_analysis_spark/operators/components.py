@@ -31,6 +31,56 @@ from .dedup import DEDUP_MINHASH_LSH_SQL, dedup_minhash_lsh
 
 MAX_ITERATIONS = 20
 
+# Edge-count gate for the driver-side union-find fast path in
+# :func:`connected_components_bigstar`. Dup-pair graphs are tiny relative
+# to the corpus by construction (they ARE the duplicates), so in practice
+# most collapse runs fit; 2^20 edges ≈ 16 MB collected — the same bounded-
+# driver-reduction contract as the ANN k-means centroid collects. Above
+# the cap the distributed star alternation runs unchanged.
+SMALL_GRAPH_EDGE_CAP = 1 << 20
+
+
+def _components_driver_side(cur: DataFrame) -> DataFrame:
+    """Exact union-find over a collected edge list — the small-graph
+    fast path of :func:`connected_components_bigstar`.
+
+    Why it exists: each star-contraction round costs one scheduled job
+    regardless of data size, so on a fixture-scale candidate graph the
+    loop is pure scheduling overhead (~0.7 s/round × O(log n) rounds
+    measured at sf0.1 for a 702-edge graph). The caller gates on an
+    edge count it already needed, so the collect is bounded by
+    SMALL_GRAPH_EDGE_CAP and this path costs ONE job + O(E α(E)) driver
+    work. Labels are identical to the distributed path: component =
+    min node id (union attaches the larger root under the smaller)."""
+    rows = cur.collect()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in rows:
+        u, v = row[0], row[1]
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    out = [(n, find(n)) for n in parent]
+    from pyspark.sql import types as T
+
+    node_t = cur.schema[0].dataType
+    schema = T.StructType(
+        [T.StructField("node", node_t), T.StructField("component", node_t)]
+    )
+    return cur.sparkSession.createDataFrame(out, schema)
+
 
 def connected_components(edges: DataFrame, src: str, dst: str) -> DataFrame:
     """Min-label propagation over undirected edges → (node, component).
@@ -126,7 +176,10 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def connected_components_bigstar(
-    edges: DataFrame, src: str, dst: str
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    small_graph_cap: int = SMALL_GRAPH_EDGE_CAP,
 ) -> DataFrame:
     """Large-star/small-star alternation (Kiveris et al., "Connected
     Components in MapReduce and Beyond") → (node, component).
@@ -139,6 +192,13 @@ def connected_components_bigstar(
     round cap is hit. Fixpoint detection is exact (count + one
     ``exceptAll``, aggregated — no data to the driver); per-round
     ``localCheckpoint`` truncates lineage.
+
+    Small-graph fast path: when the deduplicated edge count (which the
+    loop needs anyway for its fixpoint check) is ≤ ``small_graph_cap``,
+    the components are computed by exact driver-side union-find instead
+    of the scheduled round loop — identical labels, one job instead of
+    O(log n) jobs. Pass ``small_graph_cap=0`` to force the distributed
+    path (tests exercise both).
     """
     # Non-eager checkpoints: the count() right after is the materializing
     # action, so each round costs one job for (star ops + checkpoint +
@@ -152,6 +212,8 @@ def connected_components_bigstar(
         .localCheckpoint(eager=False)
     )
     n_cur = cur.count()
+    if n_cur <= small_graph_cap:
+        return _components_driver_side(cur)
     for _ in range(MAX_ITERATIONS):
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=False)
         # Exact set equality in one anti-join: both sides are distinct, so

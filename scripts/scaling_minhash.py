@@ -99,7 +99,8 @@ def main() -> None:
     # one heap) is the test rig's constraint, not the design point — the
     # target node has 128 GiB. 8 GiB keeps 64 MiB-threshold broadcast
     # builds comfortable at 10x corpus size.
-    spark = get_spark("hha-scaling", extra_conf={"spark.driver.memory": "8g"})
+    heap = os.environ.get("HHA_SCALE_HEAP", "8g")
+    spark = get_spark("hha-scaling", extra_conf={"spark.driver.memory": heap})
     spark.sparkContext.setLogLevel("ERROR")
 
     results = []

@@ -38,9 +38,18 @@ def _truth_min_label(nodes, edges):
     return {n: min(roots[c]) for n, c in comp.items()}
 
 
-def _run(spark, fn, edges):
+def _run(spark, fn, edges, **kw):
     df = spark.createDataFrame(edges, "u long, v long")
-    return {r.node: r.component for r in fn(df, "u", "v").collect()}
+    return {r.node: r.component for r in fn(df, "u", "v", **kw).collect()}
+
+
+def _run_distributed(spark, edges):
+    # small_graph_cap=0 forces the star-contraction loop, so the
+    # distributed path stays covered now that graphs under the cap take
+    # the driver-side union-find shortcut
+    return _run(
+        spark, connected_components_bigstar, edges, small_graph_cap=0
+    )
 
 
 def test_semantic_collapse_one_survivor_per_cluster(spark, sf_dir):
@@ -93,6 +102,7 @@ def test_bigstar_matches_union_find_random_graph(spark):
     nodes = {n for e in edges for n in e}
     truth = _truth_min_label(nodes, edges)
     assert _run(spark, connected_components_bigstar, edges) == truth
+    assert _run_distributed(spark, edges) == truth
 
 
 def test_min_label_matches_union_find_on_small_diameter(spark):
@@ -105,6 +115,7 @@ def test_min_label_matches_union_find_on_small_diameter(spark):
     truth = _truth_min_label(nodes, edges)
     assert _run(spark, connected_components, edges) == truth
     assert _run(spark, connected_components_bigstar, edges) == truth
+    assert _run_distributed(spark, edges) == truth
 
 
 def test_bigstar_converges_on_chain_where_min_label_cannot(spark):
@@ -118,6 +129,7 @@ def test_bigstar_converges_on_chain_where_min_label_cannot(spark):
     edges = [(i, i + 1) for i in range(n - 1)]
     big = _run(spark, connected_components_bigstar, edges)
     assert big == {i: 0 for i in range(n)}
+    assert _run_distributed(spark, edges) == big
     with pytest.raises(RuntimeError, match="did not converge"):
         _run(spark, connected_components, edges)
 
