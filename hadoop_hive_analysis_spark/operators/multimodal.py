@@ -943,3 +943,161 @@ MULTIMODAL_AUDIO_STATS_SQL = f"""
                 ELSE NULL END AS rms
     FROM s
 """
+
+
+# ------------------------------------------------ perceptual near-dup
+
+# dHash (difference hash) over the payload byte stream — the standard
+# perceptual image near-dup signature: sample a fixed grid, compare each
+# sample to its right neighbor, pack the comparison bits. On real media
+# the grid samples a downscaled grayscale image (PIL one-liner); here it
+# samples the stand-in payload bytes directly, so the Arrow plumbing,
+# signature width, banding, and verify join are all the production
+# shapes while the DuckDB twin can replay the byte arithmetic exactly.
+# 7 rows x 9 samples -> 7x8 = 56 difference bits: the hash stays a
+# positive int64 in both engines (no sign-bit disagreements).
+DHASH_ROWS = 7
+DHASH_COLS = 8  # comparisons per row (9 samples)
+DHASH_BITS = DHASH_ROWS * DHASH_COLS  # 56
+DHASH_BANDS = 4  # 14-bit bands; hamming <= 3 => >= 1 band equal
+DHASH_BAND_BITS = DHASH_BITS // DHASH_BANDS
+DHASH_RADIUS = 3
+DHASH_SCHEMA = "doc_id long, dhash long"
+
+
+def _dhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, dhash): Arrow-batched signature pass — one corpus scan,
+    no shuffle; the closure is self-contained (cloudpickle ships it by
+    value, foreign-cwd executors never import this package)."""
+    import pandas as pd
+
+    d = with_payload(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "payload"
+    )
+
+    def dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(p: bytes) -> int:
+            n = len(p)
+            if n < 2:
+                return 0
+            # 63 grid samples spread over the stream (endpoints included)
+            v = [p[(k * (n - 1)) // 62] for k in range(63)]
+            h = 0
+            for r in range(7):
+                for c in range(8):
+                    if v[r * 9 + c] > v[r * 9 + c + 1]:
+                        h |= 1 << (r * 8 + c)
+            return h
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "dhash": [one(bytes(p)) for p in pdf["payload"]],
+                }
+            )
+
+    return d.mapInPandas(dhash, DHASH_SCHEMA)
+
+
+def multimodal_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup pairs within hamming ≤ 3 of the 56-bit dHash.
+
+    Same scale shape as :func:`..dedup.dedup_simhash`: pigeonhole bands
+    (4 × 14 bits — hamming ≤ 3 forces ≥ 1 identical band) make
+    candidates an equi-join, never all-pairs; popcount(xor) verifies
+    candidates only. The signature table is checkpointed once since both
+    self-join sides read it. At 100 TB: signature pass is one scan;
+    join work = O(corpus × bands) + O(candidates).
+
+    Output: (doc_a, doc_b, hamming) — exact dups land at hamming 0.
+    """
+    sig = _dhash_df(spark, sf_dir)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("dhash"), b * DHASH_BAND_BITS)
+            .bitwiseAND(F.lit((1 << DHASH_BAND_BITS) - 1))
+            .alias("bkey"),
+        )
+        for b in range(DHASH_BANDS)
+    ]
+    banded = (
+        sig.select(
+            "doc_id", "dhash", F.explode(F.array(*band_structs)).alias("b")
+        )
+        .select(
+            "doc_id",
+            "dhash",
+            F.col("b.band").alias("band"),
+            F.col("b.bkey").alias("bkey"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.dhash").alias("ha"),
+            F.col("b.dhash").alias("hb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= DHASH_RADIUS)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+MULTIMODAL_DHASH_SQL = f"""
+    WITH b AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n
+        FROM documents
+    ),
+    vals AS (
+        SELECT doc_id,
+               list_transform(range(0, 63), k ->
+                   CAST(('0x' || substr(hx,
+                        CAST(2 * (1 + (k * (n - 1)) // 62) - 1 AS INT), 2))
+                       AS BIGINT)) AS v
+        FROM b WHERE n >= 2
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST(COALESCE(list_sum(list_transform(range(0, {DHASH_BITS}),
+                   j -> CASE WHEN v[CAST((j // 8) * 9 + (j % 8) + 1 AS INT)]
+                                  > v[CAST((j // 8) * 9 + (j % 8) + 2 AS INT)]
+                             THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)), 0)
+                   AS BIGINT) AS dhash
+        FROM vals
+        UNION ALL
+        SELECT doc_id, CAST(0 AS BIGINT) FROM b WHERE n < 2
+    ),
+    banded AS (
+        SELECT doc_id, dhash, c AS band,
+               (dhash >> (c * {DHASH_BAND_BITS})) & {(1 << DHASH_BAND_BITS) - 1}
+                   AS bkey
+        FROM sig, (SELECT unnest([0, 1, 2, 3]) AS c)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.dhash AS ha, b.dhash AS hb
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+                     AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= {DHASH_RADIUS}
+"""

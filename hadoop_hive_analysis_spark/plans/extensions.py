@@ -1302,6 +1302,17 @@ def build() -> dict:
         "mapInPandas, exact integer energy/peak/crossings)",
         driver=False,
     )
+    # Staged r9 (r10 rotation candidate): perceptual image near-dup —
+    # 56-bit dHash signatures via Arrow mapInPandas over the binary
+    # payload, pigeonhole-banded candidate join + popcount verify (the
+    # simhash scale shape applied to the multimodal pillar).
+    q["multimodal_dhash_neardup"] = QuerySpec(
+        multimodal.multimodal_dhash_neardup,
+        multimodal.MULTIMODAL_DHASH_SQL,
+        "ext: perceptual near-dup over binary payloads (dHash grid "
+        "signature, banded join, hamming<=3 verify)",
+        driver=False,
+    )
     # Promoted in the round-8 rotation (slot from order_priority_late_
     # ship, whose semi-join plan contamination_ngram's broadcast probe
     # keeps scored): restores the multimodal pillar's driver-scored row

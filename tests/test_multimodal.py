@@ -514,3 +514,85 @@ def test_audio_stats_signed_pcm_and_odd_byte(spark, tmp_path):
     # the multi-byte docs must actually exercise negative samples
     neg = np.frombuffer(texts[2].encode("utf-8")[:8], dtype="<i2")
     assert (neg < 0).any()
+
+
+def _write_documents(tmp_path, sf_dir, rows):
+    """Tmp sf_dir with planted documents + symlinks to the real tables
+    (the oracle helper binds a view for every testdata table)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_hive_analysis_spark.schemas import TESTDATA_TABLES
+
+    for t in TESTDATA_TABLES:
+        if t != "documents":
+            os.symlink(f"{sf_dir}/{t}.parquet", tmp_path / f"{t}.parquet")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array(["t"] * len(rows), pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_dhash_neardup_detects_planted_perceptual_dups(spark, sf_dir, tmp_path):
+    """dHash's invariance model is 'same grid, small value changes'
+    (re-encode/noise on same-dimension media): byte-identical payloads
+    pair at hamming 0, a same-length few-byte corruption pairs within
+    the radius, an unrelated payload pairs with nothing — and the whole
+    planted corpus hash-matches the DuckDB twin."""
+    from hadoop_hive_analysis_spark.operators.multimodal import (
+        MULTIMODAL_DHASH_SQL,
+        multimodal_dhash_neardup,
+    )
+
+    from .oracle import assert_matches_oracle
+
+    def dhash_ref(p: bytes) -> int:  # mirror of the executor closure
+        n = len(p)
+        v = [p[(k * (n - 1)) // 62] for k in range(63)]
+        h = 0
+        for r in range(7):
+            for c in range(8):
+                if v[r * 9 + c] > v[r * 9 + c + 1]:
+                    h |= 1 << (r * 8 + c)
+        return h
+
+    base = "the quick brown fox jumps over the lazy dog " * 8  # 352 bytes
+    # corrupt a byte the 63-sample grid actually reads; of the two
+    # candidate values one must invert that sample's comparison bit
+    idx = (18 * (len(base) - 1)) // 62
+    for ch in ("~", "\x01"):
+        corrupt = list(base)
+        corrupt[idx] = ch
+        expected = bin(
+            dhash_ref(base.encode()) ^ dhash_ref("".join(corrupt).encode())
+        ).count("1")
+        if 1 <= expected <= 3:
+            break
+    assert 1 <= expected <= 3, "test construction must perturb the grid"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, "".join(corrupt)),  # perceptual near-dup of 1/2
+        (4, "completely different content with other words entirely " * 7),
+    ]
+    d = _write_documents(tmp_path, sf_dir, rows)
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in multimodal_dhash_neardup(spark, d).collect()
+    }
+    assert got[(1, 2)] == 0
+    assert got[(1, 3)] == expected
+    assert got[(2, 3)] == expected
+    assert not any(4 in p for p in got)
+    assert_matches_oracle(
+        multimodal_dhash_neardup(spark, d), MULTIMODAL_DHASH_SQL, d
+    )
