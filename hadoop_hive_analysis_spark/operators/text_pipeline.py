@@ -817,3 +817,77 @@ DOC_HTML_EXTRACT_SQL = f"""
            {h64_sql(html_to_text_sql('text'))} AS clean_h
     FROM documents
 """
+
+
+# ------------------------------------------------- corpus snapshot diff
+
+# Deterministic snapshot derivation from the documents fixture (the same
+# fixture-split discipline as train_val_split / data_mixture_resample):
+# OLD = doc_id % 7 != 0, NEW = doc_id % 5 != 0, and every doc_id % 11 == 0
+# row is "re-crawled with an edit" in NEW. In production the two sides
+# are separate crawl snapshots; the plan is identical.
+SNAP_OLD_MOD = 7
+SNAP_NEW_MOD = 5
+SNAP_EDIT_MOD = 11
+SNAP_EDIT_SUFFIX = " [rev2]"
+
+
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-to-crawl corpus delta: FULL OUTER digest compare of two
+    snapshots → per-doc status (added / removed / changed / unchanged).
+
+    The incremental-ingest primitive: a pipeline that re-crawls monthly
+    wants to process only `added` + `changed` docs and tombstone
+    `removed` ones, instead of re-running the whole corpus. Cited shape:
+    the reference recomputes everything per run (CS346 Report.pdf p.4
+    §2.2, four full-scan MR jobs) — the diff is what makes 100 TB
+    re-ingestion incremental.
+
+    Scale shape: each side reduces to (doc_id, digest) at scan time
+    (md5 inside codegen, columns pruned to 2), then ONE SortMergeJoin
+    FullOuter on doc_id — the only shuffle; no side is assumed small.
+    Status derivation is null-arithmetic on the join output.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = d.filter(F.col("doc_id") % SNAP_OLD_MOD != 0).select(
+        "doc_id", F.md5("text").alias("old_fp")
+    )
+    new = d.filter(F.col("doc_id") % SNAP_NEW_MOD != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % SNAP_EDIT_MOD == 0,
+                F.concat(F.col("text"), F.lit(SNAP_EDIT_SUFFIX)),
+            ).otherwise(F.col("text"))
+        ).alias("new_fp"),
+    )
+    j = old.join(new, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("old_fp") == F.col("new_fp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select("doc_id", "old_fp", "new_fp", status.alias("status"))
+
+
+CORPUS_SNAPSHOT_DIFF_SQL = f"""
+    WITH old AS (
+        SELECT doc_id, md5(text) AS old_fp
+        FROM documents WHERE doc_id % {SNAP_OLD_MOD} <> 0
+    ),
+    new AS (
+        SELECT doc_id,
+               md5(CASE WHEN doc_id % {SNAP_EDIT_MOD} = 0
+                        THEN text || '{SNAP_EDIT_SUFFIX}'
+                        ELSE text END) AS new_fp
+        FROM documents WHERE doc_id % {SNAP_NEW_MOD} <> 0
+    )
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           o.old_fp, n.new_fp,
+           CASE WHEN n.new_fp IS NULL THEN 'removed'
+                WHEN o.old_fp IS NULL THEN 'added'
+                WHEN o.old_fp = n.new_fp THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+"""

@@ -460,6 +460,16 @@ def build() -> dict:
         tp.CORPUS_FILTER_FUNNEL_SQL,
         "ext: corpus filter funnel (per-stage survivor counts, one pass)",
     )
+    # Staged r9 (r10 rotation candidate — a second join:FullOuter
+    # carrier beside events_merge_upsert): crawl-to-crawl incremental
+    # ingest delta via full-outer digest compare.
+    q["corpus_snapshot_diff"] = QuerySpec(
+        tp.corpus_snapshot_diff,
+        tp.CORPUS_SNAPSHOT_DIFF_SQL,
+        "ext: corpus snapshot diff (added/removed/changed/unchanged by "
+        "digest, FULL OUTER on doc_id)",
+        driver=False,
+    )
     # Round-5 additions: three training-data staples the pipeline pack
     # lacked. Driver window is full, so all three are pytest-parity +
     # bench (the oracle-parity test hash-checks every registry entry).
