@@ -1220,6 +1220,24 @@ def build() -> dict:
         bench=False,  # replay harness; the three events replays carry
         # streaming cost in the pack
     )
+    # Staged r9 (r10 rotation candidate): stream-STATIC dimension
+    # enrichment — the per-microbatch static-side join + running
+    # aggregate, the one canonical Structured Streaming join shape the
+    # stream-stream replays don't cover. Exact Kappa equivalence to the
+    # batch join gives it a plain SQL oracle.
+    from ..streaming.events import (
+        EVENTS_STREAM_ENRICH_SQL,
+        events_stream_enrich_replay,
+    )
+
+    q["events_stream_enrich_replay"] = QuerySpec(
+        events_stream_enrich_replay,
+        EVENTS_STREAM_ENRICH_SQL,
+        "ext: stream-static dimension enrichment (broadcast static side "
+        "per microbatch) + running segment totals, batch-replayed",
+        bench=False,  # replay harness, same policy as the join replays
+        driver=False,
+    )
     # Round-5 addition, promoted in the round-6 rotation (slot from
     # ann_lsh_topk): the streaming ingest-dedup face as a driver-scored
     # AvailableNow replay (digest-set equality vs batch DISTINCT) — the

@@ -785,3 +785,79 @@ def events_stream_left_join_replay(spark: SparkSession, sf_dir: str) -> DataFram
     rows = out.collect()
     shutil.rmtree(out_dir, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+# ------------------------------------------------ stream-static enrich
+
+
+def streaming_segment_enrich(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static dimension enrichment + running aggregate — the
+    fourth canonical Structured Streaming shape beside windowed state,
+    merging-session state, and stream-stream join state: each
+    micro-batch joins against a STATIC dimension (no watermark, no join
+    state — Spark re-plans the static side per batch, broadcast here
+    since a mktsegment dimension is executor-resident at any scale),
+    then folds into a stateful aggregation.
+
+    The running (segment, event_type) totals are the classic enriched
+    dashboard: value by customer segment as events arrive.
+    """
+    from ..operators.events import _VAL_CENTS
+
+    e = events.select(
+        "user_id", "event_type", F.expr(_VAL_CENTS).alias("cents")
+    )
+    enriched = e.join(
+        F.broadcast(dim), e["user_id"] == dim["c_custkey"]
+    )
+    return (
+        enriched.groupBy("c_mktsegment", "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("cents").alias("cents"))
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            (F.col("cents").cast("double") / F.lit(100.0)).alias(
+                "total_value"
+            ),
+        )
+    )
+
+
+def events_stream_enrich_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-registered stream-static check: drain the events table as
+    a finite stream joined per micro-batch to the static customer
+    dimension, and return the final enriched running totals — which must
+    equal the equivalent batch join + aggregate exactly (the static side
+    is time-invariant, so Kappa equivalence is exact), giving it a plain
+    SQL oracle.
+    """
+    import atexit
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..sources.catalog import load_table
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    tag = uuid.uuid4().hex[:12]
+    ckpt = tempfile.mkdtemp(prefix=f"hha_enrich_ckpt_{tag}_")
+    atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
+    return run_available_now(
+        streaming_segment_enrich(read_events_stream(spark, sf_dir), dim),
+        query_name=f"enrich_replay_{tag}",
+        checkpoint_dir=ckpt,
+    )
+
+
+EVENTS_STREAM_ENRICH_SQL = """
+    SELECT c.c_mktsegment AS segment,
+           e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(e.value * 100, 0) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+"""
