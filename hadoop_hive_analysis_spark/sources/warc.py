@@ -203,8 +203,8 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
 # The blank line is the EARLIEST of CRLFCRLF (RFC 9112) and bare LFLF
 # (sloppy servers) — fixed CRLF-first precedence would mis-split an
 # LF-framed header block whose *body* contains "\r\n\r\n" later on.
-# (For CRLF-framed messages locate('\n\n') lands one past
-# locate('\r\n\r\n'), so the <= comparison still picks CRLF.) The sniff
+# (A pure-CRLF message contains no bare "\n\n" at all, so the lf=0 arm
+# of the comparison selects the CRLF split there.) The sniff
 # requires a real status line (HTTP/x[.y] SP 3-digit status), not just a
 # "HTTP/" prefix, so bare-body records that legitimately start with
 # "HTTP/" are left intact. Pure codegen (locate + substring + rlike).
