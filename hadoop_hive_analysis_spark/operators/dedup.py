@@ -1253,3 +1253,93 @@ def _family_profile_sql() -> str:
 
 
 DEDUP_FAMILY_PROFILE_SQL = _family_profile_sql()
+
+
+# ------------------------------------------------- edit-distance dedup
+
+EDIT_RADIUS = 10  # max levenshtein distance for a near-dup verdict
+EDIT_MIN_SHARED = 4  # shared informative shingles to become a candidate
+
+
+def dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact edit distance ≤ EDIT_RADIUS — the
+    similarity the shingle/MinHash family approximates when the real
+    contract is "differs by at most k character edits" (OCR noise,
+    template fills, small revisions).
+
+    Scale shape: levenshtein is O(len²) per pair, so it must NEVER see
+    the cross product. Candidates come from the same df-capped
+    informative-shingle posting lists as the Jaccard operator (pair
+    enumeration O(corpus × STOP_SHINGLE_DF)), thinned by two exact
+    lower bounds BEFORE the DP runs: shared-shingle count ≥
+    EDIT_MIN_SHARED (a k-edit pair of long docs shares almost all
+    shingles) and |len_a − len_b| ≤ EDIT_RADIUS (length difference is
+    an edit-distance lower bound). Texts join back to CANDIDATES only;
+    the quadratic-cost verify touches O(candidates) rows.
+
+    Output: (doc_a, doc_b, edit_distance), pairs within the radius.
+    """
+    sh = _informative_shingles(spark, sf_dir).localCheckpoint(eager=False)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("ix"))
+        .filter(F.col("ix") >= EDIT_MIN_SHARED)
+    )
+    d = load_table(spark, sf_dir, "documents")
+    ta = d.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("text").alias("text_a"),
+        F.length("text").alias("len_a"),
+    )
+    tb = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("text").alias("text_b"),
+        F.length("text").alias("len_b"),
+    )
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .filter(
+            F.abs(F.col("len_a") - F.col("len_b")) <= F.lit(EDIT_RADIUS)
+        )
+        .withColumn(
+            "edit_distance",
+            F.levenshtein(F.col("text_a"), F.col("text_b")).cast("long"),
+        )
+        .filter(F.col("edit_distance") <= EDIT_RADIUS)
+        .select("doc_a", "doc_b", "edit_distance")
+    )
+
+
+DEDUP_EDITDISTANCE_SQL = f"""
+    {_SHINGLE_SQL},
+    shf AS (
+        SELECT doc_id, shingle FROM (
+            SELECT doc_id, shingle,
+                   count(*) OVER (PARTITION BY shingle) AS df
+            FROM sh
+        ) WHERE df <= {STOP_SHINGLE_DF}
+    ),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= {EDIT_MIN_SHARED}
+    )
+    SELECT doc_a, doc_b,
+           CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_distance
+    FROM cand
+    JOIN documents ta ON ta.doc_id = doc_a
+    JOIN documents tb ON tb.doc_id = doc_b
+    WHERE abs(length(ta.text) - length(tb.text)) <= {EDIT_RADIUS}
+      AND levenshtein(ta.text, tb.text) <= {EDIT_RADIUS}
+"""

@@ -58,6 +58,17 @@ def build() -> dict:
         "ext: n-gram Jaccard near-dup",
         driver=False,
     )
+    # Staged r9 (r10 rotation candidate): the exact edit-distance
+    # contract (OCR noise / template fills) — shingle-candidate
+    # generation + two exact lower-bound prefilters keep the O(len²)
+    # levenshtein verify on candidates only, never the cross product.
+    q["dedup_editdistance"] = QuerySpec(
+        dedup.dedup_editdistance,
+        dedup.DEDUP_EDITDISTANCE_SQL,
+        "ext: edit-distance near-dup (shingle candidates, length lower "
+        "bound, levenshtein<=10 verify on candidates only)",
+        driver=False,
+    )
     # Round-8 addition, staged for the r9 rotation: the OTHER classical
     # set-similarity candidate generator — PPJoin-style prefix
     # filtering (rarest-first canonical order, prefix-only join, exact
