@@ -751,3 +751,38 @@ def test_dedup_normalized_catches_case_and_whitespace(spark, tmp_path):
     assert r.n_extra_vs_raw == 2
     raw = {r.fingerprint: r.n_copies for r in dedup_exact(spark, str(d)).collect()}
     assert max(raw.values()) == 2  # raw digest saw only the exact pair
+
+
+def test_editdistance_candidates_lose_nothing(spark, sf_dir):
+    """The candidate stage (shared informative shingles + length lower
+    bound) must recover EVERY pair the exhaustive all-pairs levenshtein
+    would report within the radius — the lossless-on-fixture claim the
+    operator's docstring makes."""
+    import duckdb as _duck
+
+    from hadoop_hive_analysis_spark.operators.dedup import (
+        EDIT_RADIUS,
+        dedup_editdistance,
+    )
+
+    got = {
+        (r.doc_a, r.doc_b): r.edit_distance
+        for r in dedup_editdistance(spark, sf_dir).collect()
+    }
+    con = _duck.connect()
+    truth = dict(
+        (tuple(r[:2]), r[2])
+        for r in con.execute(
+            f"""
+            SELECT a.doc_id, b.doc_id, levenshtein(a.text, b.text)
+            FROM read_parquet('{sf_dir}/documents.parquet') a
+            JOIN read_parquet('{sf_dir}/documents.parquet') b
+              ON a.doc_id < b.doc_id
+             AND abs(length(a.text) - length(b.text)) <= {EDIT_RADIUS}
+            WHERE levenshtein(a.text, b.text) <= {EDIT_RADIUS}
+            """
+        ).fetchall()
+    )
+    con.close()
+    assert truth, "fixture must contain planted edit-distance near-dups"
+    assert got == truth
