@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Measured scale-up proof for ``dedup_editdistance`` (SCALING.md).
+
+Same constant-dup-rate corpus growth as the MinHash harness
+(``build_scaled_corpus``: per-copy vocabulary rename — a bijection on
+shingles AND on characters-per-token, so each copy reproduces the base
+corpus's edit-distance pairs exactly, shifted, with zero cross-copy
+shingle overlap). Pairs must grow linearly; the wall curve shows the
+candidate-bounded levenshtein verify staying data-proportional (the DP
+runs on O(candidates) rows — candidates ∝ true pairs).
+
+The rename appends "_k" to every token, but BOTH sides of an in-copy
+pair carry the same suffixes, so their pairwise edit distances are
+exactly the base pair's distances; ``pairs_linear`` checks the count
+reproduces exactly per copy.
+
+Usage: python scripts/scaling_editdistance.py [multipliers...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from scaling_minhash import build_scaled_corpus, cpu_seconds, peak_mem_mb  # noqa: E402
+
+
+def main() -> None:
+    multipliers = [int(a) for a in sys.argv[1:]] or [1, 2, 5, 10]
+
+    from hadoop_hive_analysis_spark.operators.dedup import dedup_editdistance
+    from hadoop_hive_analysis_spark.session import get_spark
+
+    heap = os.environ.get("HHA_SCALE_HEAP", "8g")
+    spark = get_spark("hha-scaling-ed", extra_conf={"spark.driver.memory": heap})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results = []
+    for m in multipliers:
+        d = build_scaled_corpus(spark, m)
+        try:
+            samples = []
+            df = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                cpu0 = cpu_seconds(spark)
+                df = dedup_editdistance(spark, d)
+                df.write.format("noop").mode("overwrite").save()
+                samples.append(
+                    {
+                        "wall_sec": round(time.perf_counter() - t0, 3),
+                        "cpu_sec": round(cpu_seconds(spark) - cpu0, 2),
+                    }
+                )
+            best = min(samples, key=lambda s: s["wall_sec"])
+            pairs = df.count()
+            row = {
+                "multiplier": m,
+                "docs": 5000 * m,
+                "pairs": pairs,
+                "wall_sec": best["wall_sec"],
+                "cpu_sec": best["cpu_sec"],
+                "samples": samples,
+                "peak_mem_mb": peak_mem_mb(spark),
+            }
+            results.append(row)
+            print(json.dumps(row), flush=True)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    base = results[0]
+    summary = {
+        "metric": "editdistance_scaling",
+        "wall_ratio_at_max": round(
+            results[-1]["wall_sec"] / base["wall_sec"], 2
+        ),
+        "size_ratio_at_max": results[-1]["multiplier"] / base["multiplier"],
+        "pairs_linear": all(
+            r["pairs"] * base["multiplier"] == base["pairs"] * r["multiplier"]
+            for r in results
+        ),
+    }
+    print(json.dumps(summary), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
