@@ -522,3 +522,23 @@ def test_markov_transition_frame_materialized_once(plans):
     assert "Exchange hashpartitioning(user_id" not in p
     assert "BroadcastHashJoin" in p
     assert "events.parquet" not in p
+
+
+def test_editdistance_no_cartesian_and_bounded_candidates(plans):
+    """The levenshtein verify must run on equi-join candidates only:
+    no cartesian/nested-loop pair enumeration anywhere in the plan, and
+    the length lower-bound filter sits before the DP (levenshtein
+    appears under a Filter, not as a join condition)."""
+    p = plans("dedup_editdistance")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "levenshtein" in p
+
+
+def test_snapshot_diff_full_outer_sortmerge(plans):
+    """The corpus delta must be ONE FullOuter SortMergeJoin on doc_id —
+    neither snapshot side assumed broadcastable."""
+    p = plans("corpus_snapshot_diff")
+    assert "FullOuter" in p
+    assert "SortMergeJoin" in p
+    assert "CartesianProduct" not in p
