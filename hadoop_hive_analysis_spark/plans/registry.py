@@ -155,6 +155,23 @@ _R9_DEMOTE = (
 )
 
 
+# r10 promotion backlog (the entries the driver has NEVER hashed after
+# the r9 window, per CORRECTNESS_r0{1..8} ∪ the r9 window): corpus_
+# snapshot_diff (2nd FullOuter carrier), dedup_editdistance,
+# doc_html_extract, embedding_centroid_replay, embedding_int8_quantize,
+# embedding_kmeans (rows-only), events_audience_overlap,
+# events_click_purchase_join, events_conversion_funnel,
+# events_day_bounded_agg, events_key_skew_profile,
+# events_markov_transitions, events_null_profile, events_ohlc_bars,
+# events_robust_outliers, events_rolling_stats,
+# events_stream_enrich_replay, events_value_histogram,
+# multimodal_audio_stats, multimodal_dhash_neardup,
+# train_priority_sample — plus returning the r9-rested flagships
+# (minhash, asof, range join, HLL, quantile sketch, pricing_summary)
+# within a round or two. Validate any swap with scripts/rotation_plan.py
+# and a bare-session sf0.01 sweep BEFORE flipping flags.
+
+
 def _rotate(q: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
     from dataclasses import replace
 
