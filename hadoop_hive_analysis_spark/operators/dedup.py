@@ -32,6 +32,7 @@ from ..functions.hashing import (
     MERSENNE_31,
     h31,
     h31_sql,
+    h64,
     h64_sql,
     minhash_expr,
     minhash_params,
@@ -1342,4 +1343,207 @@ DEDUP_EDITDISTANCE_SQL = f"""
     JOIN documents tb ON tb.doc_id = doc_b
     WHERE abs(length(ta.text) - length(tb.text)) <= {EDIT_RADIUS}
       AND levenshtein(ta.text, tb.text) <= {EDIT_RADIUS}
+"""
+
+# --------------------------------------------------- paragraph-level dedup
+
+# RefinedWeb / MassiveText-style exact paragraph deduplication: the
+# granularity between whole-document digests (dedup_exact) and stride-1
+# span hashes (duplicated_spans). Paragraphs are blank-line-delimited
+# (\n{2,}), trimmed, empty segments dropped.
+_PARA_SPLIT_JAVA = r"\n{2,}"  # Java regex (Spark split)
+_PARA_SPLIT_RE2 = r"\n{2,}"  # RE2 (DuckDB string_split_regex) — same text
+
+
+def _paragraph_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, idx, para, digest): one row per non-empty trimmed
+    paragraph, idx = 0-based position within the document. Pure codegen
+    split/explode — the corpus is scanned once and never re-shuffled by
+    the split itself."""
+    d = load_table(spark, sf_dir, "documents")
+    paras = F.expr(
+        f"filter(transform(split(text, '{_PARA_SPLIT_JAVA}'), p -> trim(p)),"
+        " p -> length(p) > 0)"
+    )
+    return (
+        d.select("doc_id", F.posexplode(paras).alias("idx", "para"))
+        .withColumn("digest", h64("para"))
+    )
+
+
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document paragraph-duplication report (RefinedWeb-style exact
+    paragraph dedup, the reporting half).
+
+    A paragraph INSTANCE is duplicated when its trimmed text occurs more
+    than once corpus-wide; the canonical instance is the lexicographic
+    min (doc_id, idx) holder and is the one a scrub keeps. Skew-safe by
+    construction: duplicate counting and canonical selection are BOTH
+    partial-aggregable (``count`` + ``min(struct(doc_id, idx))`` over
+    digest) — a billion-copy boilerplate paragraph combines map-side
+    instead of sorting one hot window partition (the row_number
+    formulation this replaces cannot partial-agg). Two shuffles total:
+    digest agg + join back, then the per-doc rollup.
+
+    Scale: corpus-linear; the digest dictionary is the only state.
+    Reference scope: extension surface (LLM-corpus dedup pillar).
+    """
+    p = _paragraph_frame(spark, sf_dir)
+    g = p.groupBy("digest").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.struct("doc_id", "idx")).alias("first"),
+    )
+    j = p.join(g, "digest")
+    dup = F.col("cnt") > 1
+    removed = dup & ~(
+        (F.col("first.doc_id") == F.col("doc_id"))
+        & (F.col("first.idx") == F.col("idx"))
+    )
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(dup.cast("long")).alias("n_dup_paras"),
+            F.sum(removed.cast("long")).alias("n_removable"),
+        )
+        .select(
+            "doc_id",
+            "n_paras",
+            "n_dup_paras",
+            "n_removable",
+            F.expr("n_dup_paras * 1000000 DIV n_paras").alias("dup_ppm"),
+        )
+    )
+
+
+DEDUP_PARAGRAPHS_SQL = rf"""
+    WITH p AS (
+        SELECT doc_id,
+               unnest(paras) AS para,
+               CAST(unnest(range(len(paras))) AS BIGINT) AS idx
+        FROM (
+            SELECT doc_id,
+                   list_filter(
+                       list_transform(
+                           string_split_regex(text, '{_PARA_SPLIT_RE2}'),
+                           p -> trim(p)),
+                       p -> length(p) > 0) AS paras
+            FROM documents
+        )
+    ),
+    ph AS (
+        SELECT doc_id, idx, {h64_sql("para")} AS digest FROM p
+    ),
+    g AS (
+        SELECT digest, count(*) AS cnt,
+               min(ROW(doc_id, idx)) AS first
+        FROM ph GROUP BY digest
+    ),
+    j AS (
+        SELECT ph.doc_id, ph.idx, g.cnt,
+               (g.cnt > 1) AS dup,
+               (g.cnt > 1 AND NOT (g.first = ROW(ph.doc_id, ph.idx)))
+                   AS removed
+        FROM ph JOIN g USING (digest)
+    )
+    SELECT doc_id,
+           count(*) AS n_paras,
+           CAST(COALESCE(sum(CASE WHEN dup THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_dup_paras,
+           CAST(COALESCE(sum(CASE WHEN removed THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS n_removable,
+           CAST((COALESCE(sum(CASE WHEN dup THEN 1 ELSE 0 END), 0) * 1000000)
+               // count(*) AS BIGINT) AS dup_ppm
+    FROM j GROUP BY doc_id
+"""
+
+
+def paragraph_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL half of paragraph-level dedup: drop every duplicated
+    paragraph instance except its canonical (min (doc_id, idx)) copy and
+    re-assemble the document with a blank-line joiner. Emitted as
+    (counts + portable hash of the scrubbed text) so the result exchange
+    stays scalar — the production variant writes the text column.
+
+    Same skew-safe partial-agg/join shape as :func:`dedup_paragraphs`;
+    re-assembly is one per-doc aggregation whose collect_list is bounded
+    by document length, made deterministic by sorting on idx BEFORE
+    extraction (collect_list order is otherwise partition-dependent).
+    Whitespace at paragraph boundaries is normalized by construction
+    (trimmed paragraphs, exactly one blank line between survivors).
+    """
+    p = _paragraph_frame(spark, sf_dir)
+    g = p.groupBy("digest").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.struct("doc_id", "idx")).alias("first"),
+    )
+    j = p.join(g, "digest")
+    keep = (F.col("cnt") == 1) | (
+        (F.col("first.doc_id") == F.col("doc_id"))
+        & (F.col("first.idx") == F.col("idx"))
+    )
+    agg = j.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("idx", "para", keep.alias("keep")))
+        ).alias("parts")
+    )
+    clean = F.array_join(
+        F.expr("transform(filter(parts, x -> x.keep), x -> x.para)"),
+        "\n\n",
+    )
+    return agg.select(
+        "doc_id",
+        F.expr("size(filter(parts, x -> x.keep))").cast("long").alias("n_kept"),
+        F.expr("size(filter(parts, x -> NOT x.keep))")
+        .cast("long")
+        .alias("n_removed"),
+        F.length(clean).cast("long").alias("clean_chars"),
+        h64(clean).alias("clean_h64"),
+    )
+
+
+PARAGRAPH_SCRUB_SQL = rf"""
+    WITH p AS (
+        SELECT doc_id,
+               unnest(paras) AS para,
+               CAST(unnest(range(len(paras))) AS BIGINT) AS idx
+        FROM (
+            SELECT doc_id,
+                   list_filter(
+                       list_transform(
+                           string_split_regex(text, '{_PARA_SPLIT_RE2}'),
+                           p -> trim(p)),
+                       p -> length(p) > 0) AS paras
+            FROM documents
+        )
+    ),
+    ph AS (
+        SELECT doc_id, idx, para, {h64_sql("para")} AS digest FROM p
+    ),
+    g AS (
+        SELECT digest, count(*) AS cnt,
+               min(ROW(doc_id, idx)) AS first
+        FROM ph GROUP BY digest
+    ),
+    j AS (
+        SELECT ph.doc_id, ph.idx, ph.para,
+               (g.cnt = 1 OR g.first = ROW(ph.doc_id, ph.idx)) AS keep
+        FROM ph JOIN g USING (digest)
+    ),
+    asm AS (
+        SELECT doc_id,
+               COALESCE(string_agg(CASE WHEN keep THEN para END,
+                                   chr(10) || chr(10) ORDER BY idx),
+                        '') AS clean,
+               COALESCE(sum(CASE WHEN keep THEN 1 ELSE 0 END), 0) AS n_kept,
+               COALESCE(sum(CASE WHEN keep THEN 0 ELSE 1 END), 0)
+                   AS n_removed
+        FROM j GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n_kept AS BIGINT) AS n_kept,
+           CAST(n_removed AS BIGINT) AS n_removed,
+           CAST(length(clean) AS BIGINT) AS clean_chars,
+           {h64_sql("clean")} AS clean_h64
+    FROM asm
 """

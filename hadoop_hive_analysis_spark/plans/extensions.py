@@ -69,6 +69,29 @@ def build() -> dict:
         "bound, levenshtein<=10 verify on candidates only)",
         driver=False,
     )
+    # Round-9 additions, staged for the r10 rotation: RefinedWeb/
+    # MassiveText-style EXACT PARAGRAPH dedup — the granularity between
+    # whole-doc digests and stride-1 span hashes. Skew-safe by
+    # construction (partial-agg count + min-struct canonical selection,
+    # never a hot row_number window). The fixture corpus has no
+    # blank-line paragraphs or exact-dup docs, so the fixture rows are a
+    # clean-corpus report (the dHash precedent) — planted multi-
+    # paragraph corpora in tests/test_dedup_paragraphs.py carry the
+    # dup/scrub signal.
+    q["dedup_paragraphs"] = QuerySpec(
+        dedup.dedup_paragraphs,
+        dedup.DEDUP_PARAGRAPHS_SQL,
+        "ext: paragraph-level exact dedup report (blank-line segments, "
+        "partial-agg canonical selection, skew-safe)",
+        driver=False,
+    )
+    q["paragraph_scrub"] = QuerySpec(
+        dedup.paragraph_scrub,
+        dedup.PARAGRAPH_SCRUB_SQL,
+        "ext: paragraph-level scrub (drop non-canonical dup paragraphs, "
+        "deterministic re-assembly, scrubbed text hashed)",
+        driver=False,
+    )
     # Round-8 addition, staged for the r9 rotation: the OTHER classical
     # set-similarity candidate generator — PPJoin-style prefix
     # filtering (rarest-first canonical order, prefix-only join, exact
