@@ -1368,3 +1368,131 @@ CORPUS_DEDUP_SATURATION_SQL = f"""
                 // count(*) AS BIGINT) AS dup_rate_ppm
     FROM bucketed GROUP BY bucket
 """
+
+
+# ------------------------------------------------ encoding / script screen
+
+# Character-class patterns shared verbatim by BOTH regex engines: hex
+# escapes are written \x{hhhh} (valid in Java regex AND RE2), and the
+# Spark side receives the pattern through F.lit() so SQL string-literal
+# escaping can never diverge from the DuckDB text. Mojibake markers are
+# the classic UTF-8-bytes-read-as-Latin-1 artifacts (ftfy's bread and
+# butter): 'Ã' + Latin-1-supplement char, the 'â€' prefix of smart
+# punctuation, and 'Â' + no-break space.
+_PAT_NON_ASCII = r"[^\x{0000}-\x{007f}]"
+_PAT_REPLACEMENT = "�"
+_PAT_CTRL = r"[\x{0000}-\x{0008}\x{000b}\x{000c}\x{000e}-\x{001f}\x{007f}\x{0080}-\x{009f}]"
+_PAT_MOJIBAKE = "Ã[\\x{0080}-\\x{00ff}]|â€|Â\\x{00a0}"
+_PAT_LATIN = "[A-Za-z]"
+_PAT_CYRILLIC = r"[\x{0400}-\x{04ff}]"
+_PAT_CJK = r"[\x{4e00}-\x{9fff}\x{3040}-\x{30ff}]"
+_PAT_ARABIC = r"[\x{0600}-\x{06ff}]"
+
+
+def text_encoding_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding/ script QA report — the ftfy/CCNet-style trust gate a
+    crawl corpus passes before any content filter: per-document counts
+    of U+FFFD replacement characters, stray control characters (C0 minus
+    tab/newline/CR, DEL, and the C1 block — the classic double-decode
+    residue), and mojibake marker sequences, plus a script profile
+    (Latin / Cyrillic / CJK / Arabic codepoint counts) with a
+    deterministic dominant-script vote and an exact ascii_ppm.
+
+    ``clean`` is the pipeline decision: no replacement chars, no stray
+    controls, no mojibake. Zero shuffles, zero joins — one codegen pass
+    of regexp_count folds per document; at 100 TB this runs at scan
+    speed and partitions trivially. The fixture corpus is pure ASCII
+    (all screens zero, latin dominant), so the planted corpus in
+    tests/test_encoding_screen.py carries the detection signal — the
+    dHash precedent.
+    """
+    d = load_table(spark, sf_dir, "documents")
+
+    def cnt(pat: str):
+        return F.regexp_count(F.col("text"), F.lit(pat)).cast("long")
+
+    n_chars = F.length("text").cast("long")
+    n_non_ascii = cnt(_PAT_NON_ASCII)
+    n_repl = cnt(_PAT_REPLACEMENT)
+    n_ctrl = cnt(_PAT_CTRL)
+    n_moji = cnt(_PAT_MOJIBAKE)
+    n_latin = cnt(_PAT_LATIN)
+    n_cyr = cnt(_PAT_CYRILLIC)
+    n_cjk = cnt(_PAT_CJK)
+    n_arab = cnt(_PAT_ARABIC)
+    dominant = (
+        F.when(
+            (n_latin >= n_cyr) & (n_latin >= n_cjk) & (n_latin >= n_arab) & (n_latin > 0),
+            F.lit("latin"),
+        )
+        .when((n_cyr >= n_cjk) & (n_cyr >= n_arab) & (n_cyr > 0), F.lit("cyrillic"))
+        .when((n_cjk >= n_arab) & (n_cjk > 0), F.lit("cjk"))
+        .when(n_arab > 0, F.lit("arabic"))
+        .otherwise(F.lit("other"))
+    )
+    counted = d.select(
+        "doc_id",
+        n_chars.alias("n_chars_m"),
+        n_non_ascii.alias("n_non_ascii"),
+        n_repl.alias("n_replacement"),
+        n_ctrl.alias("n_ctrl"),
+        n_moji.alias("n_mojibake"),
+        n_latin.alias("n_latin"),
+        n_cyr.alias("n_cyrillic"),
+        n_cjk.alias("n_cjk"),
+        n_arab.alias("n_arabic"),
+        dominant.alias("dominant_script"),
+    )
+    return counted.withColumns(
+        {
+            # exact integer ppm; empty docs count as fully ASCII
+            "ascii_ppm": F.expr(
+                "CASE WHEN n_chars_m = 0 THEN 1000000 ELSE "
+                "(n_chars_m - n_non_ascii) * 1000000 DIV n_chars_m END"
+            ),
+            "clean": F.expr(
+                "n_replacement = 0 AND n_ctrl = 0 AND n_mojibake = 0"
+            ),
+        }
+    )
+
+
+def _encoding_screen_sql() -> str:
+    def cnt(pat: str) -> str:
+        lit = pat.replace("'", "''")
+        return f"CAST(len(regexp_extract_all(text, '{lit}')) AS BIGINT)"
+
+    return f"""
+    WITH c AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_m,
+               {cnt(_PAT_NON_ASCII)} AS n_non_ascii,
+               {cnt(_PAT_REPLACEMENT)} AS n_replacement,
+               {cnt(_PAT_CTRL)} AS n_ctrl,
+               {cnt(_PAT_MOJIBAKE)} AS n_mojibake,
+               {cnt(_PAT_LATIN)} AS n_latin,
+               {cnt(_PAT_CYRILLIC)} AS n_cyrillic,
+               {cnt(_PAT_CJK)} AS n_cjk,
+               {cnt(_PAT_ARABIC)} AS n_arabic
+        FROM documents
+    )
+    SELECT doc_id, n_chars_m, n_non_ascii, n_replacement, n_ctrl,
+           n_mojibake, n_latin, n_cyrillic, n_cjk, n_arabic,
+           CASE
+               WHEN n_latin >= n_cyrillic AND n_latin >= n_cjk
+                    AND n_latin >= n_arabic AND n_latin > 0 THEN 'latin'
+               WHEN n_cyrillic >= n_cjk AND n_cyrillic >= n_arabic
+                    AND n_cyrillic > 0 THEN 'cyrillic'
+               WHEN n_cjk >= n_arabic AND n_cjk > 0 THEN 'cjk'
+               WHEN n_arabic > 0 THEN 'arabic'
+               ELSE 'other'
+           END AS dominant_script,
+           CAST(CASE WHEN n_chars_m = 0 THEN 1000000 ELSE
+               (n_chars_m - n_non_ascii) * 1000000 // n_chars_m END
+               AS BIGINT) AS ascii_ppm,
+           (n_replacement = 0 AND n_ctrl = 0 AND n_mojibake = 0) AS clean
+    FROM c
+"""
+
+
+TEXT_ENCODING_SCREEN_SQL = _encoding_screen_sql()

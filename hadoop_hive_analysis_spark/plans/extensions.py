@@ -788,6 +788,18 @@ def build() -> dict:
     # drift — exact total-variation distance of each source's token
     # distribution from the corpus (int64 cross-multiplied numerator,
     # absent-token mass in closed form, one final division).
+    # Round-9 addition, staged for the r10 rotation: the ftfy/CCNet-
+    # style encoding trust gate (replacement chars, stray C0/C1
+    # controls, mojibake markers, script profile + dominant vote, exact
+    # ascii_ppm). Zero shuffles — one codegen regexp_count pass; the
+    # ASCII fixture is the clean path, the planted corpus in
+    # tests/test_encoding_screen.py carries the detection signal.
+    q["text_encoding_screen"] = QuerySpec(
+        text_analysis.text_encoding_screen,
+        text_analysis.TEXT_ENCODING_SCREEN_SQL,
+        "ext: encoding/mojibake/script QA screen (zero-shuffle codegen)",
+        driver=False,
+    )
     q["source_token_drift"] = QuerySpec(
         text_analysis.source_token_drift,
         text_analysis.SOURCE_TOKEN_DRIFT_SQL,
