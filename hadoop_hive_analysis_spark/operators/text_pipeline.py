@@ -891,3 +891,102 @@ CORPUS_SNAPSHOT_DIFF_SQL = f"""
                 ELSE 'changed' END AS status
     FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
 """
+
+
+# ------------------------------------------------- length-bucketed batching
+
+# Power-of-two bucket ceilings for padded-batch training (the
+# complement of seq_packing: packing eliminates padding by concat, length
+# bucketing minimizes it when documents must stay intact — SFT / eval
+# batching). Sequences longer than the last ceiling are truncated to it,
+# mirroring a max_seq_len cut.
+BUCKET_CEILINGS = (16, 32, 64, 128, 256, 512, 1024)
+BATCH_SIZE = 32
+
+
+def seq_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch plan: assign every document to the smallest
+    power-of-two token-length ceiling, then report per bucket the doc
+    count, real/padded token totals, exact padding waste (what dynamic
+    batching saves vs padding to the bucket ceiling), the batch count at
+    BATCH_SIZE, and waste_ppm — the padding-efficiency report an SFT
+    dataloader is tuned against.
+
+    The bucket id is a CASE ladder over exact integers (no log2 /
+    transcendentals, so both engines agree bit-for-bit; overlong docs
+    clamp to the top ceiling = the max_seq_len truncation cut, with
+    their counted tokens clamped too). ONE partial-agg shuffle of ≤
+    len(BUCKET_CEILINGS) rows; the corpus is scanned once and never
+    re-shuffled — at 100 TB this is scan-bound with a 7-row result.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n = F.size(tokens("text")).cast("long")
+    top = BUCKET_CEILINGS[-1]
+    bucket = F.lit(BUCKET_CEILINGS[0])
+    for ceil in BUCKET_CEILINGS[1:]:
+        bucket = F.when(n > F.lit(_prev(ceil)), F.lit(ceil)).otherwise(bucket)
+    eff = F.least(n, F.lit(top))  # tokens that survive the top-ceiling cut
+    b = d.select(
+        F.col("doc_id"),
+        eff.alias("n_tok"),
+        bucket.alias("bucket_len"),
+    )
+    g = b.groupBy("bucket_len").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("real_tokens"),
+    )
+    return g.select(
+        "bucket_len",
+        "n_docs",
+        "real_tokens",
+        (F.col("n_docs") * F.col("bucket_len")).alias("padded_tokens"),
+        (F.col("n_docs") * F.col("bucket_len") - F.col("real_tokens")).alias(
+            "pad_waste"
+        ),
+        F.expr(f"(n_docs + {BATCH_SIZE - 1}) DIV {BATCH_SIZE}").alias(
+            "n_batches"
+        ),
+        F.expr(
+            "(n_docs * bucket_len - real_tokens) * 1000000 "
+            "DIV (n_docs * bucket_len)"
+        ).alias("waste_ppm"),
+    )
+
+
+def _prev(ceil: int) -> int:
+    return BUCKET_CEILINGS[BUCKET_CEILINGS.index(ceil) - 1]
+
+
+def _length_buckets_sql() -> str:
+    ladder = f"WHEN n <= {BUCKET_CEILINGS[0]} THEN {BUCKET_CEILINGS[0]}"
+    for ceil in BUCKET_CEILINGS[1:]:
+        ladder += f" WHEN n <= {ceil} THEN {ceil}"
+    top = BUCKET_CEILINGS[-1]
+    return rf"""
+    WITH t AS (
+        SELECT CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n
+        FROM documents
+    ),
+    b AS (
+        SELECT CASE {ladder} ELSE {top} END AS bucket_len,
+               least(n, {top}) AS n_tok
+        FROM t
+    ),
+    g AS (
+        SELECT bucket_len,
+               count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS real_tokens
+        FROM b GROUP BY bucket_len
+    )
+    SELECT CAST(bucket_len AS BIGINT) AS bucket_len, n_docs, real_tokens,
+           CAST(n_docs * bucket_len AS BIGINT) AS padded_tokens,
+           CAST(n_docs * bucket_len - real_tokens AS BIGINT) AS pad_waste,
+           CAST((n_docs + {BATCH_SIZE - 1}) // {BATCH_SIZE} AS BIGINT)
+               AS n_batches,
+           CAST((n_docs * bucket_len - real_tokens) * 1000000
+               // (n_docs * bucket_len) AS BIGINT) AS waste_ppm
+    FROM g
+"""
+
+
+SEQ_LENGTH_BUCKETS_SQL = _length_buckets_sql()

@@ -788,6 +788,17 @@ def build() -> dict:
     # drift — exact total-variation distance of each source's token
     # distribution from the corpus (int64 cross-multiplied numerator,
     # absent-token mass in closed form, one final division).
+    # Round-9 addition, staged for the r10 rotation: the padding-
+    # efficiency complement of seq_packing — power-of-two length
+    # buckets with exact padding-waste accounting and batch counts (the
+    # SFT/eval dataloader report). One ≤7-row partial-agg shuffle.
+    q["seq_length_buckets"] = QuerySpec(
+        tp.seq_length_buckets,
+        tp.SEQ_LENGTH_BUCKETS_SQL,
+        "ext: length-bucketed batch plan (pow2 ceilings, exact padding "
+        "waste, scan-bound)",
+        driver=False,
+    )
     # Round-9 addition, staged for the r10 rotation: the ftfy/CCNet-
     # style encoding trust gate (replacement chars, stray C0/C1
     # controls, mojibake markers, script profile + dominant vote, exact

@@ -786,3 +786,40 @@ def test_editdistance_candidates_lose_nothing(spark, sf_dir):
     con.close()
     assert truth, "fixture must contain planted edit-distance near-dups"
     assert got == truth
+
+
+def test_seq_length_buckets_edges_and_waste(spark, tmp_path):
+    """Bucket-edge exactness: n == ceiling stays in that bucket, n ==
+    ceiling+1 promotes, overlong docs clamp to the top ceiling with
+    their token count clamped too (the max_seq_len cut), and the waste
+    arithmetic is exact."""
+    import pandas as pd
+
+    from hadoop_hive_analysis_spark.operators.text_pipeline import (
+        BUCKET_CEILINGS,
+        seq_length_buckets,
+    )
+
+    top = BUCKET_CEILINGS[-1]
+    rows = [
+        (1, " ".join(["w"] * 16)),        # == first ceiling -> bucket 16
+        (2, " ".join(["w"] * 17)),        # 16+1 -> bucket 32
+        (3, " ".join(["w"] * 64)),        # == 64 -> bucket 64
+        (4, " ".join(["w"] * (top + 50))),  # overlong -> clamp to top
+        (5, "one"),                        # tiny -> bucket 16
+    ]
+    d = tmp_path / "buckets"
+    d.mkdir()
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        str(d / "documents.parquet")
+    )
+    out = {r["bucket_len"]: r for r in seq_length_buckets(spark, str(d)).collect()}
+    assert out[16]["n_docs"] == 2 and out[16]["real_tokens"] == 17
+    assert out[16]["pad_waste"] == 2 * 16 - 17
+    assert out[32]["n_docs"] == 1 and out[32]["pad_waste"] == 32 - 17
+    assert out[64]["n_docs"] == 1 and out[64]["pad_waste"] == 0
+    assert out[64]["waste_ppm"] == 0
+    # the overlong doc's counted tokens clamp to the ceiling: zero waste
+    assert out[top]["n_docs"] == 1 and out[top]["real_tokens"] == top
+    assert out[top]["pad_waste"] == 0
+    assert all(r["n_batches"] == 1 for r in out.values())
