@@ -1,0 +1,196 @@
+"""BPE merge training — the tokenizer-training step of an LLM data
+pipeline, distributed the way production trainers (HuggingFace
+tokenizers, SentencePiece-BPE) structure it.
+
+Classic Sennrich-style byte-pair encoding learns a merge table from a
+WORD-FREQUENCY dictionary, not from the raw corpus: the corpus is
+scanned ONCE to count words (the only corpus-scale step — corpus-linear,
+one partial-agg shuffle), and every training iteration then runs over
+the dictionary alone, which Heaps' law keeps sublinear in corpus size.
+At 100 TB the dict is millions of rows against trillions of tokens, so
+the loop's per-iteration cost (one pair-count shuffle over the dict +
+a TakeOrdered single-row argmax) is noise next to the scan.
+
+Iteration state is the dict's symbol arrays; each merge rewrites them
+with ONE higher-order fold (left-to-right with a skip flag — the same
+greedy non-overlapping semantics reference BPE uses) and the dict is
+localCheckpoint'd per iteration so plan depth stays O(1) instead of
+O(iterations). The argmax tie-break is total (freq DESC, left ASC,
+right ASC), making the whole merge sequence deterministic; the pure-
+Python differential in tests/test_bpe.py replays the identical
+algorithm on the same word counts and must reproduce the merge table
+exactly (the embedding_kmeans precedent for iterative, non-SQL-
+expressible operators — registered rows-only).
+
+Reference scope: extension surface (LLM-pipeline pillar); the vocab
+build/apply pair in operators/text_analysis.py covers whole-token
+vocabularies, this module covers subword LEARNING.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from ..sources.catalog import load_table
+
+N_MERGES = 8
+
+
+def _word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, cnt, syms): the frequency dictionary with initial
+    single-character symbol arrays. The one corpus-linear step."""
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        d.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # chars via substring-transform (multibyte-safe, no split('')
+    # trailing-empty ambiguity)
+    syms = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.substring("word", i, F.lit(1)),
+    )
+    return w.select("word", "cnt", syms.alias("syms"))
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """Adjacent-pair frequencies over the dict, weighted by word count.
+    Words reduced to one symbol no longer contribute pairs."""
+    multi = words.filter(F.size("syms") >= 2)
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size("syms") - 2),
+        lambda i: F.struct(
+            F.element_at("syms", i + 1).alias("left"),
+            F.element_at("syms", i + 2).alias("right"),
+        ),
+    )
+    return (
+        multi.select("cnt", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
+        .agg(F.sum("cnt").alias("freq"))
+    )
+
+
+def _apply_merge(syms: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right non-overlapping replacement of the adjacent
+    (left, right) symbol pair with its concatenation — one fold with a
+    skip flag, pure codegen, and the pair values travel as literals
+    through the Column API (never spliced into SQL text, so arbitrary
+    symbols cannot break parsing)."""
+    merged = F.lit(left + right)
+
+    def step(acc: Column, i: Column) -> Column:
+        cur = F.element_at(syms, i + 1)
+        # try_element_at: the lookahead runs PAST the array on the last
+        # symbol — must be NULL there even under ANSI mode (a bare
+        # driver session runs Spark 4's ANSI default; the tuned session
+        # masks this — caught at the /tmp bare-session drive)
+        nxt = F.try_element_at(syms, i + 2)
+        hit = F.coalesce(
+            (cur == F.lit(left)) & (nxt == F.lit(right)), F.lit(False)
+        )
+        return (
+            F.when(
+                acc["skip"],
+                F.struct(acc["arr"].alias("arr"), F.lit(False).alias("skip")),
+            )
+            .when(
+                hit,
+                F.struct(
+                    F.concat(acc["arr"], F.array(merged)).alias("arr"),
+                    F.lit(True).alias("skip"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc["arr"], F.array(cur)).alias("arr"),
+                    F.lit(False).alias("skip"),
+                )
+            )
+        )
+
+    init = F.struct(
+        F.array().cast("array<string>").alias("arr"),
+        F.lit(False).alias("skip"),
+    )
+    return F.aggregate(
+        F.sequence(F.lit(0), F.size(syms) - 1),
+        init,
+        step,
+        lambda acc: acc["arr"],
+    )
+
+
+def train_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES
+) -> list[tuple[int, str, str, str, int]]:
+    """Run the BPE training loop; returns [(rank, left, right, merged,
+    freq)] — the merge table, highest-frequency pair first. The single-
+    row argmax collect per iteration is contract-bounded (the k-means
+    centroid precedent), not a hot-path collect."""
+    words = _word_counts(spark, sf_dir).localCheckpoint()
+    out: list[tuple[int, str, str, str, int]] = []
+    for rank in range(n_merges):
+        best = (
+            _pair_counts(words)
+            .orderBy(F.desc("freq"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break  # every word is a single symbol — vocabulary saturated
+        left, right, freq = best[0]["left"], best[0]["right"], best[0]["freq"]
+        out.append((rank, left, right, left + right, freq))
+        nxt = words.select(
+            "word", "cnt", _apply_merge(F.col("syms"), left, right).alias("syms")
+        ).localCheckpoint()
+        words.unpersist()
+        words = nxt
+    words.unpersist()
+    return out
+
+
+def bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the learned merge table as a DataFrame (rank,
+    left, right, merged, freq). Rows-only check — the iterative global
+    argmax is not SQL-expressible; the exact differential lives in
+    tests/test_bpe.py."""
+    rows = train_merges(spark, sf_dir)
+    schema = "rank long, left string, right string, merged string, freq long"
+    return spark.createDataFrame(rows, schema)
+
+
+def python_reference_merges(
+    word_counts: dict[str, int], n_merges: int = N_MERGES
+) -> list[tuple[int, str, str, str, int]]:
+    """Pure-Python replica of the exact training contract (greedy
+    left-to-right merge application, total tie-break) for differential
+    testing — deliberately simple and independent of Spark."""
+    words = {w: (list(w), c) for w, c in word_counts.items()}
+    out: list[tuple[int, str, str, str, int]] = []
+    for rank in range(n_merges):
+        freqs: dict[tuple[str, str], int] = {}
+        for syms, cnt in words.values():
+            for a, b in zip(syms, syms[1:]):
+                freqs[(a, b)] = freqs.get((a, b), 0) + cnt
+        if not freqs:
+            break
+        (left, right), freq = min(
+            freqs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        out.append((rank, left, right, left + right, freq))
+        for w, (syms, cnt) in words.items():
+            new: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    new.append(left + right)
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            words[w] = (new, cnt)
+    return out

@@ -921,6 +921,23 @@ def build() -> dict:
         # per-iteration shuffle volume (k x dim), pinned by the numpy
         # differential + the centroid plan test instead.
     )
+    # Round-9 addition: BPE merge TRAINING (Sennrich) — the tokenizer-
+    # learning step. Corpus scanned once into the word-frequency dict;
+    # every iteration runs over the dict alone (Heaps-sublinear), merges
+    # applied with one higher-order fold, single-row argmax per round.
+    # Rows-only like embedding_kmeans (iterative global argmax has no
+    # single SQL form); tests/test_bpe.py replays the exact algorithm in
+    # pure Python and pins the merge table bit-for-bit.
+    from ..operators import bpe
+
+    q["bpe_merge_train"] = QuerySpec(
+        bpe.bpe_merge_train,
+        None,
+        "ext: BPE merge training (dict-resident loop, greedy fold "
+        "application, deterministic tie-break)",
+        driver=False,
+        bench=False,  # iterative fit — same rationale as embedding_kmeans
+    )
     # Round-7 addition (slot from ann_bruteforce_topk): the k-means
     # path's driver-visible quality signal — the iterative fit itself
     # stays rows-only above, but its WCSS-vs-null-model floor is a

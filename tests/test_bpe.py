@@ -1,0 +1,95 @@
+"""BPE merge training — exact differential against a pure-Python replica
+(the embedding_kmeans precedent for iterative operators) plus a
+hand-checkable classic corpus."""
+
+from __future__ import annotations
+
+import duckdb
+
+
+def _fixture_word_counts(sf_dir: str) -> dict[str, int]:
+    con = duckdb.connect()
+    rows = con.execute(
+        rf"""
+        SELECT word, count(*) AS c FROM (
+            SELECT unnest(string_split_regex(text, '\s+')) AS word
+            FROM read_parquet('{sf_dir}/documents.parquet')
+        ) GROUP BY word
+        """
+    ).fetchall()
+    con.close()
+    return dict(rows)
+
+
+def test_bpe_differential_on_fixture(spark, sf_dir):
+    """The distributed loop must reproduce the pure-Python merge table
+    exactly — same pairs, same order, same frequencies."""
+    from hadoop_hive_analysis_spark.operators.bpe import (
+        python_reference_merges,
+        train_merges,
+    )
+
+    got = train_merges(spark, sf_dir)
+    want = python_reference_merges(_fixture_word_counts(sf_dir))
+    assert got == want
+    assert len(got) == 8  # fixture vocabulary is nowhere near saturated
+
+
+def test_bpe_classic_corpus(spark, tmp_path):
+    """Sennrich's worked example shape: 'es' dominates ('newest' x6 +
+    'widest' x3), then 'est' merges on top of it."""
+    import pandas as pd
+
+    from hadoop_hive_analysis_spark.operators.bpe import (
+        python_reference_merges,
+        train_merges,
+    )
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    d = tmp_path / "bpe"
+    d.mkdir()
+    pd.DataFrame([(1, text)], columns=["doc_id", "text"]).to_parquet(
+        str(d / "documents.parquet")
+    )
+    got = train_merges(spark, str(d))
+    assert got[0][1:] == ("e", "s", "es", 9)
+    assert got[1][1:] == ("es", "t", "est", 9)
+    counts = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    assert got == python_reference_merges(counts)
+
+
+def test_bpe_greedy_nonoverlap_application():
+    """'aaa' under merge (a,a) yields ['aa','a'] — greedy left-to-right,
+    never the overlapping double count; pinned in the reference replica
+    the distributed fold is differentially tested against."""
+    from hadoop_hive_analysis_spark.operators.bpe import python_reference_merges
+
+    out = python_reference_merges({"aaa": 1}, n_merges=2)
+    # first merge: (a,a) freq 2 (two adjacent pairs in 'aaa')
+    assert out[0][1:] == ("a", "a", "aa", 2)
+    # after greedy application the word is ['aa','a'] -> pair (aa,a) x1
+    assert out[1][1:] == ("aa", "a", "aaa", 1)
+
+
+def test_bpe_survives_ansi_mode(spark, tmp_path):
+    """A bare driver session runs Spark 4's ANSI default, where an
+    out-of-bounds element_at THROWS — the merge fold's lookahead must
+    use try_element_at (regression: caught at the bare-session drive)."""
+    import pandas as pd
+
+    from hadoop_hive_analysis_spark.operators.bpe import train_merges
+
+    text = "ab ab abc"
+    d = tmp_path / "bpe_ansi"
+    d.mkdir()
+    pd.DataFrame([(1, text)], columns=["doc_id", "text"]).to_parquet(
+        str(d / "documents.parquet")
+    )
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        got = train_merges(spark, str(d), n_merges=2)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert got[0][1:] == ("a", "b", "ab", 3)
+    assert got[1][1:] == ("ab", "c", "abc", 1)
