@@ -124,13 +124,14 @@ def _apply_merge(syms: Column, left: str, right: str) -> Column:
     )
 
 
-def train_merges(
-    spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES
-) -> list[tuple[int, str, str, str, int]]:
-    """Run the BPE training loop; returns [(rank, left, right, merged,
-    freq)] — the merge table, highest-frequency pair first. The single-
-    row argmax collect per iteration is contract-bounded (the k-means
-    centroid precedent), not a hot-path collect."""
+def _train(
+    spark: SparkSession, sf_dir: str, n_merges: int
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """The training loop; returns (merge table, final segmented dict).
+    The per-round localCheckpoint is ALSO what makes the dict reusable:
+    a chained 8-fold expression over one projection blows the analyzer
+    up exponentially (each fold references its input ~5×), while the
+    checkpointed per-round form is 8 tiny dict-sized jobs."""
     words = _word_counts(spark, sf_dir).localCheckpoint()
     out: list[tuple[int, str, str, str, int]] = []
     for rank in range(n_merges):
@@ -149,6 +150,17 @@ def train_merges(
         ).localCheckpoint()
         words.unpersist()
         words = nxt
+    return out, words
+
+
+def train_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES
+) -> list[tuple[int, str, str, str, int]]:
+    """Run the BPE training loop; returns [(rank, left, right, merged,
+    freq)] — the merge table, highest-frequency pair first. The single-
+    row argmax collect per iteration is contract-bounded (the k-means
+    centroid precedent), not a hot-path collect."""
+    out, words = _train(spark, sf_dir, n_merges)
     words.unpersist()
     return out
 
@@ -193,4 +205,74 @@ def python_reference_merges(
                     new.append(syms[i])
                     i += 1
             words[w] = (new, cnt)
+    return out
+
+
+def bpe_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of the tokenizer pillar: segment the corpus with
+    the learned merge table and report, per document, whitespace-token /
+    character / subword-token counts and the exact compression ratio
+    (chars per subword, ppm).
+
+    Scale shape — the part that matters: merges are applied to the WORD
+    DICTIONARY (tiny), producing a word → n_subwords map; the corpus
+    then BROADCAST-joins that map on its exploded tokens and rolls up
+    per doc. The corpus is never folded over merge-by-merge — and the
+    dict-side application is the trainer's OWN per-round checkpointed
+    state, reused for free (re-deriving it as one chained 8-fold
+    projection blows the analyzer up exponentially: each fold
+    references its input ~5×, measured fatal at 8 merges). Two
+    corpus-linear shuffles total (word count inside training, doc
+    rollup); everything else is dict-sized.
+
+    Rows-only (depends on the learned table); differentially tested in
+    tests/test_bpe.py against the pure-Python replica end-to-end.
+    """
+    _, words = _train(spark, sf_dir, N_MERGES)
+    seg = words.select(
+        "word", F.size("syms").cast("long").alias("n_subwords")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("word"))
+    j = toks.join(F.broadcast(seg), "word")
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.length("word")).alias("n_chars_t"),
+            F.sum("n_subwords").alias("n_subwords"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_chars_t",
+            "n_subwords",
+            F.expr("n_chars_t * 1000000 DIV n_subwords").alias(
+                "chars_per_subword_ppm"
+            ),
+        )
+    )
+
+
+def python_reference_segment(
+    word_counts: dict[str, int], n_merges: int = N_MERGES
+) -> dict[str, int]:
+    """word → n_subwords under the learned merge table (pure-Python
+    twin of the dict-side apply in :func:`bpe_segment_stats`)."""
+    merges = [(m[1], m[2]) for m in python_reference_merges(word_counts, n_merges)]
+    out: dict[str, int] = {}
+    for w in word_counts:
+        syms = list(w)
+        for left, right in merges:
+            new: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    new.append(left + right)
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            syms = new
+        out[w] = len(syms)
     return out

@@ -938,6 +938,18 @@ def build() -> dict:
         driver=False,
         bench=False,  # iterative fit — same rationale as embedding_kmeans
     )
+    # The APPLY half: merges applied to the word DICTIONARY (the
+    # chained fold runs |dict| times, not |corpus| times), then a
+    # broadcast join segments the corpus and rolls up per-doc subword/
+    # compression stats. Rows-only for the same reason as the trainer.
+    q["bpe_segment_stats"] = QuerySpec(
+        bpe.bpe_segment_stats,
+        None,
+        "ext: BPE apply/segmentation stats (dict-side fold, broadcast "
+        "word->n_subwords map, exact compression ppm)",
+        driver=False,
+        bench=False,  # runs the training loop internally
+    )
     # Round-7 addition (slot from ann_bruteforce_topk): the k-means
     # path's driver-visible quality signal — the iterative fit itself
     # stays rows-only above, but its WCSS-vs-null-model floor is a

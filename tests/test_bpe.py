@@ -93,3 +93,43 @@ def test_bpe_survives_ansi_mode(spark, tmp_path):
         spark.conf.set("spark.sql.ansi.enabled", prev)
     assert got[0][1:] == ("a", "b", "ab", 3)
     assert got[1][1:] == ("ab", "c", "abc", 1)
+
+
+def test_bpe_segment_stats_differential(spark, sf_dir):
+    """End-to-end train→apply differential: per-doc subword counts and
+    compression ppm must equal the pure-Python replica computed from
+    the same corpus."""
+    import duckdb
+
+    from hadoop_hive_analysis_spark.operators.bpe import (
+        bpe_segment_stats,
+        python_reference_segment,
+    )
+
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_chars_t"],
+            r["n_subwords"],
+            r["chars_per_subword_ppm"],
+        )
+        for r in bpe_segment_stats(spark, sf_dir).collect()
+    }
+
+    seg = python_reference_segment(_fixture_word_counts(sf_dir))
+    con = duckdb.connect()
+    docs = con.execute(
+        rf"""
+        SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        FROM read_parquet('{sf_dir}/documents.parquet')
+        """
+    ).fetchall()
+    con.close()
+    want = {}
+    for doc_id, toks in docs:
+        n_chars = sum(len(t) for t in toks)
+        n_sub = sum(seg[t] for t in toks)
+        want[doc_id] = (len(toks), n_chars, n_sub, n_chars * 1_000_000 // n_sub)
+    assert got == want
+    # merges actually compress: every doc has fewer subwords than chars
+    assert all(v[2] < v[1] for v in got.values())

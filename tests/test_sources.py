@@ -110,3 +110,41 @@ def test_orc_roundtrip_pushdown_and_pruning(spark, sf_dir, tmp_path):
         for r in pruned.select(F.input_file_name().alias("f")).distinct().collect()
     }
     assert files == {"click"}
+
+
+def test_schema_evolution_mixed_generation_read(spark, tmp_path):
+    """A 100 TB lake accretes columns across ingest generations. The
+    declared-schema read must tolerate a directory mixing an OLD
+    generation (written before a column existed) with a new one: the
+    missing column surfaces as NULL on old rows, is populated on new
+    rows, and filter pushdown on a shared column still works. Pins the
+    contract _read_with_declared relies on Spark for — if a Spark
+    upgrade turns this into a hard error, this canary names it."""
+    import pandas as pd
+
+    from hadoop_hive_analysis_spark.sources.catalog import load_table
+
+    d = tmp_path / "evolved"
+    (d / "documents.parquet").mkdir(parents=True)
+    # generation 1: before n_chars existed
+    pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["old alpha", "old beta"],
+         "lang": ["en", "en"], "source": ["gen1", "gen1"]}
+    ).to_parquet(str(d / "documents.parquet" / "part-gen1.parquet"))
+    # generation 2: full current schema
+    pd.DataFrame(
+        {"doc_id": [3], "text": ["new gamma"], "lang": ["de"],
+         "source": ["gen2"], "n_chars": [9]}
+    ).to_parquet(str(d / "documents.parquet" / "part-gen2.parquet"))
+
+    out = {r["doc_id"]: r for r in load_table(spark, str(d), "documents").collect()}
+    assert len(out) == 3
+    assert out[1]["n_chars"] is None and out[2]["n_chars"] is None
+    assert out[3]["n_chars"] == 9
+    # pushdown on a column both generations share still returns both
+    got = (
+        load_table(spark, str(d), "documents")
+        .filter("source = 'gen1'")
+        .count()
+    )
+    assert got == 2
