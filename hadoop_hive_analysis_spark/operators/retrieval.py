@@ -201,3 +201,141 @@ def _bm25_sql() -> str:
 
 
 DOC_BM25_SQL = _bm25_sql()
+
+
+# ------------------------------------------------- hybrid retrieval (RRF)
+
+# Reciprocal-rank fusion constants: the standard k=60 (Cormack et al.),
+# contributions quantized to 1e9/(k+rank) integer fixed point so the
+# fused ordering is exact integer arithmetic in both engines.
+RRF_K = 60
+RRF_FP = 1_000_000_000
+VEC_TOPK = 10
+HYBRID_TOPK = 5
+
+
+def doc_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — the modern RAG-stack ranking loop: the
+    fixed-point BM25 lexical top-5 (:func:`doc_bm25_search`) fused with
+    an exact quantized-inner-product vector top-10 by reciprocal-rank
+    fusion over the union of both candidate lists.
+
+    Id-space contract: the probe qid indexes BOTH modalities — the BM25
+    probe string and the embedding row ``vec_id = qid`` — and candidate
+    ids fuse by doc_id == vec_id (the fixture convention). A candidate
+    present in only one list gets that list's contribution alone
+    (standard RRF-over-union); rank ties in the fused score break by
+    doc_id, making the output a total order.
+
+    Scale shape: the lexical side is BM25's broadcast term semi-join
+    (corpus-linear, one (doc,term) shuffle); the vector side broadcasts
+    |queries| embeddings against one corpus scan and truncates to
+    VEC_TOPK inside a per-query window over tiny partitions; the fusion
+    itself joins two ≤ |queries|×K frames — kilobytes at any corpus
+    size. rrf_fp is exact int64 (1e9 DIV (60+rank) sums), so the fused
+    ranking is bit-stable across engines and partitionings.
+    """
+    from .similarity import _int_dot, _quantized
+
+    lex = doc_bm25_search(spark, sf_dir).select(
+        "qid", "doc_id", F.col("rank").alias("lex_rank")
+    )
+
+    qids = [qid for qid, _ in BM25_QUERIES]
+    corpus = _quantized(spark, sf_dir)
+    queries = corpus.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), F.col("q").alias("qq")
+    )
+    # deliberate cartesian: corpus × the 6-row broadcast query set (the
+    # ann_bruteforce pattern; no self-exclusion — qid is a probe id, and
+    # dropping its own row only from the vector list would skew fusion)
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        "qid",
+        F.col("vec_id").alias("doc_id"),
+        _int_dot("qq", "q").alias("dot_q"),
+    )
+    wv = Window.partitionBy("qid").orderBy(
+        F.col("dot_q").desc(), F.col("doc_id").asc()
+    )
+    vec = (
+        scored.withColumn("vec_rank", F.row_number().over(wv))
+        .filter(F.col("vec_rank") <= VEC_TOPK)
+        .select("qid", "doc_id", "vec_rank")
+    )
+
+    fused = lex.join(vec, ["qid", "doc_id"], "full_outer").select(
+        "qid",
+        "doc_id",
+        "lex_rank",
+        "vec_rank",
+        (
+            F.coalesce(
+                F.expr(f"{RRF_FP} DIV ({RRF_K} + lex_rank)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"{RRF_FP} DIV ({RRF_K} + vec_rank)"), F.lit(0)
+            )
+        ).alias("rrf_fp"),
+    )
+    wf = Window.partitionBy("qid").orderBy(
+        F.col("rrf_fp").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= HYBRID_TOPK)
+        .select("qid", "doc_id", "rank", "rrf_fp", "lex_rank", "vec_rank")
+    )
+
+
+def _hybrid_sql() -> str:
+    from .similarity import _QUANT_SQL
+
+    qids = ", ".join(str(qid) for qid, _ in BM25_QUERIES)
+    return rf"""
+    WITH lex AS ({DOC_BM25_SQL}),
+    qe AS (
+        SELECT vec_id AS qid, {_QUANT_SQL} AS qq FROM embeddings
+        WHERE vec_id IN ({qids})
+    ),
+    ce AS (SELECT vec_id, {_QUANT_SQL} AS cq FROM embeddings),
+    vscored AS (
+        SELECT qe.qid, ce.vec_id AS doc_id,
+               CAST(list_dot_product(
+                   list_transform(qe.qq, x -> CAST(x AS DOUBLE)),
+                   list_transform(ce.cq, x -> CAST(x AS DOUBLE)))
+                   AS BIGINT) AS dot_q
+        FROM qe CROSS JOIN ce
+    ),
+    vec AS (
+        SELECT qid, doc_id, vec_rank FROM (
+            SELECT qid, doc_id,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY dot_q DESC, doc_id ASC)
+                       AS vec_rank
+            FROM vscored
+        ) WHERE vec_rank <= {VEC_TOPK}
+    ),
+    fused AS (
+        SELECT COALESCE(lex.qid, vec.qid) AS qid,
+               COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+               lex.rank AS lex_rank, vec.vec_rank,
+               COALESCE({RRF_FP} // ({RRF_K} + lex.rank), 0)
+                 + COALESCE({RRF_FP} // ({RRF_K} + vec.vec_rank), 0)
+                   AS rrf_fp
+        FROM lex FULL OUTER JOIN vec
+          ON lex.qid = vec.qid AND lex.doc_id = vec.doc_id
+    )
+    SELECT qid, doc_id, rank,
+           CAST(rrf_fp AS BIGINT) AS rrf_fp,
+           CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(vec_rank AS BIGINT) AS vec_rank
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY qid ORDER BY rrf_fp DESC, doc_id ASC
+               ) AS rank
+        FROM fused
+    ) WHERE rank <= {HYBRID_TOPK}
+"""
+
+
+DOC_HYBRID_RRF_SQL = _hybrid_sql()

@@ -788,6 +788,19 @@ def build() -> dict:
     # drift — exact total-variation distance of each source's token
     # distribution from the corpus (int64 cross-multiplied numerator,
     # absent-token mass in closed form, one final division).
+    # Round-9 addition, staged for the r10 rotation: hybrid retrieval —
+    # the RAG-stack ranking loop: fixed-point BM25 top-5 fused with the
+    # exact quantized-dot vector top-10 by reciprocal-rank fusion
+    # (1e9 DIV (60+rank) integer fixed point, Cormack k=60); fusion
+    # joins two |queries|×K frames — kilobytes at any corpus size.
+    from ..operators import retrieval as rtr
+
+    q["doc_hybrid_search_rrf"] = QuerySpec(
+        rtr.doc_hybrid_search_rrf,
+        rtr.DOC_HYBRID_RRF_SQL,
+        "ext: hybrid BM25+vector retrieval with exact-integer RRF",
+        driver=False,
+    )
     # Round-9 addition, staged for the r10 rotation: the padding-
     # efficiency complement of seq_packing — power-of-two length
     # buckets with exact padding-waste accounting and batch counts (the

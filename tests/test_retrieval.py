@@ -111,3 +111,76 @@ def test_fixed_point_score_tracks_real_bm25(spark, sf_dir):
             r.qid,
             r.doc_id,
         )
+
+
+def test_hybrid_rrf_fuses_both_modalities(spark, tmp_path):
+    """A document that is top-ranked lexically AND by vector similarity
+    fuses with BOTH contributions and wins; one-list candidates carry a
+    single contribution; the fused score is the exact integer RRF sum
+    recomputable from the emitted ranks."""
+    import pandas as pd
+
+    from hadoop_hive_analysis_spark.operators.retrieval import (
+        RRF_FP,
+        RRF_K,
+        doc_hybrid_search_rrf,
+    )
+
+    d = tmp_path / "hybrid"
+    d.mkdir()
+    texts = {i: "filler words nothing relevant here at all" for i in range(10)}
+    texts[7] = "spark join spark join spark join"   # lexical winner, qid 1
+    texts[8] = "spark appears once among other words"
+    pd.DataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in texts.items()],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).to_parquet(str(d / "documents.parquet"))
+
+    dim = 8
+    def vec(hot, scale):
+        v = [0.0] * dim
+        v[hot] = scale
+        return v
+    vecs = {i: vec(i % dim, 0.1) for i in range(10)}
+    vecs[1] = vec(0, 1.0)     # the qid-1 probe direction
+    vecs[7] = vec(0, 2.0)     # strongest along the probe -> vector #1
+    vecs[9] = vec(0, 1.5)     # vector-only candidate (no lexical match)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(10), pa.int64()),
+            "embedding": pa.array(
+                [vecs[i] for i in range(10)], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * 10, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(d / "embeddings.parquet"))
+
+    out = [
+        r
+        for r in doc_hybrid_search_rrf(spark, str(d)).collect()
+        if r["qid"] == 1
+    ]
+    by_doc = {r["doc_id"]: r for r in out}
+    # doc 7: both-list winner with exact two-sided RRF sum
+    top = min(out, key=lambda r: r["rank"])
+    assert top["doc_id"] == 7
+    assert top["lex_rank"] is not None and top["vec_rank"] is not None
+    assert (
+        top["rrf_fp"]
+        == RRF_FP // (RRF_K + top["lex_rank"]) + RRF_FP // (RRF_K + top["vec_rank"])
+    )
+    # doc 9: vector-only — single contribution, still fused into the list
+    assert by_doc[9]["lex_rank"] is None
+    assert by_doc[9]["rrf_fp"] == RRF_FP // (RRF_K + by_doc[9]["vec_rank"])
+    # every emitted score is the recomputable exact sum
+    for r in out:
+        want = 0
+        if r["lex_rank"] is not None:
+            want += RRF_FP // (RRF_K + r["lex_rank"])
+        if r["vec_rank"] is not None:
+            want += RRF_FP // (RRF_K + r["vec_rank"])
+        assert r["rrf_fp"] == want
