@@ -167,8 +167,9 @@ _R9_DEMOTE = (
 # events_stream_enrich_replay, events_value_histogram,
 # multimodal_audio_stats, multimodal_dhash_neardup,
 # train_priority_sample — plus the late-r9 additions (dedup_paragraphs,
-# paragraph_scrub, text_encoding_screen, seq_length_buckets with
-# oracles; bpe_merge_train rows-only) and returning the r9-rested
+# paragraph_scrub, text_encoding_screen, seq_length_buckets,
+# doc_hybrid_search_rrf with oracles; bpe_merge_train /
+# bpe_segment_stats rows-only) and returning the r9-rested
 # flagships (minhash, asof, range join, HLL, quantile sketch,
 # pricing_summary) within a round or two. Validate any swap with
 # scripts/rotation_plan.py and a bare-session sf0.01 sweep BEFORE
