@@ -1566,3 +1566,77 @@ EVENTS_MARKOV_SQL = """
            CAST(n * 1000000 // row_total AS BIGINT) AS p_ppm
     FROM tr JOIN totals USING (prev_type)
 """
+
+
+# --------------------------------------------------- freshness monitoring
+
+
+def events_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type data-freshness report — the operational trust gate a
+    streaming warehouse checks before serving a table: per event_type,
+    last event epoch, lag behind the corpus clock (exact seconds), total
+    volume, volume inside the trailing hour and day relative to the
+    clock, and each type's share of corpus rows in exact ppm (a feed
+    whose share collapses is late even if its max ts looks fresh).
+
+    Scale shape: one partial-agg shuffle carrying |types| rows (max +
+    total + two conditional sums fold map-side against the broadcast
+    1-row corpus clock); the corpus is scanned once. FLOOR-free: lag is
+    plain subtraction of exact epoch seconds; the trailing windows are
+    closed-open ``(clock - W, clock]`` so both engines agree at the
+    boundary. The churn report watches who left; this watches which
+    FEED stopped — the pair covers both halves of "is this table safe
+    to read".
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("long").alias("ts_epoch")
+    )
+    clock = ev.agg(
+        F.max("ts_epoch").alias("clock"),
+        F.count(F.lit(1)).alias("total"),
+    )
+    g = (
+        ev.crossJoin(F.broadcast(clock))
+        .groupBy("event_type")
+        .agg(
+            F.max("ts_epoch").alias("last_epoch"),
+            F.max("clock").alias("clock"),
+            F.max("total").alias("total"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                (F.col("ts_epoch") > F.col("clock") - 3600).cast("long")
+            ).alias("n_last_hour"),
+            F.sum(
+                (F.col("ts_epoch") > F.col("clock") - 86400).cast("long")
+            ).alias("n_last_day"),
+        )
+    )
+    return g.select(
+        "event_type",
+        "last_epoch",
+        (F.col("clock") - F.col("last_epoch")).alias("lag_seconds"),
+        "n_events",
+        "n_last_hour",
+        "n_last_day",
+        F.expr("n_events * 1000000 DIV total").alias("share_ppm"),
+    )
+
+
+EVENTS_FRESHNESS_SQL = """
+    WITH ev AS (
+        SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+        FROM events
+    ),
+    c AS (SELECT max(ts_epoch) AS clock, count(*) AS total FROM ev)
+    SELECT event_type,
+           max(ts_epoch) AS last_epoch,
+           CAST(c.clock - max(ts_epoch) AS BIGINT) AS lag_seconds,
+           count(*) AS n_events,
+           CAST(COALESCE(sum(CASE WHEN ts_epoch > c.clock - 3600
+                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_last_hour,
+           CAST(COALESCE(sum(CASE WHEN ts_epoch > c.clock - 86400
+                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_last_day,
+           CAST(count(*) * 1000000 // c.total AS BIGINT) AS share_ppm
+    FROM ev CROSS JOIN c
+    GROUP BY event_type, c.clock, c.total
+"""

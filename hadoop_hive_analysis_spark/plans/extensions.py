@@ -1166,6 +1166,17 @@ def build() -> dict:
         "corpus clock, exact epoch-day arithmetic)",
         driver=False,
     )
+    # Round-9 addition, staged for the r10 rotation: the churn report's
+    # feed-side sibling — per-type freshness/lag vs the broadcast corpus
+    # clock with trailing-window volumes and exact ppm share (which FEED
+    # stopped, vs which user left). One |types|-row partial-agg shuffle.
+    q["events_freshness_report"] = QuerySpec(
+        events.events_freshness_report,
+        events.EVENTS_FRESHNESS_SQL,
+        "ext: per-type data-freshness report (lag vs corpus clock, "
+        "trailing-hour/day volumes, exact share ppm)",
+        driver=False,
+    )
     # Both promoted in the round-8 rotation (slots from
     # events_sliding_window and cube_orders): the CDC/warehouse pair,
     # both measured FLAT at 10x (SCALING.md).
