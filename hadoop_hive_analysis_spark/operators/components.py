@@ -464,3 +464,115 @@ def _ensemble_collapse_sql() -> str:
 
 
 DEDUP_ENSEMBLE_COLLAPSE_SQL = _ensemble_collapse_sql()
+
+
+# ------------------------------------------------- cluster-quality audit
+
+
+def dedup_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-closure AUDIT for the near-dup clusters — the check
+    every production dedup pipeline owes itself before collapsing: a
+    connected component only guarantees a PATH of verified pairs, so a
+    chained cluster can relate documents that were never directly
+    verified against each other (A~B~C with A,C dissimilar). Per
+    cluster: size, verified-pair count, the pair density vs the
+    size·(size−1)/2 clique bound in exact ppm, and min/mean verified
+    Jaccard — ``chained`` flags any non-clique cluster (density <
+    1e6 ppm), the exact population whose collapse rests on
+    transitivity rather than direct evidence.
+
+    Arithmetic: each pair's Jaccard (an exact small-integer division,
+    bit-identical across engines) is quantized once to ppm via the
+    same floor(x·1e6) both engines apply; every aggregate after that
+    is an exact int64 sum/min/DIV — partition-order independent.
+
+    Scale shape: pairs → star-contraction components (the collapse
+    path's own machinery) → TWO component-keyed partial aggs (sizes
+    from the membership table, pair stats from the pair table) joined
+    on cluster id. Everything downstream of pair generation is
+    component-table-sized.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select(
+        "doc_a",
+        "doc_b",
+        F.floor(F.col("jaccard") * 1_000_000).cast("long").alias("jac_ppm"),
+    )
+    return cluster_quality_from_pairs(pairs)
+
+
+def cluster_quality_from_pairs(pairs: DataFrame) -> DataFrame:
+    """Core of :func:`dedup_cluster_quality` over any verified pair
+    frame (doc_a, doc_b, jac_ppm) — unit-tested on constructed chained
+    and clique graphs."""
+    comp = connected_components_bigstar(pairs, "doc_a", "doc_b")
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+    stats = (
+        pairs.join(
+            comp.select(
+                F.col("node").alias("doc_a"), F.col("component")
+            ),
+            "doc_a",
+        )
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("jac_ppm").alias("sum_jac_ppm"),
+            F.min("jac_ppm").alias("min_jaccard_ppm"),
+        )
+    )
+    return (
+        sizes.join(stats, "component")
+        .select(
+            F.col("component").alias("cluster_id"),
+            "size",
+            "n_pairs",
+            F.expr("n_pairs * 1000000 DIV (size * (size - 1) DIV 2)").alias(
+                "density_ppm"
+            ),
+            F.expr("sum_jac_ppm DIV n_pairs").alias("mean_jaccard_ppm"),
+            "min_jaccard_ppm",
+        )
+        .withColumn("chained", F.col("density_ppm") < 1_000_000)
+    )
+
+
+DEDUP_CLUSTER_QUALITY_SQL = f"""
+    WITH RECURSIVE pairs AS ({DEDUP_MINHASH_LSH_SQL}),
+    p AS (
+        SELECT doc_a, doc_b,
+               CAST(floor(jaccard * 1000000) AS BIGINT) AS jac_ppm
+        FROM pairs
+    ),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM p
+        UNION
+        SELECT doc_b AS u, doc_a AS v FROM p
+    ),
+    reach(u, v) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (SELECT u AS node, min(v) AS component FROM reach GROUP BY u),
+    sizes AS (
+        SELECT component, count(*) AS size FROM comp GROUP BY component
+    ),
+    stats AS (
+        SELECT c.component,
+               count(*) AS n_pairs,
+               CAST(sum(p.jac_ppm) AS BIGINT) AS sum_jac_ppm,
+               min(p.jac_ppm) AS min_jaccard_ppm
+        FROM p JOIN comp c ON c.node = p.doc_a
+        GROUP BY c.component
+    )
+    SELECT s.component AS cluster_id,
+           s.size,
+           t.n_pairs,
+           CAST(t.n_pairs * 1000000 // (s.size * (s.size - 1) // 2)
+               AS BIGINT) AS density_ppm,
+           CAST(t.sum_jac_ppm // t.n_pairs AS BIGINT) AS mean_jaccard_ppm,
+           t.min_jaccard_ppm,
+           (t.n_pairs * 1000000 // (s.size * (s.size - 1) // 2)) < 1000000
+               AS chained
+    FROM sizes s JOIN stats t USING (component)
+"""

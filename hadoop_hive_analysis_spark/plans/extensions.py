@@ -187,6 +187,20 @@ def build() -> dict:
         "bounded aggs; boilerplate-vs-mirror diagnosis before removal)",
         driver=False,
     )
+    # Round-9 addition, staged for the r10 rotation: the transitive-
+    # closure AUDIT — per-cluster verified-pair density vs the clique
+    # bound + min/mean verified Jaccard in exact ppm; `chained` flags
+    # clusters whose collapse rests on A~B~C transitivity rather than
+    # direct evidence. Pairs→CC is the collapse path's own machinery.
+    from ..operators import components as comps
+
+    q["dedup_cluster_quality"] = QuerySpec(
+        comps.dedup_cluster_quality,
+        comps.DEDUP_CLUSTER_QUALITY_SQL,
+        "ext: near-dup cluster quality audit (pair density vs clique "
+        "bound, min/mean verified Jaccard, chained-cluster flag)",
+        driver=False,
+    )
     q["dedup_embedding_lsh"] = QuerySpec(
         similarity.dedup_embedding_lsh,
         similarity.DEDUP_EMBEDDING_LSH_SQL,

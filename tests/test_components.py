@@ -286,3 +286,35 @@ def test_containment_catches_excerpt_jaccard_misses(spark, tmp_path):
     assert cont[(2, 1)] == 1.0  # every excerpt shingle is in the big doc
     assert (1, 2) not in jac and (2, 1) not in jac  # Jaccard blind to it
     assert (3, 1) not in cont and (1, 3) not in cont
+
+
+def test_cluster_quality_chained_vs_clique(spark):
+    """A path cluster (A~B~C, A never verified against C) is flagged
+    `chained` with density 2/3; a triangle clique is not; all
+    jaccard aggregates are exact integer ppm."""
+    from hadoop_hive_analysis_spark.operators.components import (
+        cluster_quality_from_pairs,
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2, 900_000),
+            (2, 3, 850_000),       # chained: 1-3 never verified
+            (10, 11, 950_000),
+            (10, 12, 900_000),
+            (11, 12, 880_000),     # clique
+        ],
+        "doc_a long, doc_b long, jac_ppm long",
+    )
+    out = {r["cluster_id"]: r for r in cluster_quality_from_pairs(pairs).collect()}
+    chain = out[1]
+    assert (chain["size"], chain["n_pairs"]) == (3, 2)
+    assert chain["density_ppm"] == 2 * 1_000_000 // 3
+    assert chain["chained"] is True
+    assert chain["min_jaccard_ppm"] == 850_000
+    assert chain["mean_jaccard_ppm"] == (900_000 + 850_000) // 2
+    cliq = out[10]
+    assert (cliq["size"], cliq["n_pairs"]) == (3, 3)
+    assert cliq["density_ppm"] == 1_000_000
+    assert cliq["chained"] is False
+    assert cliq["mean_jaccard_ppm"] == (950_000 + 900_000 + 880_000) // 3
