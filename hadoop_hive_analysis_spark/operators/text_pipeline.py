@@ -990,3 +990,123 @@ def _length_buckets_sql() -> str:
 
 
 SEQ_LENGTH_BUCKETS_SQL = _length_buckets_sql()
+
+
+# --------------------------------------------- token-budget data selection
+
+# Select the highest-quality slice of the corpus that fits a token
+# budget (here 40% of corpus tokens) — the pretraining-curation move
+# ("keep the best N tokens"), done WITHOUT the global quality sort the
+# naive ORDER BY quality DESC ... running-sum formulation needs.
+BUDGET_PPM = 400_000
+
+
+def corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget quality selection via the histogram-threshold trick
+    (the ECDF machinery pointed at a *token* budget): bin the quality
+    score into 1000 integer bins, accumulate per-bin token mass from
+    the top bin down (a window over ≤1000 rows), and split the corpus
+    into bins that fit entirely, the one threshold bin that straddles
+    the budget, and the rest. Only the straddling bin needs intra-bin
+    order — a running token sum ordered by doc_id over that single
+    bin's population (greedy prefix: a doc that would overflow the
+    remainder is skipped and cuts the prefix there, deterministically).
+
+    Scale: one bin-aggregation shuffle + a broadcast 1000-row cumulative
+    + one bounded window over the threshold bin; the corpus is never
+    globally sorted. Degenerate case (every doc in one bin) degrades to
+    a window over that bin — the quality score's spread, not this
+    operator, is the fix there. All post-binning arithmetic is exact
+    int64 (the budget itself is ``total · BUDGET_PPM DIV 1e6``), so
+    membership is bit-stable across engines and partitionings.
+    """
+    from pyspark.sql import Window
+
+    from .text_analysis import ECDF_BINS, text_quality_score
+
+    scored = (
+        text_quality_score(spark, sf_dir)
+        .filter(F.col("quality").isNotNull())
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.least(
+                F.floor(F.col("quality") * ECDF_BINS).cast("long"),
+                F.lit(ECDF_BINS - 1),
+            ).alias("qbin"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = scored.agg(F.sum("n_tokens").alias("total"))
+    hist = scored.groupBy("qbin").agg(F.sum("n_tokens").alias("bin_tokens"))
+    wc = Window.orderBy(F.desc("qbin")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = (
+        hist.withColumn("cum", F.sum("bin_tokens").over(wc))
+        .withColumn("prev_cum", F.col("cum") - F.col("bin_tokens"))
+    )
+    j = (
+        scored.join(F.broadcast(cum), "qbin")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("budget", F.expr(f"total * {BUDGET_PPM} DIV 1000000"))
+    )
+    full = j.filter(F.col("cum") <= F.col("budget"))
+    wt = Window.partitionBy("qbin").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    part = (
+        j.filter((F.col("prev_cum") < F.col("budget")) & (F.col("cum") > F.col("budget")))
+        .withColumn("run", F.sum("n_tokens").over(wt))
+        .filter(F.col("run") <= F.col("budget") - F.col("prev_cum"))
+    )
+    return full.select("doc_id", "qbin", "n_tokens").unionByName(
+        part.select("doc_id", "qbin", "n_tokens")
+    )
+
+
+def _budget_select_sql() -> str:
+    from .text_analysis import ECDF_BINS, TEXT_QUALITY_SQL
+
+    return f"""
+    WITH q AS ({TEXT_QUALITY_SQL}),
+    scored AS (
+        SELECT doc_id, n_tokens,
+               least(CAST(floor(quality * {ECDF_BINS}) AS BIGINT),
+                     {ECDF_BINS - 1}) AS qbin
+        FROM q WHERE quality IS NOT NULL
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM scored),
+    hist AS (
+        SELECT qbin, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+        FROM scored GROUP BY qbin
+    ),
+    cum AS (
+        SELECT qbin, bin_tokens,
+               CAST(sum(bin_tokens) OVER (
+                   ORDER BY qbin DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum
+        FROM hist
+    ),
+    j AS (
+        SELECT s.doc_id, s.n_tokens, s.qbin, c.cum,
+               c.cum - c.bin_tokens AS prev_cum,
+               CAST(t.total * {BUDGET_PPM} // 1000000 AS BIGINT) AS budget
+        FROM scored s JOIN cum c USING (qbin) CROSS JOIN tot t
+    ),
+    part AS (
+        SELECT doc_id, qbin, n_tokens, budget, prev_cum,
+               CAST(sum(n_tokens) OVER (
+                   PARTITION BY qbin ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS run
+        FROM j WHERE prev_cum < budget AND cum > budget
+    )
+    SELECT doc_id, qbin, n_tokens FROM j WHERE cum <= budget
+    UNION ALL
+    SELECT doc_id, qbin, n_tokens FROM part WHERE run <= budget - prev_cum
+"""
+
+
+CORPUS_BUDGET_SELECT_SQL = _budget_select_sql()

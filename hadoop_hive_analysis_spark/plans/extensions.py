@@ -815,6 +815,17 @@ def build() -> dict:
         "ext: hybrid BM25+vector retrieval with exact-integer RRF",
         driver=False,
     )
+    # Round-9 addition, staged for the r10 rotation: token-budget
+    # quality selection without a global sort — the ECDF histogram
+    # machinery pointed at a token budget (bins that fit entirely +
+    # a greedy running-sum prefix over the ONE straddling bin).
+    q["corpus_budget_select"] = QuerySpec(
+        tp.corpus_budget_select,
+        tp.CORPUS_BUDGET_SELECT_SQL,
+        "ext: token-budget quality selection (histogram threshold, no "
+        "global sort, exact int64 membership)",
+        driver=False,
+    )
     # Round-9 addition, staged for the r10 rotation: the padding-
     # efficiency complement of seq_packing — power-of-two length
     # buckets with exact padding-waste accounting and batch counts (the

@@ -823,3 +823,72 @@ def test_seq_length_buckets_edges_and_waste(spark, tmp_path):
     assert out[top]["n_docs"] == 1 and out[top]["real_tokens"] == top
     assert out[top]["pad_waste"] == 0
     assert all(r["n_batches"] == 1 for r in out.values())
+
+
+def test_corpus_budget_select_invariants(spark, sf_dir):
+    """Budget selection: total selected tokens fit the 40% budget;
+    selection is quality-dominant (no unselected doc sits in a strictly
+    higher bin than any selected doc); and the straddling-bin prefix is
+    maximal (the first unselected doc of that bin would overflow)."""
+    import duckdb
+
+    from hadoop_hive_analysis_spark.operators.text_pipeline import (
+        BUDGET_PPM,
+        corpus_budget_select,
+    )
+
+    rows = corpus_budget_select(spark, sf_dir).collect()
+    sel_tokens = sum(r["n_tokens"] for r in rows)
+    sel_ids = {r["doc_id"] for r in rows}
+
+    con = duckdb.connect()
+    total = con.execute(
+        rf"""SELECT CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT)
+             FROM read_parquet('{sf_dir}/documents.parquet')"""
+    ).fetchone()[0]
+    budget = total * BUDGET_PPM // 1_000_000
+    assert sel_tokens <= budget
+    assert rows, "40% budget must select something on the fixture"
+
+    # quality dominance across bins
+    min_sel_bin = min(r["qbin"] for r in rows)
+    all_docs = con.execute(
+        rf"""SELECT doc_id,
+                    CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+             FROM read_parquet('{sf_dir}/documents.parquet')"""
+    ).fetchall()
+    con.close()
+    # any unselected doc in a bin strictly above min_sel_bin is a bug;
+    # recompute bins Spark-side to avoid float drift in the test
+    from hadoop_hive_analysis_spark.operators.text_analysis import (
+        ECDF_BINS,
+        text_quality_score,
+    )
+    from pyspark.sql import functions as F
+
+    bins = {
+        r["doc_id"]: r["qbin"]
+        for r in text_quality_score(spark, sf_dir)
+        .filter(F.col("quality").isNotNull())
+        .select(
+            "doc_id",
+            F.least(
+                F.floor(F.col("quality") * ECDF_BINS).cast("long"),
+                F.lit(ECDF_BINS - 1),
+            ).alias("qbin"),
+        )
+        .collect()
+    }
+    unselected_above = [
+        d for d, b in bins.items() if d not in sel_ids and b > min_sel_bin
+    ]
+    assert unselected_above == []
+
+    # maximality: the smallest-doc_id unselected doc in the straddling
+    # bin (if any) would overflow the budget
+    tok = dict(all_docs)
+    straddle_unsel = sorted(
+        d for d, b in bins.items() if d not in sel_ids and b == min_sel_bin
+    )
+    if straddle_unsel:
+        assert sel_tokens + tok[straddle_unsel[0]] > budget
