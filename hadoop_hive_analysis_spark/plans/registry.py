@@ -168,7 +168,8 @@ _R9_DEMOTE = (
 # multimodal_audio_stats, multimodal_dhash_neardup,
 # train_priority_sample — plus the late-r9 additions (dedup_paragraphs,
 # paragraph_scrub, text_encoding_screen, seq_length_buckets,
-# doc_hybrid_search_rrf with oracles; bpe_merge_train /
+# doc_hybrid_search_rrf, dedup_cluster_quality, corpus_budget_select,
+# events_freshness_report with oracles; bpe_merge_train /
 # bpe_segment_stats rows-only) and returning the r9-rested
 # flagships (minhash, asof, range join, HLL, quantile sketch,
 # pricing_summary) within a round or two. Validate any swap with
