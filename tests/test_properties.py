@@ -673,3 +673,82 @@ def test_ohlc_matches_python(spark, tmp_path_factory, rows):
         for r in events_ohlc_bars(spark, str(d)).collect()
     }
     assert got == want
+
+
+# --------------------------------------------- paragraph-scrub contract
+
+_para_text = st.lists(
+    st.sampled_from(
+        # a tiny paragraph vocabulary forces frequent cross-doc and
+        # within-doc duplication, the contract's interesting regime;
+        # whitespace-padded variants exercise trim normalization
+        ["alpha beta", "  alpha beta ", "gamma", "delta epsilon zeta",
+         "", "   ", "eta theta"]
+    ),
+    min_size=0,
+    max_size=6,
+).map(lambda paras: "\n\n".join(paras))
+
+_corpus = st.lists(_para_text, min_size=1, max_size=8)
+
+
+def _py_paragraph_scrub(texts):
+    """Pure-Python replica of the paragraph_scrub contract: trim, drop
+    empties, keep the min-(doc_id, idx) instance of each duplicated
+    paragraph, re-join survivors with one blank line."""
+    import re
+
+    paras = []  # (doc_id, idx, para)
+    for doc_id, text in enumerate(texts):
+        idx = 0
+        for p in re.split(r"\n{2,}", text):
+            p = p.strip()
+            if p:
+                paras.append((doc_id, idx, p))
+                idx += 1
+    first = {}
+    counts = defaultdict(int)
+    for doc_id, idx, p in paras:
+        counts[p] += 1
+        first.setdefault(p, (doc_id, idx))
+    out = {}
+    for doc_id in range(len(texts)):
+        kept = [
+            p
+            for d, i, p in paras
+            if d == doc_id
+            and (counts[p] == 1 or first[p] == (d, i))
+        ]
+        n_all = sum(1 for d, _, _ in paras if d == doc_id)
+        out[doc_id] = ("\n\n".join(kept), len(kept), n_all - len(kept))
+    return out
+
+
+@given(texts=_corpus)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_paragraph_scrub_matches_python(spark, tmp_path_factory, texts):
+    import hashlib
+
+    import pandas as pd
+
+    from hadoop_hive_analysis_spark.operators.dedup import paragraph_scrub
+
+    d = tmp_path_factory.mktemp("prop_paras")
+    pd.DataFrame(
+        [(i, t) for i, t in enumerate(texts)], columns=["doc_id", "text"]
+    ).to_parquet(str(d / "documents.parquet"))
+    got = {r["doc_id"]: r for r in paragraph_scrub(spark, str(d)).collect()}
+    want = _py_paragraph_scrub(texts)
+    # docs with zero non-empty paragraphs produce no row (no instances
+    # to aggregate) — mirror that in the reference
+    want = {k: v for k, v in want.items() if v[1] + v[2] > 0}
+    assert set(got) == set(want)
+    for doc_id, (clean, n_kept, n_removed) in want.items():
+        r = got[doc_id]
+        assert (r["n_kept"], r["n_removed"]) == (n_kept, n_removed), doc_id
+        assert r["clean_chars"] == len(clean)
+        assert r["clean_h64"] == int(
+            hashlib.md5(clean.encode()).hexdigest()[:15], 16
+        ), doc_id
