@@ -31,8 +31,21 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm-up: touch the fact table so JVM/codegen/file-index costs don't
-    # land on the first timed query.
+    # land on the first timed query, then drive the reference pack once
+    # UNTIMED — a late-r9 adjudication caught a run-start ramp that made
+    # the first-in-pack queries (q1a 2.76×, q2, lang_id) flag at host
+    # factor 1.0 and vanish on the immediate rerun; best-of-3 cannot
+    # absorb a ramp that outlasts all three runs of a 0.4 s query, a
+    # ~5 s untimed prefix can.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    for _name, _spec in list(QUERIES.items())[:4]:
+        if _spec.bench:
+            try:
+                _spec.fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:
+                pass  # the timed loop will surface real errors
 
     # Reference protocol (CS346 Report.pdf p.9 §5.2): repeated runs, keep
     # the fastest — first run pays one-off codegen/JIT compilation that a
