@@ -1109,4 +1109,13 @@ def _budget_select_sql() -> str:
 """
 
 
-CORPUS_BUDGET_SELECT_SQL = _budget_select_sql()
+# Lazy module attribute (PEP 562), NOT an eager constant: building this
+# SQL imports text_analysis, and this module is itself imported during
+# dedup's module init (whose _decontaminate_sql needs BENCH_MOD) — an
+# import chain that starts at text_analysis would re-enter the
+# partially-initialized module. Deferred to first attribute access,
+# which only ever happens after all module inits complete.
+def __getattr__(name: str):
+    if name == "CORPUS_BUDGET_SELECT_SQL":
+        return _budget_select_sql()
+    raise AttributeError(name)

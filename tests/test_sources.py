@@ -148,3 +148,57 @@ def test_schema_evolution_mixed_generation_read(spark, tmp_path):
         .count()
     )
     assert got == 2
+
+
+def test_orc_roundtrip_and_operator_parity(spark, sf_dir, tmp_path):
+    """ORC as an interchange format: the documents table written as ORC
+    and read back must be byte-identical, and an operator run over an
+    ORC-landed corpus (converted to the parquet layout the engine
+    standardizes on) must hash-match the parquet-native run — the same
+    'land once, run columnar' migration contract as jsonl_to_parquet."""
+    from hadoop_hive_analysis_spark.operators.text_analysis import (
+        text_token_stats,
+    )
+    from hadoop_hive_analysis_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    orc_dir = str(tmp_path / "docs_orc")
+    docs.write.orc(orc_dir)
+
+    back = spark.read.orc(orc_dir)
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in docs.collect()
+    )
+
+    # land the ORC corpus into the engine's parquet layout and run an op
+    landed = tmp_path / "landed"
+    landed.mkdir()
+    back.coalesce(1).write.parquet(str(landed / "documents.parquet"))
+    got = sorted(
+        tuple(r) for r in text_token_stats(spark, str(landed)).collect()
+    )
+    want = sorted(tuple(r) for r in text_token_stats(spark, sf_dir).collect())
+    assert got == want
+
+
+def test_every_operator_module_imports_standalone():
+    """Import-order canary: every operator module must import cleanly as
+    the FIRST import of the package (regression: an eager module-level
+    SQL builder in text_pipeline re-entered partially-initialized
+    text_analysis through dedup's init — visible only from one import
+    order, which pytest's registry-first collection masked)."""
+    import subprocess
+    import sys
+
+    mods = [
+        "text_pipeline", "retrieval", "components", "bpe", "similarity",
+        "events", "multimodal", "vectors", "dedup", "text_analysis",
+        "core", "rollups", "skew", "sketches", "asof",
+    ]
+    for m in mods:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             f"import hadoop_hive_analysis_spark.operators.{m}"],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert r.returncode == 0, f"{m}: {r.stderr[-500:]}"
