@@ -40,10 +40,18 @@ N_MERGES = 8
 
 def _word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(word, cnt, syms): the frequency dictionary with initial
-    single-character symbol arrays. The one corpus-linear step."""
+    single-character symbol arrays. The one corpus-linear step.
+
+    Empty words are dropped (the non-empty-word contract): whitespace
+    split emits '' for empty/padded text, and an empty word would hit
+    Spark's ``sequence(1, 0) == [1, 0]`` DESCENDING behavior and gain
+    two phantom '' symbols — diverging from the Python replica, which
+    gives ``list('') == []``. Pinned by the padded-text regression in
+    tests/test_bpe.py."""
     d = load_table(spark, sf_dir, "documents")
     w = (
         d.select(F.explode(tokens("text")).alias("word"))
+        .filter(F.length("word") > 0)
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -133,3 +133,37 @@ def test_bpe_segment_stats_differential(spark, sf_dir):
     assert got == want
     # merges actually compress: every doc has fewer subwords than chars
     assert all(v[2] < v[1] for v in got.values())
+
+
+def test_bpe_padded_text_nonempty_word_contract(spark, tmp_path):
+    """Whitespace-padded/empty documents: the '' tokens a whitespace
+    split emits must be invisible to training AND segmentation — an
+    empty word would hit Spark's sequence(1,0)==[1,0] descending
+    behavior and gain two phantom '' symbols (regression)."""
+    import pandas as pd
+
+    from hadoop_hive_analysis_spark.operators.bpe import (
+        bpe_segment_stats,
+        python_reference_merges,
+        train_merges,
+    )
+
+    rows = [(1, "  ab ab  "), (2, ""), (3, "   "), (4, "ab cd")]
+    d = tmp_path / "bpe_pad"
+    d.mkdir()
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        str(d / "documents.parquet")
+    )
+    got = train_merges(spark, str(d), n_merges=2)
+    # the reference dict NEVER contains '' — the contract under test
+    assert got == python_reference_merges({"ab": 3, "cd": 1}, n_merges=2)
+    assert got[0][1:] == ("a", "b", "ab", 3)
+
+    seg = {r["doc_id"]: r for r in bpe_segment_stats(spark, str(d)).collect()}
+    # doc 1: two real tokens ('ab' -> 1 subword each after the merge)
+    assert (seg[1]["n_tokens"], seg[1]["n_subwords"]) == (2, 2)
+    # all-whitespace / empty docs have no non-empty tokens -> no row
+    assert 2 not in seg and 3 not in seg
+    # merge 2 consumed the only remaining pair (c,d) -> 'cd' is 1 subword
+    assert got[1][1:] == ("c", "d", "cd", 1)
+    assert (seg[4]["n_tokens"], seg[4]["n_subwords"]) == (2, 2)
