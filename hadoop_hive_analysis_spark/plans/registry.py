@@ -172,9 +172,11 @@ _R9_DEMOTE = (
 # events_freshness_report with oracles; bpe_merge_train /
 # bpe_segment_stats rows-only) and returning the r9-rested
 # flagships (minhash, asof, range join, HLL, quantile sketch,
-# pricing_summary) within a round or two. Validate any swap with
-# scripts/rotation_plan.py and a bare-session sf0.01 sweep BEFORE
-# flipping flags.
+# pricing_summary) within a round or two. ALL 31 backlog candidates
+# were pre-verified late r9 on a BARE session at sf0.01 (29 oracle
+# hash matches + 2 rows-only) — the r10 rotation can swap any subset
+# after re-running scripts/rotation_plan.py; 31 candidates exceed one
+# 25-swap rotation, so stage the remainder for r11.
 
 
 def _rotate(q: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
