@@ -542,3 +542,53 @@ def test_snapshot_diff_full_outer_sortmerge(plans):
     assert "FullOuter" in p
     assert "SortMergeJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_paragraph_dedup_has_no_window(plans):
+    """The skew-safe claim, checked: duplicate counting AND canonical
+    selection are partial-agg (count + min-struct over digest) — a
+    row_number formulation would plan a Window whose hot partition is
+    the most-duplicated paragraph. Neither half may contain one."""
+    for name in ("dedup_paragraphs", "paragraph_scrub"):
+        p = plans(name)
+        assert "Window" not in p, name
+        assert "partial_count" in p or "partial" in p.lower(), name
+
+
+def test_encoding_screen_zero_exchanges(plans):
+    """One codegen regexp pass per document — any Exchange here means a
+    shuffle crept into a scan-bound screen."""
+    p = plans("text_encoding_screen")
+    assert "Exchange" not in p
+
+
+def test_budget_select_sorts_bins_not_corpus(plans):
+    """The histogram-threshold claim, checked: the only Sorts feed the
+    two bounded windows (≤1000 bin rows; the one straddling bin) — the
+    corpus-sized side reaches its joins un-sorted (broadcast hash, not
+    sort-merge), i.e. no global quality sort anywhere."""
+    p = plans("corpus_budget_select")
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+    # windows exist (bin cumulative + straddling-bin running sum), but
+    # a global ORDER BY of the corpus would appear as a Sort ABOVE the
+    # final union/project — pin the plan to window-scoped sorts only
+    assert p.count("Window") >= 2
+
+
+def test_hybrid_fusion_joins_are_bounded(plans):
+    """The vector side is a broadcast nested loop against the 6-row
+    probe set (the documented deliberate cartesian); the corpus-sized
+    frames never meet in an unbounded nested loop — every other join is
+    hash- or sort-based on keys."""
+    p = plans("doc_hybrid_search_rrf")
+    assert "CartesianProduct" not in p
+
+
+def test_freshness_report_single_pass(plans):
+    """One partial-agg shuffle of |types| rows against a broadcast
+    1-row clock: no Window, no sort-merge join."""
+    p = plans("events_freshness_report")
+    assert "Window" not in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row clock cross join
