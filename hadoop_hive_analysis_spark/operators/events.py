@@ -1640,3 +1640,86 @@ EVENTS_FRESHNESS_SQL = """
     FROM ev CROSS JOIN c
     GROUP BY event_type, c.clock, c.total
 """
+
+
+# --------------------------------------------------- expectations report
+
+# Declarative row-level expectations (the Great-Expectations shape): each
+# rule is (name, SQL boolean over a row). Registered as module constants
+# so the Spark plan and the DuckDB oracle embed the same predicates.
+EVENTS_EXPECTATIONS: tuple[tuple[str, str], ...] = (
+    ("event_id_not_null", "event_id IS NOT NULL"),
+    ("ts_not_null", "ts IS NOT NULL"),
+    ("user_id_positive", "user_id IS NOT NULL AND user_id >= 0"),
+    ("type_in_domain",
+     "event_type IN ('view', 'click', 'purchase', 'signup', 'error')"),
+    ("value_non_negative", "value IS NULL OR value >= 0"),
+    ("props_json_or_null",
+     "props IS NULL OR (props LIKE '{%' AND props LIKE '%}')"),
+)
+
+
+def events_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations over the events table — the
+    contract gate a table passes before downstream jobs trust it: one
+    row per rule with rows checked, violations, violation ppm (exact
+    integer), and the pass flag (zero violations).
+
+    ONE corpus pass: every rule is a conditional sum in the same
+    zero-group aggregate (map-side partials, SinglePartition gather of
+    |rules| columns), then a constant-size unpivot — the corpus never
+    shuffles, the same shape as corpus_filter_funnel. Adding a rule is
+    one tuple in :data:`EVENTS_EXPECTATIONS`, shared verbatim with the
+    oracle, so engine drift on a predicate is impossible by
+    construction.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name, pred in EVENTS_EXPECTATIONS:
+        aggs.append(
+            F.sum(F.when(F.expr(pred), 0).otherwise(1)).alias(f"v_{name}")
+        )
+    one = ev.agg(*aggs)
+    stack = ", ".join(
+        f"'{name}', v_{name}" for name, _ in EVENTS_EXPECTATIONS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(EVENTS_EXPECTATIONS)}, {stack}) AS (rule, n_violations)"
+        ),
+        F.col("n_rows"),
+    ).select(
+        "rule",
+        "n_rows",
+        F.col("n_violations").cast("long").alias("n_violations"),
+        F.expr("n_violations * 1000000 DIV n_rows").alias("violation_ppm"),
+        (F.col("n_violations") == 0).alias("passed"),
+    )
+
+
+def _expectations_sql() -> str:
+    cols = ", ".join(
+        f"CAST(COALESCE(sum(CASE WHEN {pred} THEN 0 ELSE 1 END), 0) AS BIGINT)"
+        f" AS v_{name}"
+        for name, pred in EVENTS_EXPECTATIONS
+    )
+    unions = "\n        UNION ALL\n".join(
+        f"        SELECT '{name}' AS rule, n_rows, v_{name} AS n_violations"
+        " FROM one"
+        for name, _ in EVENTS_EXPECTATIONS
+    )
+    return f"""
+    WITH one AS (
+        SELECT count(*) AS n_rows, {cols} FROM events
+    )
+    SELECT rule, n_rows,
+           CAST(n_violations AS BIGINT) AS n_violations,
+           CAST(n_violations * 1000000 // n_rows AS BIGINT) AS violation_ppm,
+           (n_violations = 0) AS passed
+    FROM (
+{unions}
+    )
+"""
+
+
+EVENTS_EXPECTATIONS_SQL = _expectations_sql()

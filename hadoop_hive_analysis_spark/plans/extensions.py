@@ -1202,6 +1202,18 @@ def build() -> dict:
         "trailing-hour/day volumes, exact share ppm)",
         driver=False,
     )
+    # Round-9 addition, staged for the r10 rotation: declarative row-
+    # level expectations (the Great-Expectations shape) — one corpus
+    # pass of conditional sums + a constant-size unpivot; rules are
+    # module constants shared verbatim with the oracle, so predicate
+    # drift between engines is impossible by construction.
+    q["events_expectations_report"] = QuerySpec(
+        events.events_expectations_report,
+        events.EVENTS_EXPECTATIONS_SQL,
+        "ext: declarative data-quality expectations (per-rule violation "
+        "counts + exact ppm, one-pass conditional sums)",
+        driver=False,
+    )
     # Both promoted in the round-8 rotation (slots from
     # events_sliding_window and cube_orders): the CDC/warehouse pair,
     # both measured FLAT at 10x (SCALING.md).

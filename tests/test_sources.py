@@ -202,3 +202,58 @@ def test_every_operator_module_imports_standalone():
             capture_output=True, text=True, cwd="/root/repo",
         )
         assert r.returncode == 0, f"{m}: {r.stderr[-500:]}"
+
+
+def test_expectations_report_counts_planted_violations(spark, tmp_path):
+    """Each rule catches exactly its planted violation class; clean rows
+    pass everything; ppm arithmetic is exact."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_hive_analysis_spark.operators.events import (
+        events_expectations_report,
+    )
+
+    ts = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # clean
+        (1, ts, 10, "view", 1.0, '{"k":1}'),
+        (2, ts, 11, "click", 0.0, None),
+        # violations, one class each
+        (None, ts, 12, "view", 1.0, None),          # event_id null
+        (4, None, 13, "purchase", 1.0, None),       # ts null
+        (5, ts, -7, "view", 1.0, None),             # negative user
+        (6, ts, 14, "weird_type", 1.0, None),       # out of domain
+        (7, ts, 15, "view", -2.5, None),            # negative value
+        (8, ts, 16, "view", 1.0, "not json"),       # malformed props
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    d = tmp_path / "expect"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"))
+
+    out = {r["rule"]: r for r in events_expectations_report(spark, str(d)).collect()}
+    want = {
+        "event_id_not_null": 1,
+        "ts_not_null": 1,
+        "user_id_positive": 1,
+        "type_in_domain": 1,
+        "value_non_negative": 1,
+        "props_json_or_null": 1,
+    }
+    for rule, n in want.items():
+        assert out[rule]["n_violations"] == n, rule
+        assert out[rule]["n_rows"] == 8
+        assert out[rule]["violation_ppm"] == n * 1_000_000 // 8
+        assert out[rule]["passed"] is False
