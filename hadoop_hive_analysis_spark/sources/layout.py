@@ -267,3 +267,74 @@ def write_bloom_indexed(
     for k, v in writer_options.items():
         w = w.option(k, v)
     w.parquet(path)
+
+
+def erase_rows(
+    spark: SparkSession,
+    path: str,
+    keys: list,
+    key_col: str = "user_id",
+) -> dict:
+    """Right-to-be-forgotten rewrite: republish the parquet directory at
+    ``path`` minus every row whose ``key_col`` is in ``keys``, and
+    return an audit dict {rows_before, rows_erased, rows_after,
+    n_files} — the record a deletion request needs for compliance.
+
+    The erase set is a broadcast LEFT ANTI join (deletion requests are
+    small by construction — thousands of subjects against billions of
+    rows), so the table is scanned once and never shuffled; file count
+    is preserved. Publish discipline is :func:`compact_parquet_dir`'s
+    staged-sibling two-rename swap, with the same honestly-stated
+    caveat: run in the table's maintenance window — POSIX cannot
+    exchange directories atomically. Physical erasure semantics also
+    stated honestly: the OLD directory is removed after the swap, but
+    space-freeing is filesystem-level deletion, not secure shredding,
+    and any OTHER copy of the data (snapshots, downstream tables,
+    backups) needs its own erase pass — this function is the per-table
+    primitive a compliance pipeline fans out.
+    """
+    import pandas as pd
+
+    df = spark.read.parquet(path)
+    n_files = sum(
+        1 for _, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+    )
+    rows_before = df.count()
+    erase = spark.createDataFrame(
+        pd.DataFrame({key_col: list(keys)})
+    ).dropDuplicates()
+    from pyspark.sql import functions as F
+
+    # restore the original column order: a USING join hoists the key to
+    # the first position, and a republish must not mutate the schema
+    kept = df.join(F.broadcast(erase), key_col, "left_anti").select(df.columns)
+    build = tempfile.mkdtemp(
+        prefix="hha_erase_", dir=os.path.dirname(os.path.abspath(path))
+    )
+    conf_key = "spark.sql.parquet.outputTimestampType"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "TIMESTAMP_MICROS")
+    try:
+        kept.repartition(max(1, n_files)).write.mode("overwrite").parquet(build)
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+    old = path.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(build, path)
+    shutil.rmtree(old, ignore_errors=True)
+    rows_after = spark.read.parquet(path).count()
+    return {
+        "rows_before": rows_before,
+        "rows_erased": rows_before - rows_after,
+        "rows_after": rows_after,
+        "n_files": sum(
+            1
+            for _, _, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        ),
+    }

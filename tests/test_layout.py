@@ -306,3 +306,35 @@ def test_bloom_filter_skips_absent_key_lookups(spark, sf_dir, tmp_path, no_aqe):
         .collect()
     )
     assert len(rows) >= 1 and all(r.event_id == present for r in rows)
+
+
+def test_erase_rows_removes_subjects_and_audits(spark, sf_dir, tmp_path):
+    """Right-to-be-forgotten: every row of the erased subjects is gone,
+    every other row survives byte-identically, the audit counts are
+    exact, and a second (idempotent) erase removes nothing."""
+    from hadoop_hive_analysis_spark.sources.catalog import load_table
+    from hadoop_hive_analysis_spark.sources.layout import erase_rows
+
+    src = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_table")
+    src.write.parquet(path)
+
+    subjects = [r["user_id"] for r in src.select("user_id").distinct().limit(3).collect()]
+    before = src.count()
+    expect_erased = src.filter(src.user_id.isin(subjects)).count()
+    keep_rows = sorted(
+        tuple(r) for r in src.filter(~src.user_id.isin(subjects)).collect()
+    )
+
+    audit = erase_rows(spark, path, subjects)
+    assert audit["rows_before"] == before
+    assert audit["rows_erased"] == expect_erased > 0
+    assert audit["rows_after"] == before - expect_erased
+
+    back = spark.read.parquet(path)
+    assert back.filter(back.user_id.isin(subjects)).count() == 0
+    assert sorted(tuple(r) for r in back.collect()) == keep_rows
+
+    again = erase_rows(spark, path, subjects)
+    assert again["rows_erased"] == 0
+    assert again["rows_after"] == audit["rows_after"]
