@@ -282,8 +282,13 @@ def erase_rows(
 
     The erase set is a broadcast LEFT ANTI join (deletion requests are
     small by construction — thousands of subjects against billions of
-    rows), so the table is scanned once and never shuffled; file count
-    is preserved. Publish discipline is :func:`compact_parquet_dir`'s
+    rows), so the table is scanned once; the single shuffle is the
+    round-robin ``repartition`` that restores the original file count
+    for the republish (intra-file ordering and any prior sort layout
+    are NOT preserved — re-run :func:`write_clustered_parquet` after a
+    GDPR pass if the table is range-clustered). An empty ``keys`` list
+    short-circuits to a zero-erasure audit without touching the files.
+    Publish discipline is :func:`compact_parquet_dir`'s
     staged-sibling two-rename swap, with the same honestly-stated
     caveat: run in the table's maintenance window — POSIX cannot
     exchange directories atomically. Physical erasure semantics also
@@ -293,17 +298,28 @@ def erase_rows(
     backups) needs its own erase pass — this function is the per-table
     primitive a compliance pipeline fans out.
     """
-    import pandas as pd
-
     df = spark.read.parquet(path)
     n_files = sum(
         1 for _, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
     )
     rows_before = df.count()
-    erase = spark.createDataFrame(
-        pd.DataFrame({key_col: list(keys)})
-    ).dropDuplicates()
+    if not keys:  # a no-op deletion request must not rewrite the table
+        # (and createDataFrame cannot infer a schema from an empty list)
+        return {
+            "rows_before": rows_before,
+            "rows_erased": 0,
+            "rows_after": rows_before,
+            "n_files": n_files,
+        }
     from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, StructType
+
+    # explicit schema from the source column: no sampling-based inference,
+    # and the anti-join key types match by construction
+    erase_schema = StructType([StructField(key_col, df.schema[key_col].dataType)])
+    erase = spark.createDataFrame(
+        [(k,) for k in keys], erase_schema
+    ).dropDuplicates()
 
     # restore the original column order: a USING join hoists the key to
     # the first position, and a republish must not mutate the schema

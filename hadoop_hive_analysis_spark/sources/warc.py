@@ -257,8 +257,23 @@ def warc_to_documents(spark: SparkSession, path: str) -> DataFrame:
 
 # ------------------------------------------- end-to-end ingest round trip
 
-# per-session archive cache for warc_corpus_roundtrip, keyed by sf_dir
-_ROUNDTRIP_DIRS: dict[str, str] = {}
+# per-session archive cache for warc_corpus_roundtrip, keyed by
+# (sf_dir, documents-file mtime+size): a regenerated fixture within one
+# session invalidates the cache instead of silently reusing a stale
+# archive (ADVICE r9); the isdir re-check below handles external /tmp
+# pruning.
+_ROUNDTRIP_DIRS: dict[tuple, str] = {}
+
+
+def _roundtrip_cache_key(sf_dir: str) -> tuple:
+    import os
+
+    doc = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(doc)
+        return (sf_dir, st.st_mtime_ns, st.st_size)
+    except OSError:  # directory-style table or missing: fall back to path
+        return (sf_dir, None, None)
 
 
 def write_corpus_as_warc(spark: SparkSession, sf_dir: str, out_dir: str) -> int:
@@ -371,7 +386,8 @@ def warc_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly what stripping the unwrapped text yields, so every byte of
     framing, codec, and strip logic is on the hash path).
 
-    Archives land in a per-session temp dir CACHED by sf_dir — the dir
+    Archives land in a per-session temp dir CACHED by (sf_dir, documents
+    fixture mtime+size) — the dir
     must outlive this lazy DataFrame, but repeated invocations in one
     long-lived session (bench reruns, plan inspection) must not
     accumulate full corpus copies in /tmp. The archive content is a
@@ -383,11 +399,12 @@ def warc_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.hashing import h64
 
-    out = _ROUNDTRIP_DIRS.get(sf_dir)
+    key = _roundtrip_cache_key(sf_dir)
+    out = _ROUNDTRIP_DIRS.get(key)
     if out is None or not os.path.isdir(out):
         out = tempfile.mkdtemp(prefix="hha_warc_roundtrip_")
         write_corpus_as_warc(spark, sf_dir, out)
-        _ROUNDTRIP_DIRS[sf_dir] = out
+        _ROUNDTRIP_DIRS[key] = out
     ing = warc_ingest_documents(spark, out)
     return ing.select(
         "doc_id",

@@ -338,3 +338,32 @@ def test_erase_rows_removes_subjects_and_audits(spark, sf_dir, tmp_path):
     again = erase_rows(spark, path, subjects)
     assert again["rows_erased"] == 0
     assert again["rows_after"] == audit["rows_after"]
+
+
+def test_erase_rows_empty_keys_is_noop(spark, sf_dir, tmp_path):
+    """A no-op deletion request (empty keys) returns a zero-erasure audit
+    and leaves the files untouched (ADVICE r9: createDataFrame cannot
+    infer a schema from an empty list, so this used to raise)."""
+    import os
+
+    from hadoop_hive_analysis_spark.sources.catalog import load_table
+    from hadoop_hive_analysis_spark.sources.layout import erase_rows
+
+    src = load_table(spark, sf_dir, "events").limit(50)
+    path = str(tmp_path / "events_table")
+    src.write.parquet(path)
+    mtimes_before = {
+        f: os.stat(os.path.join(path, f)).st_mtime_ns
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    }
+
+    audit = erase_rows(spark, path, [])
+    assert audit["rows_erased"] == 0
+    assert audit["rows_before"] == audit["rows_after"] == 50
+    mtimes_after = {
+        f: os.stat(os.path.join(path, f)).st_mtime_ns
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    }
+    assert mtimes_after == mtimes_before  # not republished

@@ -293,7 +293,11 @@ def test_warc_roundtrip_dir_cached_per_session(spark, sf_dir):
     reuse the archive dir, not accumulate corpus copies in /tmp."""
     from hadoop_hive_analysis_spark.sources import warc as W
 
+    key = W._roundtrip_cache_key(sf_dir)
     W.warc_corpus_roundtrip(spark, sf_dir)
     first = dict(W._ROUNDTRIP_DIRS)
     W.warc_corpus_roundtrip(spark, sf_dir)
-    assert W._ROUNDTRIP_DIRS[sf_dir] == first[sf_dir]
+    assert W._ROUNDTRIP_DIRS[key] == first[key]
+    # ADVICE r9: the key carries the fixture's mtime+size, so a
+    # regenerated documents table within one session misses the cache
+    assert key[1] is not None and key[2] is not None
