@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Measured scale-up for ``retrieval.doc_hybrid_search_rrf``
+(SCALING.md; judge r9 item 6 — the sf1 dual pinned bit-equality, this
+measures the WALL curve).
+
+Both modalities scale: documents grow by the renamed-copy builder with
+copy 0 verbatim (``scaling_bm25.build_scaled_corpus_identity0`` — the
+fixed English probes must keep matching), and embeddings grow by
+id-offset copies of the base table (identical vectors, shifted
+vec_ids). Expected shape: the lexical side rides BM25's measured curve
+(broadcast term semi-join, corpus-linear), the vector side is ONE
+corpus-linear scan (6-row broadcast probe set), the fusion stays
+|queries|×K regardless of scale.
+
+Invariants checked per scale:
+- per-qid fused row count stays within [VEC_TOPK, VEC_TOPK+BM25_TOPK]
+  (RRF over the union of both lists);
+- determinism: two runs at the same scale return identical fused
+  rankings (ties break by doc_id — copies share exact dots, so any
+  engine-order leak would surface here);
+- every lexical candidate is a copy-0 doc (renamed tokens can't match).
+
+Usage: python scripts/scaling_hybrid_rrf.py [multipliers...]
+Prints one JSON line per scale plus a summary line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from scaling_bm25 import ID_OFFSET, build_scaled_corpus_identity0  # noqa: E402
+from scaling_minhash import BASE_SF_DIR, cpu_seconds, peak_mem_mb  # noqa: E402
+
+
+def add_scaled_embeddings(spark, d: str, multiplier: int) -> None:
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(os.path.join(BASE_SF_DIR, "embeddings.parquet"))
+    parts = [base]
+    for k in range(1, multiplier):
+        parts.append(
+            base.select(
+                (F.col("vec_id") + F.lit(k * ID_OFFSET)).alias("vec_id"),
+                *[c for c in base.columns if c != "vec_id"],
+            )
+        )
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    union.repartition(max(4, 2 * multiplier)).write.mode("overwrite").parquet(
+        os.path.join(d, "embeddings.parquet")
+    )
+
+
+def main() -> None:
+    multipliers = [int(a) for a in sys.argv[1:]] or [1, 2, 5, 10]
+
+    from hadoop_hive_analysis_spark.operators.retrieval import (
+        BM25_TOPK,
+        VEC_TOPK,
+        doc_hybrid_search_rrf,
+    )
+    from hadoop_hive_analysis_spark.session import get_spark
+
+    spark = get_spark(
+        "hha-scaling-hybrid-rrf", extra_conf={"spark.driver.memory": "8g"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results = []
+    for m in multipliers:
+        d = build_scaled_corpus_identity0(spark, m)
+        try:
+            add_scaled_embeddings(spark, d, m)
+            samples, rows_by_run = [], []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                cpu0 = cpu_seconds(spark)
+                df = doc_hybrid_search_rrf(spark, d)
+                rows = [tuple(r) for r in df.collect()]
+                samples.append(
+                    {
+                        "wall_sec": round(time.perf_counter() - t0, 3),
+                        "cpu_sec": round(cpu_seconds(spark) - cpu0, 2),
+                    }
+                )
+                rows_by_run.append(sorted(rows))
+            best = min(samples, key=lambda s: s["wall_sec"])
+            per_qid: dict = {}
+            lex_copy0 = True
+            cols = df.columns
+            i_qid = cols.index("qid")
+            for r in rows_by_run[0]:
+                per_qid[r[i_qid]] = per_qid.get(r[i_qid], 0) + 1
+            if "lex_rank" in cols:
+                i_doc, i_lex = cols.index("doc_id"), cols.index("lex_rank")
+                lex_copy0 = all(
+                    r[i_doc] < ID_OFFSET
+                    for r in rows_by_run[0]
+                    if r[i_lex] is not None
+                )
+            row = {
+                "multiplier": m,
+                "docs": 5000 * m,
+                "vectors": 10000 * m,
+                "result_rows": len(rows_by_run[0]),
+                "per_qid_in_bounds": all(
+                    VEC_TOPK <= c <= VEC_TOPK + BM25_TOPK
+                    for c in per_qid.values()
+                ),
+                "deterministic": rows_by_run[0] == rows_by_run[1],
+                "lex_candidates_copy0_only": lex_copy0,
+                "wall_sec": best["wall_sec"],
+                "cpu_sec": best["cpu_sec"],
+                "samples": samples,
+                "peak_mem_mb": peak_mem_mb(spark),
+            }
+            results.append(row)
+            print(json.dumps(row), flush=True)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    if len(results) > 1:
+        a, b = results[0], results[-1]
+        print(
+            json.dumps(
+                {
+                    "summary": {
+                        "metric": "doc_hybrid_search_rrf_scaling",
+                        "data_ratio": b["multiplier"] / a["multiplier"],
+                        "wall_ratio": round(b["wall_sec"] / a["wall_sec"], 2),
+                        "cpu_ratio": round(
+                            b["cpu_sec"] / max(a["cpu_sec"], 1e-9), 2
+                        ),
+                        "all_deterministic": all(
+                            r["deterministic"] for r in results
+                        ),
+                        "all_per_qid_in_bounds": all(
+                            r["per_qid_in_bounds"] for r in results
+                        ),
+                    }
+                }
+            ),
+            flush=True,
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -183,8 +183,12 @@ def test_registry_driver_window_exactly_full():
     )
 
     assert len(query_map()) == DRIVER_SLOT_CAP
-    # and the scored window stays almost entirely hash-checked
-    assert len(oracle_sql_map()) >= DRIVER_SLOT_CAP - 1
+    # and the scored window stays almost entirely hash-checked — the r10
+    # backlog-drain window deliberately carries exactly 3 rows-only
+    # entries (bpe_merge_train / bpe_segment_stats: pure-Python bit-exact
+    # differentials in pytest; embedding_kmeans: its quality floor is the
+    # hashed twin, r9-green)
+    assert len(oracle_sql_map()) >= DRIVER_SLOT_CAP - 3
 
 
 def test_centroid_aggregates_map_side_before_one_exchange(plans):
