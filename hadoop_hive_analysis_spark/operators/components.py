@@ -503,7 +503,20 @@ def dedup_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cluster_quality_from_pairs(pairs: DataFrame) -> DataFrame:
     """Core of :func:`dedup_cluster_quality` over any verified pair
     frame (doc_a, doc_b, jac_ppm) — unit-tested on constructed chained
-    and clique graphs."""
+    and clique graphs.
+
+    The pair frame is referenced TWICE (component discovery + the
+    per-cluster stats agg), so it is materialized once up front:
+    without the checkpoint Catalyst re-executes the entire upstream
+    pair producer per consumer — for the MinHash producer that is two
+    full shingle-shuffle plans, which at a measured 500k-doc/16 GiB
+    run held enough simultaneous broadcast state to abort with
+    "Not enough memory to build and broadcast" (r10 scaling session).
+    The checkpointed frame itself is candidate-bounded (25.6k rows at
+    500k docs), so the materialization is kilobytes-to-megabytes at
+    any corpus scale. Non-eager: the component loop's first count()
+    is the materializing action."""
+    pairs = pairs.localCheckpoint(eager=False)
     comp = connected_components_bigstar(pairs, "doc_a", "doc_b")
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
     stats = (

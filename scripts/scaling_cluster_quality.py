@@ -34,8 +34,10 @@ def main() -> None:
     )
     from hadoop_hive_analysis_spark.session import get_spark
 
+    heap = os.environ.get("HHA_SCALE_HEAP", "8g")
     spark = get_spark(
-        "hha-scaling-cluster-quality", extra_conf={"spark.driver.memory": "8g"}
+        "hha-scaling-cluster-quality",
+        extra_conf={"spark.driver.memory": heap},
     )
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -13,8 +13,9 @@ corpus-linear scan (6-row broadcast probe set), the fusion stays
 |queries|×K regardless of scale.
 
 Invariants checked per scale:
-- per-qid fused row count stays within [VEC_TOPK, VEC_TOPK+BM25_TOPK]
-  (RRF over the union of both lists);
+- per-qid fused row count is exactly HYBRID_TOPK (the fusion ranks
+  the union of both candidate lists, then truncates to the hybrid
+  top-K);
 - determinism: two runs at the same scale return identical fused
   rankings (ties break by doc_id — copies share exact dots, so any
   engine-order leak would surface here);
@@ -63,14 +64,14 @@ def main() -> None:
     multipliers = [int(a) for a in sys.argv[1:]] or [1, 2, 5, 10]
 
     from hadoop_hive_analysis_spark.operators.retrieval import (
-        BM25_TOPK,
-        VEC_TOPK,
+        HYBRID_TOPK,
         doc_hybrid_search_rrf,
     )
     from hadoop_hive_analysis_spark.session import get_spark
 
+    heap = os.environ.get("HHA_SCALE_HEAP", "8g")
     spark = get_spark(
-        "hha-scaling-hybrid-rrf", extra_conf={"spark.driver.memory": "8g"}
+        "hha-scaling-hybrid-rrf", extra_conf={"spark.driver.memory": heap}
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -112,8 +113,7 @@ def main() -> None:
                 "vectors": 10000 * m,
                 "result_rows": len(rows_by_run[0]),
                 "per_qid_in_bounds": all(
-                    VEC_TOPK <= c <= VEC_TOPK + BM25_TOPK
-                    for c in per_qid.values()
+                    c == HYBRID_TOPK for c in per_qid.values()
                 ),
                 "deterministic": rows_by_run[0] == rows_by_run[1],
                 "lex_candidates_copy0_only": lex_copy0,
