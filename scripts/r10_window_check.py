@@ -1,11 +1,13 @@
 #!/usr/bin/env python
-"""r10 rotation validation: compare the physical-signature union of the
-NEW (r10) driver window against the r9 window, so the rotation commit
-can state exactly which plan shapes the swap preserved, gained, or
-dropped. Reuses rotation_plan.signature (sf0.001 executed plans,
+"""Rotation-window validation: compare the physical-signature union of
+the CURRENT driver window against the pre-rotation window (the current
+window with the newest round's overlay inverted), so the rotation
+commit can state exactly which plan shapes the swap preserved, gained,
+or dropped. Reuses rotation_plan.signature (sf0.001 executed plans,
 harness entries tagged statically).
 
-Usage: python scripts/r10_window_check.py [--json out.json]
+Usage: python scripts/r10_window_check.py [--round N] [--json out.json]
+(--round defaults to the newest _R{N}_PROMOTE overlay in registry.py)
 """
 
 from __future__ import annotations
@@ -20,40 +22,51 @@ from scripts.rotation_plan import signature  # noqa: E402
 
 
 def main() -> None:
-    from hadoop_hive_analysis_spark.plans.registry import (
-        _R10_DEMOTE,
-        _R10_PROMOTE,
-        QUERIES,
-    )
+    import re
+
+    from hadoop_hive_analysis_spark.plans import registry
+    from hadoop_hive_analysis_spark.plans.registry import QUERIES
     from hadoop_hive_analysis_spark.session import get_spark
 
-    spark = get_spark("hha-r10-window-check")
+    if "--round" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--round") + 1])
+    else:  # newest overlay wins
+        n = max(
+            int(m.group(1))
+            for name in dir(registry)
+            if (m := re.fullmatch(r"_R(\d+)_PROMOTE", name))
+        )
+    promote = getattr(registry, f"_R{n}_PROMOTE")
+    demote = getattr(registry, f"_R{n}_DEMOTE")
+
+    spark = get_spark("hha-window-check")
     spark.sparkContext.setLogLevel("ERROR")
 
-    new_window = {n for n, s in QUERIES.items() if s.driver}
-    # reconstruct the r9 window by inverting the r10 overlay
-    old_window = (new_window - set(_R10_PROMOTE)) | set(_R10_DEMOTE)
+    new_window = {n2 for n2, s in QUERIES.items() if s.driver}
+    # reconstruct the pre-rotation window by inverting the overlay
+    old_window = (new_window - set(promote)) | set(demote)
 
     sigs: dict[str, set[str]] = {}
-    for n in sorted(new_window | old_window):
-        sigs[n] = signature(n, QUERIES[n], spark)
+    for name in sorted(new_window | old_window):
+        sigs[name] = signature(name, QUERIES[name], spark)
 
     def union(ws):
         u: set[str] = set()
-        for n in ws:
-            u |= sigs[n]
+        for name in ws:
+            u |= sigs[name]
         return {k for k in u if not k.startswith("error:")}
 
     u_old, u_new = union(old_window), union(new_window)
     out = {
-        "r9_window": len(old_window),
-        "r10_window": len(new_window),
+        "round": n,
+        "prev_window": len(old_window),
+        "new_window": len(new_window),
         "shapes_preserved": sorted(u_old & u_new),
         "shapes_gained": sorted(u_new - u_old),
         "shapes_lost": sorted(u_old - u_new),
         "errors": {
-            n: sorted(s)
-            for n, s in sigs.items()
+            name: sorted(s)
+            for name, s in sigs.items()
             if any(k.startswith("error:") for k in s)
         },
     }

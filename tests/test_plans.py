@@ -596,3 +596,16 @@ def test_freshness_report_single_pass(plans):
     assert "Window" not in p
     assert "SortMergeJoin" not in p
     assert "BroadcastNestedLoopJoin" in p  # the 1-row clock cross join
+
+
+def test_cluster_quality_materializes_pairs_once(plans):
+    """The verified-pair frame feeds BOTH component discovery and the
+    per-cluster stats agg; cluster_quality_from_pairs must checkpoint it
+    so the MinHash producer executes ONCE (un-checkpointed, the doubled
+    producer held enough simultaneous broadcast state to abort a
+    measured 500k-doc/16 GiB run). Pin: the visible plan reads the
+    checkpointed RDD, never the documents parquet — i.e. zero upstream
+    re-execution survives in the final plan."""
+    p = plans("dedup_cluster_quality")
+    assert "documents.parquet" not in p
+    assert "Scan ExistingRDD" in p
