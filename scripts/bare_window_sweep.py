@@ -85,21 +85,25 @@ def main() -> int:
             sdf = fn(spark, SF_DIR)
             srows = sdf.collect()
             cols = sorted(sdf.columns)
-            s = sorted(
-                tuple(_canon(r[c]) for c in cols) for r in srows
-            )
+            # multiset compare via Counter: tuples can mix ints with the
+            # "NULL" marker, and sorting mixed-type tuples raises
+            # depending on collect order (flaky TypeError) — counting
+            # needs only hashing
+            from collections import Counter
+
+            s = Counter(tuple(_canon(r[c]) for c in cols) for r in srows)
         except Exception as ex:
             failures.append(name)
             print(f"ERR  {name}: {type(ex).__name__}: {str(ex)[:140]}")
             continue
         took = time.perf_counter() - t0
         if name not in osql:
-            print(f"rows {name}: {len(s)} rows ({took:.1f}s, rows-only)")
+            print(f"rows {name}: {sum(s.values())} rows ({took:.1f}s, rows-only)")
             continue
         try:
             odf = con.execute(osql[name]).fetch_df()
             ocols = sorted(odf.columns)
-            o = sorted(
+            o = Counter(
                 tuple(_canon(v) for v in row)
                 for row in odf[ocols].itertuples(index=False, name=None)
             )
@@ -110,10 +114,14 @@ def main() -> int:
         ok = s == o and cols == ocols
         if not ok:
             failures.append(name)
-            why = "cols" if cols != ocols else f"values ({len(s)} vs {len(o)} rows)"
+            why = (
+                "cols"
+                if cols != ocols
+                else f"values ({sum(s.values())} vs {sum(o.values())} rows)"
+            )
             print(f"FAIL {name}: {why}")
         else:
-            print(f"ok   {name}: {len(s)} rows ({took:.1f}s)")
+            print(f"ok   {name}: {sum(s.values())} rows ({took:.1f}s)")
     print(f"\n{len(failures)} failures of {len(qs) if not only else len(only)}")
     if failures:
         print("failed:", failures)
