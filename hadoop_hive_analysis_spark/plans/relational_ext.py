@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..functions.money import REVENUE_CENTS as _REV_CENTS
 from ..functions.money import REVENUE_CENTS_SCALE as _REV_SCALE
+from ..functions.money import guarded_money_sum
 from ..sources.catalog import load_table
 
 ANTI_THRESHOLD = 450_000.0
@@ -69,9 +70,14 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nation, cust.c_nationkey == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)
     )
+    # Region-grain sums are the 100 TB global-sum regime where the
+    # int-cents bound (~$9e11/group) is actually reachable, so this query
+    # carries the runtime overflow guard (functions.money.guarded_money_sum:
+    # COUNT·MAX cross-multiply in the same partial agg, raise on breach) —
+    # bit-identical to the plain SUM within bounds, loud past them.
     return (
         joined.groupBy("r_name")
-        .agg((F.sum("rev") / F.lit(_REV_SCALE)).alias("revenue"))
+        .agg(guarded_money_sum(F.col("rev"), _REV_SCALE, "revenue"))
         .select("r_name", "revenue")
     )
 

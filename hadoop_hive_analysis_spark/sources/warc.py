@@ -270,9 +270,21 @@ def _roundtrip_cache_key(sf_dir: str) -> tuple:
 
     doc = os.path.join(sf_dir, "documents.parquet")
     try:
+        if os.path.isdir(doc):
+            # Directory-style table: the directory's own stat does NOT
+            # change when a part file is rewritten in place under the
+            # same name (ADVICE r10), so fold the part files' stats into
+            # the key instead of the directory's.
+            mtime, size = 0, 0
+            for entry in os.scandir(doc):
+                if entry.is_file():
+                    st = entry.stat()
+                    mtime = max(mtime, st.st_mtime_ns)
+                    size += st.st_size
+            return (sf_dir, mtime, size)
         st = os.stat(doc)
         return (sf_dir, st.st_mtime_ns, st.st_size)
-    except OSError:  # directory-style table or missing: fall back to path
+    except OSError:  # genuinely missing: fall back to path-only key
         return (sf_dir, None, None)
 
 

@@ -56,15 +56,18 @@ def build_scaled_lineitem(spark, multiplier: int) -> str:
 
 
 def timed(spark, fn, d, runs=2):
-    best, df = 9e9, None
-    for _ in range(runs):
+    # df is captured alongside best so the returned frame is the one the
+    # reported wall/cpu measured (ADVICE r10: it was the LAST run's frame,
+    # and cpu was unbound for runs < 1).
+    best, cpu, df = 9e9, 0.0, None
+    for _ in range(max(1, runs)):
         t0 = time.perf_counter()
         c0 = cpu_seconds(spark)
-        df = fn(spark, d)
-        df.write.format("noop").mode("overwrite").save()
+        cand = fn(spark, d)
+        cand.write.format("noop").mode("overwrite").save()
         w = time.perf_counter() - t0
         if w < best:
-            best, cpu = w, cpu_seconds(spark) - c0
+            best, cpu, df = w, cpu_seconds(spark) - c0, cand
     return df, round(best, 3), round(cpu, 2)
 
 

@@ -26,6 +26,9 @@ def _live_counts() -> dict[str, int]:
         "oracles": sum(1 for n in ops if QUERIES[n].oracle),
         "driver": sum(1 for s in QUERIES.values() if s.driver),
         "benched": sum(1 for s in QUERIES.values() if s.bench),
+        "driver_hashable": sum(
+            1 for s in QUERIES.values() if s.driver and s.oracle
+        ),
     }
 
 
@@ -51,6 +54,47 @@ def test_readme_totals_match_registry():
         f"README driver-facing count drifted: doc says {d and d.group(1)}, "
         f"registry has {live['driver']}"
     )
+
+
+def test_readme_hash_checked_claim_matches_registry():
+    """ADVICE r10: the 'ALL oracle-hash-checked' claim went stale when the
+    r10 window deliberately carried 3 rows-only entries. Derive the
+    hash-checkable driver count from the registry and pin whichever form
+    the README uses: 'ALL oracle-hash-checked' is only legal when every
+    driver entry has an oracle; otherwise the doc must state
+    'X of the Y ... (Z rows-only by design)' with registry-exact numbers.
+    """
+    live = _live_counts()
+    text = re.sub(r"\s+", " ", open(os.path.join(HERE, "README.md")).read())
+    partial = re.search(
+        r"(\d+) of the (\d+) driver-facing queries (?:are )?"
+        r"oracle-hash-checked \((\d+) rows-only by design\)",
+        text,
+    )
+    full = re.search(
+        r"the (\d+) driver-facing queries are ALL oracle-hash-checked", text
+    )
+    rows_only = live["driver"] - live["driver_hashable"]
+    if rows_only == 0:
+        assert full and int(full.group(1)) == live["driver"], (
+            "registry window is fully hash-checkable; README must carry the "
+            f"'ALL oracle-hash-checked' form with count {live['driver']}"
+        )
+    else:
+        assert partial, (
+            f"registry window has {rows_only} rows-only driver entries; "
+            "README must carry the 'X of the Y ... (Z rows-only by design)' "
+            "form"
+        )
+        assert tuple(map(int, partial.groups())) == (
+            live["driver_hashable"],
+            live["driver"],
+            rows_only,
+        ), (
+            f"README hash-checked claim {partial.groups()} drifted from "
+            f"registry ({live['driver_hashable']}, {live['driver']}, "
+            f"{rows_only})"
+        )
 
 
 def test_coverage_totals_match_registry():
