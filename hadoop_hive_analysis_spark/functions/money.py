@@ -76,8 +76,11 @@ def guarded_money_sum(measure, scale: float, alias: str):
     worst_case = F.count(measure_col).cast("double") * F.max(
         F.abs(measure_col)
     ).cast("double")
+    # An all-NULL group has COUNT=0 and MAX=NULL, making worst_case NULL;
+    # assert_true(NULL) raises, so coalesce the cross-multiply to 0.0 —
+    # the group's correct answer is SUM=NULL, which the sum branch returns.
     guard = F.assert_true(
-        worst_case <= F.lit(MONEY_EXACT_BOUND_UNITS),
+        F.coalesce(worst_case, F.lit(0.0)) <= F.lit(MONEY_EXACT_BOUND_UNITS),
         F.lit(MONEY_OVERFLOW_MSG),
     )
     # assert_true is NULL whenever the bound holds, so the coalesce always

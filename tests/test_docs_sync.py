@@ -68,7 +68,7 @@ def test_readme_hash_checked_claim_matches_registry():
     text = re.sub(r"\s+", " ", open(os.path.join(HERE, "README.md")).read())
     partial = re.search(
         r"(\d+) of the (\d+) driver-facing queries (?:are )?"
-        r"oracle-hash-checked \((\d+) rows-only by design\)",
+        r"oracle-hash-checked \((\d+) rows-only by design[^)]*\)",
         text,
     )
     full = re.search(
