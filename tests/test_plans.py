@@ -183,12 +183,10 @@ def test_registry_driver_window_exactly_full():
     )
 
     assert len(query_map()) == DRIVER_SLOT_CAP
-    # and the scored window stays almost entirely hash-checked — the r10
-    # backlog-drain window deliberately carries exactly 3 rows-only
-    # entries (bpe_merge_train / bpe_segment_stats: pure-Python bit-exact
-    # differentials in pytest; embedding_kmeans: its quality floor is the
-    # hashed twin, r9-green)
-    assert len(oracle_sql_map()) >= DRIVER_SLOT_CAP - 3
+    # and the scored window is FULLY hash-checked since the r12 rotation
+    # demoted the 3 rows-only entries (bpe pair + embedding_kmeans, each
+    # carried bit-exactly in pytest) — every scored slot now has an oracle
+    assert len(oracle_sql_map()) == DRIVER_SLOT_CAP
 
 
 def test_centroid_aggregates_map_side_before_one_exchange(plans):
