@@ -274,11 +274,13 @@ def _roundtrip_cache_key(sf_dir: str) -> tuple:
             # Directory-style table: the directory's own stat does NOT
             # change when a part file is rewritten in place under the
             # same name (ADVICE r10), so fold the part files' stats into
-            # the key instead of the directory's.
+            # the key instead of the directory's. Walk RECURSIVELY
+            # (ADVICE r11): a hive-partitioned layout rewrites part
+            # files inside key=value subdirectories.
             mtime, size = 0, 0
-            for entry in os.scandir(doc):
-                if entry.is_file():
-                    st = entry.stat()
+            for root, _dirs, files in os.walk(doc):
+                for fname in files:
+                    st = os.stat(os.path.join(root, fname))
                     mtime = max(mtime, st.st_mtime_ns)
                     size += st.st_size
             return (sf_dir, mtime, size)

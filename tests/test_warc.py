@@ -301,3 +301,23 @@ def test_warc_roundtrip_dir_cached_per_session(spark, sf_dir):
     # ADVICE r9: the key carries the fixture's mtime+size, so a
     # regenerated documents table within one session misses the cache
     assert key[1] is not None and key[2] is not None
+
+
+def test_warc_roundtrip_cache_key_sees_nested_part_files(tmp_path):
+    """ADVICE r11: a part file rewritten inside a NESTED subdirectory
+    (hive-partitioned layout) must invalidate the directory-style cache
+    key — os.scandir only saw top-level files."""
+    import os
+
+    from hadoop_hive_analysis_spark.sources import warc as W
+
+    doc = tmp_path / "documents.parquet" / "lang=en"
+    doc.mkdir(parents=True)
+    part = doc / "part-00000.parquet"
+    part.write_bytes(b"v1")
+    key1 = W._roundtrip_cache_key(str(tmp_path))
+    # rewrite in place under the same name, content (and mtime) change
+    part.write_bytes(b"v2-longer")
+    os.utime(part, ns=(os.stat(part).st_mtime_ns + 10**9,) * 2)
+    key2 = W._roundtrip_cache_key(str(tmp_path))
+    assert key1 != key2, "nested part-file rewrite must change the key"
