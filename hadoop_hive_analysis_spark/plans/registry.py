@@ -308,6 +308,22 @@ _R12_PROMOTE = (
     "events_daily_trend",
     "events_cohort_retention",
 )
+# r13 staging (written now so r13 is mechanical, same discipline as the
+# r11→r12 handoff): after r12 the longest-unhashed oracle-backed entries
+# are the EARLY-round packs, rested since their last green look. Promote
+# in last-hashed order: (1) the ancients — dedup_embedding_cosine (r1),
+# q1a_via_ddl_catalog + dedup_clusters + corpus_clean (r2), the r3
+# relational core (window_rank_orders, rollup_lineitem,
+# semi_join_customers, setop_nations, brand_revenue, multimodal_meta,
+# events_tumbling_window, events_top3_by_hotkey_salted), shipping_
+# priority + forecast_revenue (r4); (2) the r5-r6 pack
+# (dedup_ngram_jaccard, dedup_clusters_bigstar, corpus_clean_staged,
+# events_props_extract, ann_lsh_topk, dedup_simhash, doc_chunks,
+# train_val_split, events_pivot_by_type, multimodal_decode_stub,
+# ann_bruteforce_topk); (3) r7 leftovers as slots allow. Demote the
+# r10/r11/r12-green double-rested equivalents, re-validating the
+# signature union with scripts/r10_window_check.py --round 13. All
+# candidates stay oracle-checked every pytest run meanwhile.
 _R12_DEMOTE = (
     # rows-only by design — bit-exact pytest differentials carry them
     # (operators/bpe.py:186,265; tests/test_vectors.py); freeing these 3

@@ -53,9 +53,11 @@ def main() -> None:
     results = []
     for m in multipliers:
         d = build_scaled_corpus(spark, m)
+        print(json.dumps({"built": m, "dir": d}), flush=True)
         try:
             samples = []
-            for _ in range(2):
+            n_samples = int(os.environ.get("HHA_SCALE_SAMPLES", "2"))
+            for _ in range(n_samples):
                 t0, c0 = time.perf_counter(), cpu_seconds(spark)
                 dedup_containment(spark, d).write.format("noop").mode(
                     "overwrite"
@@ -66,6 +68,7 @@ def main() -> None:
                         "cpu": round(cpu_seconds(spark) - c0, 2),
                     }
                 )
+                print(json.dumps({"sample": samples[-1]}), flush=True)
             pairs = dedup_containment(spark, d).count()
             out = {
                 "multiplier": m,
