@@ -324,6 +324,14 @@ _R12_PROMOTE = (
 # r10/r11/r12-green double-rested equivalents, re-validating the
 # signature union with scripts/r10_window_check.py --round 13. All
 # candidates stay oracle-checked every pytest run meanwhile.
+# CONCRETE VALIDATED PLAN: ROTATION_r13_PLAN.json (22 promote /
+# 22 demote) — simulated in the r12 session via r10_window_check.py
+# --simulate (union preserved EXACTLY: zero shapes gained or lost;
+# warc_corpus_roundtrip + documents_dedup_replay stay as the
+# harness-semantics keepers, dedup_embedding_lsh as the only
+# FlatMapGroupsInPandas carrier) and every promote bare-session swept
+# 0/22 at sf0.01. r13: apply it as _R13_PROMOTE/_R13_DEMOTE, re-run
+# the simulation if the registry changed, then the full 50-entry sweep.
 _R12_DEMOTE = (
     # rows-only by design — bit-exact pytest differentials carry them
     # (operators/bpe.py:186,265; tests/test_vectors.py); freeing these 3

@@ -8,6 +8,19 @@ harness entries tagged statically).
 
 Usage: python scripts/r10_window_check.py [--round N] [--json out.json]
 (--round defaults to the newest _R{N}_PROMOTE overlay in registry.py)
+
+Simulate mode (pre-staging validation, added r12): pass a plan file
+with the NEXT round's candidate swap and the check runs against the
+hypothetical window WITHOUT editing registry.py — so a staged rotation
+can be shape-validated before any code changes:
+
+    python scripts/r10_window_check.py --simulate plan.json [--json out]
+
+where plan.json is {"round": N, "promote": [names...],
+"demote": [names...]}. The tool validates the plan's membership
+(promotes must be rested, demotes must be scored) and reports the same
+preserved/gained/lost union diff, with old = the CURRENT window and
+new = the SIMULATED one.
 """
 
 from __future__ import annotations
@@ -28,23 +41,42 @@ def main() -> None:
     from hadoop_hive_analysis_spark.plans.registry import QUERIES
     from hadoop_hive_analysis_spark.session import get_spark
 
-    if "--round" in sys.argv:
-        n = int(sys.argv[sys.argv.index("--round") + 1])
-    else:  # newest overlay wins
-        n = max(
-            int(m.group(1))
-            for name in dir(registry)
-            if (m := re.fullmatch(r"_R(\d+)_PROMOTE", name))
-        )
-    promote = getattr(registry, f"_R{n}_PROMOTE")
-    demote = getattr(registry, f"_R{n}_DEMOTE")
+    simulate = None
+    if "--simulate" in sys.argv:
+        with open(sys.argv[sys.argv.index("--simulate") + 1]) as f:
+            simulate = json.load(f)
+
+    if simulate is not None:
+        n = simulate.get("round", 0)
+        promote = list(simulate["promote"])
+        demote = list(simulate["demote"])
+        current = {n2 for n2, s in QUERIES.items() if s.driver}
+        bad_p = [x for x in promote if x not in QUERIES or x in current]
+        bad_d = [x for x in demote if x not in current]
+        if bad_p or bad_d:
+            raise SystemExit(
+                f"plan invalid: promotes not rested/unknown {bad_p}; "
+                f"demotes not scored {bad_d}"
+            )
+        old_window = current
+        new_window = (current - set(demote)) | set(promote)
+    else:
+        if "--round" in sys.argv:
+            n = int(sys.argv[sys.argv.index("--round") + 1])
+        else:  # newest overlay wins
+            n = max(
+                int(m.group(1))
+                for name in dir(registry)
+                if (m := re.fullmatch(r"_R(\d+)_PROMOTE", name))
+            )
+        promote = getattr(registry, f"_R{n}_PROMOTE")
+        demote = getattr(registry, f"_R{n}_DEMOTE")
+        new_window = {n2 for n2, s in QUERIES.items() if s.driver}
+        # reconstruct the pre-rotation window by inverting the overlay
+        old_window = (new_window - set(promote)) | set(demote)
 
     spark = get_spark("hha-window-check")
     spark.sparkContext.setLogLevel("ERROR")
-
-    new_window = {n2 for n2, s in QUERIES.items() if s.driver}
-    # reconstruct the pre-rotation window by inverting the overlay
-    old_window = (new_window - set(promote)) | set(demote)
 
     sigs: dict[str, set[str]] = {}
     for name in sorted(new_window | old_window):
@@ -59,6 +91,7 @@ def main() -> None:
     u_old, u_new = union(old_window), union(new_window)
     out = {
         "round": n,
+        "simulated": simulate is not None,
         "prev_window": len(old_window),
         "new_window": len(new_window),
         "shapes_preserved": sorted(u_old & u_new),
