@@ -752,3 +752,58 @@ def test_paragraph_scrub_matches_python(spark, tmp_path_factory, texts):
         assert r["clean_h64"] == int(
             hashlib.md5(clean.encode()).hexdigest()[:15], 16
         ), doc_id
+
+
+# ------------------------------------------------- guarded money sum
+
+
+money_groups_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),  # group key
+        st.one_of(
+            st.none(),  # NULL measures — the r12 all-NULL fix territory
+            st.integers(min_value=-(10**9), max_value=10**9),  # cents
+        ),
+    ),
+    min_size=0,
+    max_size=50,
+)
+
+
+@given(rows=money_groups_strategy)
+@settings(**_SETTINGS)
+def test_guarded_money_sum_matches_python_within_bounds(spark, rows):
+    """Property pin for the r12 guard fixes: on any mix of groups —
+    including all-NULL and empty ones — whose conservative COUNT·MAX
+    bound holds (|cents| ≤ 1e9 over ≤50 rows keeps COUNT·MAX ≤ 5e10,
+    far inside 2^53), the guarded sum is bit-identical to Python's
+    exact integer sum / scale, and an all-NULL group yields None
+    instead of raising."""
+    from hadoop_hive_analysis_spark.functions.money import guarded_money_sum
+
+    schema = StructType(
+        [
+            StructField("k", IntegerType(), False),
+            StructField("cents", LongType(), True),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    got = {
+        r.k: r.total
+        for r in df.groupBy("k")
+        .agg(guarded_money_sum(F.col("cents"), 100.0, "total"))
+        .collect()
+    }
+    want: dict[int, int | None] = {}
+    for k, cents in rows:
+        if k not in want:
+            want[k] = None
+        if cents is not None:
+            want[k] = (want[k] or 0) + cents
+    assert set(got) == set(want)
+    for k, total in want.items():
+        if total is None:
+            assert got[k] is None, (k, got[k])
+        else:
+            # exact integer sum divided once — bit-stable both sides
+            assert got[k] == total / 100.0, (k, got[k], total)
