@@ -807,3 +807,153 @@ def test_guarded_money_sum_matches_python_within_bounds(spark, rows):
         else:
             # exact integer sum divided once — bit-stable both sides
             assert got[k] == total / 100.0, (k, got[k], total)
+
+
+# ------------------------------------------------- containment near-dup
+
+
+def _py_containment(texts: list[str]) -> set[tuple[int, int, float]]:
+    """Exhaustive reference for dedup_containment: per-doc DISTINCT
+    3-token shingles, drop shingles present in > STOP_SHINGLE_DF docs,
+    then every pair with ix*10 >= 9*min(na, nb), oriented small/big
+    with the (n, doc_id) tie-break."""
+    from hadoop_hive_analysis_spark.operators.dedup import STOP_SHINGLE_DF
+
+    sets: dict[int, set[str]] = {}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        sets[i] = {
+            " ".join(toks[j : j + 3]) for j in range(len(toks) - 2)
+        }
+    df: dict[str, int] = {}
+    for s in sets.values():
+        for sh in s:
+            df[sh] = df.get(sh, 0) + 1
+    hot = {sh for sh, n in df.items() if n > STOP_SHINGLE_DF}
+    sets = {i: s - hot for i, s in sets.items()}
+    out = set()
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            na, nb = len(sets[a]), len(sets[b])
+            ix = len(sets[a] & sets[b])
+            if ix == 0:  # no shared shingle -> never a join candidate
+                continue
+            mn = min(na, nb)
+            if ix * 10 >= mn * 9:
+                small, big = (
+                    (a, b)
+                    if (na < nb or (na == nb and a < b))
+                    else (b, a)
+                )
+                out.add((small, big, ix / mn))
+    return out
+
+
+texts_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["x", "y", "z"]), min_size=0, max_size=25
+    ).map(" ".join),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(texts=texts_strategy)
+@settings(**_SETTINGS)
+def test_containment_matches_python(spark, tmp_path_factory, texts):
+    """dedup_containment equals the exhaustive all-pairs reference on
+    tiny-vocabulary corpora dense enough to trip the STOP_SHINGLE_DF
+    hot-shingle cut (40 docs over a 3-word vocabulary can push a
+    shingle's df past 32)."""
+    import pandas as pd
+
+    from hadoop_hive_analysis_spark.operators.dedup import dedup_containment
+
+    d = tmp_path_factory.mktemp("prop_contain")
+    pd.DataFrame(
+        [(i, t) for i, t in enumerate(texts)], columns=["doc_id", "text"]
+    ).to_parquet(str(d / "documents.parquet"))
+    got = {
+        (r.doc_small, r.doc_big, r.containment)
+        for r in dedup_containment(spark, str(d)).collect()
+    }
+    assert got == _py_containment(texts)
+
+
+# ------------------------------------------------- time-bucket gap fill
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B"]),
+            st.integers(min_value=0, max_value=7200),  # ts second
+            st.integers(min_value=-500, max_value=500),  # cents
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_gap_fill_matches_python(spark, tmp_path_factory, rows):
+    """Differential: the dense-grid LOCF resample vs a pure-Python
+    replica — every (type, bucket) of the global range appears exactly
+    once, empty buckets carry n_events=0 / NULL value, and the carry
+    -forward follows the per-type bucket order exactly."""
+    import datetime
+    import uuid
+
+    import pandas as pd
+
+    from hadoop_hive_analysis_spark.operators.events import (
+        GAPFILL_BUCKET_SEC,
+        events_gap_fill,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    data = [
+        (i, t0 + datetime.timedelta(seconds=sec), 1, et, c / 100.0, "{}")
+        for i, (et, sec, c) in enumerate(rows)
+    ]
+    d = tmp_path_factory.mktemp(f"gapfill_{uuid.uuid4().hex[:8]}")
+    spark.createDataFrame(
+        pd.DataFrame(
+            data,
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        )
+    ).coalesce(1).write.parquet(str(d / "events.parquet"))
+
+    base = int(t0.replace(tzinfo=datetime.timezone.utc).timestamp())
+    observed: dict = {}
+    for et, sec, c in rows:
+        b = (base + sec) // GAPFILL_BUCKET_SEC
+        n, s = observed.get((et, b), (0, 0))
+        observed[(et, b)] = (n + 1, s + c)
+    b0 = min(b for _, b in observed)
+    b1 = max(b for _, b in observed)
+    types = {et for et, _ in observed}
+    want = {}
+    for et in types:
+        locf = None
+        for b in range(b0, b1 + 1):
+            n, s = observed.get((et, b), (0, None))
+            if s is not None:
+                locf = s
+            want[(et, b * GAPFILL_BUCKET_SEC)] = (
+                n,
+                None if s is None else s / 100.0,
+                None if locf is None else locf / 100.0,
+            )
+    got = {
+        (r.event_type, r.bucket_epoch): (
+            r.n_events,
+            r.bucket_value,
+            r.locf_value,
+        )
+        for r in events_gap_fill(spark, str(d)).collect()
+    }
+    assert got == want
