@@ -957,3 +957,93 @@ def test_gap_fill_matches_python(spark, tmp_path_factory, rows):
         for r in events_gap_fill(spark, str(d)).collect()
     }
     assert got == want
+
+
+# ------------------------------------------------- MERGE/upsert apply
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),  # user
+            st.integers(min_value=0, max_value=10_000),  # ts second
+            st.integers(min_value=-500, max_value=500),  # cents
+            st.sampled_from(["click", "view"]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_merge_upsert_matches_python(spark, tmp_path_factory, rows):
+    """Differential: the full-outer MERGE apply vs a sequential replica —
+    the integer 3/4 cutoff, per-side struct-max latest rows (ties at
+    identical timestamps broken by event_id), the insert/carry/update
+    audit labels, and exact version counts."""
+    import datetime
+    import uuid
+
+    import pandas as pd
+
+    from hadoop_hive_analysis_spark.operators.events import (
+        MERGE_CUTOFF_DEN,
+        MERGE_CUTOFF_NUM,
+        events_merge_upsert,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    data = [
+        (i, t0 + datetime.timedelta(seconds=sec), u, et, c / 100.0, "{}")
+        for i, (u, sec, c, et) in enumerate(rows)
+    ]
+    d = tmp_path_factory.mktemp(f"merge_{uuid.uuid4().hex[:8]}")
+    spark.createDataFrame(
+        pd.DataFrame(
+            data,
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        )
+    ).coalesce(1).write.parquet(str(d / "events.parquet"))
+
+    base = int(t0.replace(tzinfo=datetime.timezone.utc).timestamp())
+    epochs = [base + sec for _, sec, _, _ in rows]
+    lo, hi = min(epochs), max(epochs)
+    cutoff = lo + (hi - lo) * MERGE_CUTOFF_NUM // MERGE_CUTOFF_DEN
+
+    def latest2(side):
+        best: dict = {}
+        n: dict = {}
+        for i, (u, sec, c, et) in side:
+            ts = base + sec
+            n[u] = n.get(u, 0) + 1
+            if u not in best or (ts, i) > (best[u][0], best[u][1]):
+                best[u] = (ts, i, et, c)
+        return {u: (*best[u], n[u]) for u in best}
+
+    idx = list(enumerate(rows))
+    snap = latest2([(i, r) for i, r in idx if base + r[1] <= cutoff])
+    chg = latest2([(i, r) for i, r in idx if base + r[1] > cutoff])
+    want = {}
+    for u in set(snap) | set(chg):
+        s, c = snap.get(u), chg.get(u)
+        op = "insert" if s is None else ("carry" if c is None else "update")
+        pick = c if c is not None else s
+        want[u] = (
+            op,
+            pick[0],
+            pick[2],
+            pick[3] / 100.0,
+            (s[4] if s else 0) + (c[4] if c else 0),
+        )
+    got = {
+        r.user_id: (
+            r.op,
+            r.last_ts_epoch,
+            r.last_event_type,
+            r.last_value,
+            r.n_versions,
+        )
+        for r in events_merge_upsert(spark, str(d)).collect()
+    }
+    assert got == want
