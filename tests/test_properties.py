@@ -1047,3 +1047,68 @@ def test_merge_upsert_matches_python(spark, tmp_path_factory, rows):
         for r in events_merge_upsert(spark, str(d)).collect()
     }
     assert got == want
+
+
+# ------------------------------------------------- rolling active users
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),  # user
+            st.integers(min_value=0, max_value=20),  # active day offset
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_rolling_active_users_matches_python(spark, tmp_path_factory, rows):
+    """Differential: the explode-to-window WAU rewrite vs the obvious
+    per-day trailing-window set count — report days restricted to
+    observed days, gaps in activity included in lookback."""
+    import datetime
+    import uuid
+
+    import pandas as pd
+
+    from hadoop_hive_analysis_spark.operators.events import (
+        RAU_WINDOW_DAYS,
+        events_rolling_active_users,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    data = [
+        (i, t0 + datetime.timedelta(days=day, hours=3), u, "click", 1.0, "{}")
+        for i, (u, day) in enumerate(rows)
+    ]
+    d = tmp_path_factory.mktemp(f"rau_{uuid.uuid4().hex[:8]}")
+    spark.createDataFrame(
+        pd.DataFrame(
+            data,
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        )
+    ).coalesce(1).write.parquet(str(d / "events.parquet"))
+
+    base_day = int(
+        t0.replace(tzinfo=datetime.timezone.utc).timestamp()
+    ) // 86400
+    user_days = {(u, base_day + day) for u, day in rows}
+    observed = {day for _, day in user_days}
+    want = {
+        day * 86400: len(
+            {
+                u
+                for u, d2 in user_days
+                if day - (RAU_WINDOW_DAYS - 1) <= d2 <= day
+            }
+        )
+        for day in observed
+    }
+    got = {
+        r.day_epoch: r.active_users
+        for r in events_rolling_active_users(spark, str(d)).collect()
+    }
+    assert got == want
