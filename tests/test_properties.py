@@ -1112,3 +1112,70 @@ def test_rolling_active_users_matches_python(spark, tmp_path_factory, rows):
         for r in events_rolling_active_users(spark, str(d)).collect()
     }
     assert got == want
+
+
+# ------------------------------------------------- daily OLS trend
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B"]),
+            st.integers(min_value=0, max_value=15),  # day offset
+            st.integers(min_value=-500, max_value=500),  # cents
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_daily_trend_matches_python(spark, tmp_path_factory, rows):
+    """Differential: the exact-integer-moments OLS slope vs a direct
+    Python least-squares over the same daily sums — identical division
+    order makes the doubles bit-comparable; single-day types yield a
+    NULL slope."""
+    import datetime
+    import uuid
+
+    import pandas as pd
+
+    from hadoop_hive_analysis_spark.operators.events import events_daily_trend
+
+    t0 = datetime.datetime(2024, 1, 1)
+    data = [
+        (i, t0 + datetime.timedelta(days=day, hours=5), 1, et, c / 100.0, "{}")
+        for i, (et, day, c) in enumerate(rows)
+    ]
+    d = tmp_path_factory.mktemp(f"trend_{uuid.uuid4().hex[:8]}")
+    spark.createDataFrame(
+        pd.DataFrame(
+            data,
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        )
+    ).coalesce(1).write.parquet(str(d / "events.parquet"))
+
+    base_day = int(
+        t0.replace(tzinfo=datetime.timezone.utc).timestamp()
+    ) // 86400
+    daily: dict = {}
+    for et, day, c in rows:
+        k = (et, base_day + day)
+        daily[k] = daily.get(k, 0) + c
+    want = {}
+    for et in {et for et, _ in daily}:
+        pts = [(day, y) for (e, day), y in daily.items() if e == et]
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        den = n * sxx - sx * sx
+        slope = None if den == 0 else (n * sxy - sx * sy) / den / 100.0
+        want[et] = (n, slope, sy / n / 100.0)
+    got = {
+        r.event_type: (r.n_days, r.slope_per_day, r.mean_daily_value)
+        for r in events_daily_trend(spark, str(d)).collect()
+    }
+    assert got == want
