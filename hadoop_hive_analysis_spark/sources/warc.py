@@ -278,9 +278,16 @@ def _roundtrip_cache_key(sf_dir: str) -> tuple:
             # (ADVICE r11): a hive-partitioned layout rewrites part
             # files inside key=value subdirectories.
             mtime, size = 0, 0
-            for root, _dirs, files in os.walk(doc):
+            for root, _dirs, files in os.walk(doc, followlinks=False):
                 for fname in files:
-                    st = os.stat(os.path.join(root, fname))
+                    # A dangling symlink or a file removed mid-walk
+                    # (e.g. Spark pruning .crc/_temporary while we key)
+                    # must not abort the key computation (ADVICE r12) —
+                    # skip it; the surviving files still key the cache.
+                    try:
+                        st = os.stat(os.path.join(root, fname))
+                    except OSError:
+                        continue
                     mtime = max(mtime, st.st_mtime_ns)
                     size += st.st_size
             return (sf_dir, mtime, size)

@@ -34,15 +34,20 @@ def _git(*args: str) -> str:
 
 def _last_snapshot_commit() -> str:
     """Newest commit that looks like a driver round boundary; falls back
-    to HEAD~10 so a missing marker still checks recent work."""
+    to the root commit so a short/shallow history without a marker still
+    resolves (ADVICE r12: HEAD~10 raises in a <11-commit repo)."""
+    import re
+
     log = _git("log", "--format=%H %s", "-200")
     for line in log.splitlines():
         sha, _, subject = line.partition(" ")
-        if "end-of-round snapshot" in subject or subject.startswith(
-            "round "
+        # tightened marker (ADVICE r12): "round N:" only, not any
+        # subject that happens to start with the word "round"
+        if "end-of-round snapshot" in subject or re.match(
+            r"^round \d+:", subject
         ):
             return sha
-    return "HEAD~10"
+    return _git("rev-list", "--max-parents=0", "HEAD").splitlines()[0]
 
 
 def changed_test_modules() -> list[str]:

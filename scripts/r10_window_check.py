@@ -58,8 +58,24 @@ def main() -> None:
                 f"plan invalid: promotes not rested/unknown {bad_p}; "
                 f"demotes not scored {bad_d}"
             )
+        # Balance validation (ADVICE r12): a plan with duplicates,
+        # promote/demote overlap, or unequal counts would simulate a
+        # window that drifts off the slot cap yet still diff clean.
+        dup_p = len(promote) != len(set(promote))
+        dup_d = len(demote) != len(set(demote))
+        overlap = set(promote) & set(demote)
+        if dup_p or dup_d or overlap:
+            raise SystemExit(
+                f"plan invalid: duplicate promotes={dup_p} "
+                f"duplicate demotes={dup_d} overlap={sorted(overlap)}"
+            )
         old_window = current
         new_window = (current - set(demote)) | set(promote)
+        if len(new_window) != len(old_window):
+            raise SystemExit(
+                f"plan invalid: window size drifts "
+                f"{len(old_window)} -> {len(new_window)}"
+            )
     else:
         if "--round" in sys.argv:
             n = int(sys.argv[sys.argv.index("--round") + 1])

@@ -11,7 +11,9 @@ df-capped posting self-join (operators/dedup.py); only the final
 predicate differs (ix·10 ≥ 9·min(na,nb)), so the expected curve is the
 posting-enumeration term the Jaccard decades already measured.
 
-Asserted per scale: pairs exactly linear in the multiplier (the
+Asserted per scale (SystemExit on violation — ADVICE r12: a nonlinear
+pair count must not exit 0 and slip into SCALING.md): pairs exactly
+linear in the multiplier relative to the first measured scale (the
 within-copy pair set is rename-invariant). Reported: wall (best of 2),
 CPU-s, peak heap. 100× (500k docs) follows the paragraph-family
 protocol: run with HHA_SCALE_HEAP=16g on an otherwise idle host.
@@ -79,6 +81,15 @@ def main() -> None:
             }
             results.append(out)
             print(json.dumps(out), flush=True)
+            # Per-scale linearity assertion (cross-multiplied so the
+            # first measured scale need not be multiplier 1).
+            base = results[0]
+            if out["pairs"] * base["multiplier"] != base["pairs"] * out["multiplier"]:
+                raise SystemExit(
+                    f"containment pairs NOT linear: {out['pairs']} at "
+                    f"{out['multiplier']}x vs {base['pairs']} at "
+                    f"{base['multiplier']}x — investigate before recording"
+                )
         finally:
             shutil.rmtree(d, ignore_errors=True)
 
