@@ -76,6 +76,19 @@ def main() -> int:
 
     qs, osql = e.queries(), e.oracle_sql()
     only = set(sys.argv[1:])
+    if only:
+        # Explicitly-named entries may be RESTED (driver=False) — the
+        # pre-staging sweep of a rotation plan's promotes runs BEFORE the
+        # rotation is applied, so resolve names through the registry.
+        # Without this the loop silently skips rested names and reports
+        # a vacuous "0 failures of N".
+        from hadoop_hive_analysis_spark.plans.registry import QUERIES
+
+        unknown = only - set(QUERIES)
+        if unknown:
+            raise SystemExit(f"unknown registry entries: {sorted(unknown)}")
+        qs = {n: QUERIES[n].fn for n in sorted(only)}
+        osql = {n: QUERIES[n].oracle for n in sorted(only) if QUERIES[n].oracle}
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
