@@ -1,0 +1,393 @@
+#!/usr/bin/env python
+"""Full-window correctness sweep at sf1 (10x the sf0.1 fixture) —
+judge r12 item 5: the driver's oracle gate runs at sf0.01, so
+scale-dependent drift (df-cap boundary effects, decimal accumulation,
+tie plateaus that only appear at cardinality) is invisible to it. This
+sweep runs EVERY driver-visible registry entry on a 10x fixture with
+the DuckDB oracle side-by-side and the same canonical value compare
+the pre-flip sweep uses (bare_window_sweep._canon).
+
+The sf1 fixture is derived deterministically from /root/testdata/sf0.1
+(never modified — TESTDATA.md forbids regeneration) by 10 key-shifted
+copies, following TPC-H's scaling model:
+
+- region/nation stay FIXED (as in TPC-H at every scale factor);
+- customer/supplier/part/orders/lineitem/events scale 10x with
+  disjoint key offsets applied consistently to primary AND foreign
+  keys, so referential structure and per-key cardinalities are
+  preserved (runtimes scale linearly, join fan-outs don't explode);
+- documents: copy k rewrites every whitespace token t -> t||'q{k}'
+  (the scaling_minhash shingle-bijection trick): each copy reproduces
+  the base corpus's near-dup structure in a disjoint shingle universe,
+  so pair counts grow EXACTLY linearly instead of quadratically across
+  identical copies — and the df-cap / posting-list shapes stay
+  realistic;
+- embeddings: copy k multiplies the vector by a deterministic per-copy
+  ±1 diagonal (numpy rng, fixed seed 12345+k). A sign-flip diagonal is
+  an orthogonal transform, so within-copy geometry is BIT-exact
+  (flipping a float32's sign bit is lossless) while cross-copy cosines
+  are decorrelated to chance. NOTE: decorrelation does NOT make the
+  cos>=0.4 dedup graph 10 disjoint copies — cross-copy CHANCE pairs
+  (the ~3.2-sigma tail of 64-dim cosines, over 90x the within-copy
+  pair chances) percolate the 20k vectors into one giant component, a
+  real property of low-threshold similarity graphs at scale (a cyclic
+  rotation behaved the same). The two transitive-collapse queries
+  therefore use the python union-find oracle (PY_ORACLES below); the
+  pair GENERATORS stay DuckDB-checked verbatim.
+
+Both engines read the SAME derived parquet, so the comparison is a
+pure engine differential at 10x cardinality.
+
+Usage:
+    python scripts/sf1_window_sweep.py [names...]   # default: all 50
+Env: HHA_SF1_DIR (default /tmp/hha_sf1), HHA_SCALE_HEAP (default 12g).
+Writes SF1_SWEEP_r13.json next to the repo root; exit code = failures.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from collections import Counter
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bare_window_sweep import TABLES, _canon  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+SF1_DIR = os.environ.get("HHA_SF1_DIR", "/tmp/hha_sf1")
+COPIES = 10
+
+# key offsets: each strictly larger than the base table's key range
+OFF = {
+    "custkey": 100_000,
+    "suppkey": 10_000,
+    "partkey": 100_000,
+    "orderkey": 10_000_000,
+    "event_id": 10_000_000,
+    "user_id": 1_000_000,
+    "doc_id": 100_000,
+    "vec_id": 100_000,
+}
+
+_SCALE_SQL = {
+    "customer": f"""
+        SELECT c_custkey + k*{OFF['custkey']} AS c_custkey, c_name,
+               c_nationkey, c_acctbal, c_mktsegment
+        FROM base, range({COPIES}) t(k)""",
+    "supplier": f"""
+        SELECT s_suppkey + k*{OFF['suppkey']} AS s_suppkey, s_name,
+               s_nationkey, s_acctbal
+        FROM base, range({COPIES}) t(k)""",
+    "part": f"""
+        SELECT p_partkey + k*{OFF['partkey']} AS p_partkey, p_name,
+               p_brand, p_type, p_size, p_retailprice
+        FROM base, range({COPIES}) t(k)""",
+    "orders": f"""
+        SELECT o_orderkey + k*{OFF['orderkey']} AS o_orderkey,
+               o_custkey + k*{OFF['custkey']} AS o_custkey,
+               o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        FROM base, range({COPIES}) t(k)""",
+    "lineitem": f"""
+        SELECT l_orderkey + k*{OFF['orderkey']} AS l_orderkey,
+               l_partkey + k*{OFF['partkey']} AS l_partkey,
+               l_suppkey + k*{OFF['suppkey']} AS l_suppkey,
+               l_linenumber, l_quantity, l_extendedprice, l_discount,
+               l_tax, l_returnflag, l_linestatus, l_shipdate
+        FROM base, range({COPIES}) t(k)""",
+    "events": f"""
+        SELECT event_id + k*{OFF['event_id']} AS event_id, ts,
+               user_id + k*{OFF['user_id']} AS user_id,
+               event_type, value, props
+        FROM base, range({COPIES}) t(k)""",
+    "documents": f"""
+        SELECT doc_id + k*{OFF['doc_id']} AS doc_id,
+               CASE WHEN k = 0 THEN text
+                    ELSE array_to_string(list_transform(
+                        str_split(text, ' '),
+                        x -> x || 'q' || k::VARCHAR), ' ')
+               END AS text,
+               lang, source,
+               CASE WHEN k = 0 THEN n_chars
+                    ELSE length(array_to_string(list_transform(
+                        str_split(text, ' '),
+                        x -> x || 'q' || k::VARCHAR), ' '))
+               END AS n_chars
+        FROM base, range({COPIES}) t(k)""",
+}
+
+
+def _build_embeddings(dst: str) -> None:
+    """Sign-flip scaling for the embeddings table (see module docstring
+    for why a rotation is NOT sufficient here). Done in numpy/pyarrow:
+    per-element list surgery is awkward in SQL, and the table is tiny
+    (20k rows of DIM floats)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pq.read_table(f"{SRC}/embeddings.parquet")
+    vec_id = base.column("vec_id").to_numpy()
+    label = base.column("label").to_numpy()
+    vecs = np.asarray(base.column("embedding").to_pylist(), dtype=np.float32)
+    dim = vecs.shape[1]
+    out_ids, out_vecs, out_labels = [], [], []
+    for k in range(COPIES):
+        if k == 0:
+            flipped = vecs
+        else:
+            signs = (
+                np.random.default_rng(12345 + k).integers(0, 2, dim) * 2 - 1
+            ).astype(np.float32)
+            flipped = vecs * signs  # float32 * (+-1): exact sign-bit flip
+        out_ids.append(vec_id + k * OFF["vec_id"])
+        out_vecs.append(flipped)
+        out_labels.append(label)
+    emb_type = pa.list_(pa.float32())
+    table = pa.table(
+        {
+            "vec_id": pa.array(np.concatenate(out_ids), type=pa.int64()),
+            "embedding": pa.array(
+                list(np.concatenate(out_vecs)), type=emb_type
+            ),
+            "label": pa.array(
+                np.concatenate(out_labels), type=base.schema.field("label").type
+            ),
+        }
+    )
+    pq.write_table(table, dst)
+
+
+def build_fixture(con) -> None:
+    os.makedirs(SF1_DIR, exist_ok=True)
+    for t in TABLES:
+        dst = os.path.join(SF1_DIR, f"{t}.parquet")
+        base_n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{SRC}/{t}.parquet')"
+        ).fetchone()[0]
+        want = base_n if t in ("region", "nation") else base_n * COPIES
+        if os.path.exists(dst):
+            have = con.execute(
+                f"SELECT count(*) FROM read_parquet('{dst}')"
+            ).fetchone()[0]
+            if have == want:
+                print(json.dumps({"fixture": t, "rows": have, "cached": True}),
+                      flush=True)
+                continue
+        if t == "embeddings":
+            _build_embeddings(dst)
+        else:
+            sel = _SCALE_SQL.get(t, "SELECT * FROM base")
+            con.execute(f"CREATE OR REPLACE VIEW base AS SELECT * FROM "
+                        f"read_parquet('{SRC}/{t}.parquet')")
+            con.execute(f"COPY ({sel}) TO '{dst}' (FORMAT parquet)")
+        print(json.dumps({"fixture": t, "rows": want, "cached": False}),
+              flush=True)
+    con.execute("DROP VIEW IF EXISTS base")
+
+
+def _union_find_losers(edges) -> set:
+    """Independent reference CC: min-id representative per component,
+    losers = every non-representative node. Path-halving union-find —
+    O(E α(N)), vs the registry oracle's recursive-CTE closure which
+    materializes sum(|component|²) rows."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x for x in parent if find(x) != x}
+
+
+def _py_oracle_semantic_collapse(con):
+    from hadoop_hive_analysis_spark.operators.similarity import (
+        DEDUP_EMBEDDING_LSH_SQL,
+    )
+
+    pairs = con.execute(DEDUP_EMBEDDING_LSH_SQL).fetchall()
+    losers = _union_find_losers((a, b) for a, b, *_ in pairs)
+    rows = con.execute(
+        "SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings"
+    ).fetchall()
+    return ["vec_id", "label"], [r for r in rows if r[0] not in losers]
+
+
+def _py_oracle_ensemble_collapse(con):
+    from hadoop_hive_analysis_spark.operators.dedup import (
+        DEDUP_MINHASH_LSH_SQL,
+    )
+    from hadoop_hive_analysis_spark.operators.similarity import (
+        DEDUP_EMBEDDING_LSH_SQL,
+    )
+
+    edges = [
+        (a, b)
+        for a, b, *_ in con.execute(DEDUP_MINHASH_LSH_SQL).fetchall()
+    ] + [
+        (a, b)
+        for a, b, *_ in con.execute(DEDUP_EMBEDDING_LSH_SQL).fetchall()
+    ]
+    losers = _union_find_losers(edges)
+    rows = con.execute(
+        "SELECT doc_id, lang, source, n_chars FROM documents"
+    ).fetchall()
+    return (
+        ["doc_id", "lang", "source", "n_chars"],
+        [r for r in rows if r[0] not in losers],
+    )
+
+
+# The two transitive-collapse queries keep their pair generators
+# oracle-checked verbatim (dedup_embedding_lsh / the minhash CTE run in
+# DuckDB), but the registry's recursive-CTE closure is infeasible at
+# sf1: under the cos>=0.4 dedup threshold the 10x pair graph PERCOLATES
+# (cross-copy chance pairs at 90x the within-copy pair chances chain all
+# 20k vectors into one component; closure = sum s^2 ~= 400M rows — a
+# first run was killed after 25 min in that CTE). Percolation at scale
+# is a real property of low-threshold similarity graphs — it's exactly
+# why the ENGINE uses star-contraction CC instead of closure. At sf1
+# these two queries are checked against an independent python
+# union-find differential on the SAME DuckDB-computed edge lists.
+PY_ORACLES = {
+    "dedup_semantic_collapse": _py_oracle_semantic_collapse,
+    "dedup_ensemble_collapse": _py_oracle_ensemble_collapse,
+}
+
+
+def main() -> int:
+    import duckdb
+
+    from hadoop_hive_analysis_spark.plans.registry import QUERIES
+    from hadoop_hive_analysis_spark.session import get_spark
+
+    con = duckdb.connect()
+    build_fixture(con)
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF1_DIR}/{t}.parquet')"
+        )
+
+    heap = os.environ.get("HHA_SCALE_HEAP", "12g")
+    spark = get_spark(
+        "hha-sf1-window-sweep", extra_conf={"spark.driver.memory": heap}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    only = set(sys.argv[1:])
+    names = [n for n, s in QUERIES.items() if s.driver and (not only or n in only)]
+    results: dict[str, dict] = {}
+    failures: list[str] = []
+    for name in names:
+        spec = QUERIES[name]
+        t0 = time.perf_counter()
+        try:
+            sdf = spec.fn(spark, SF1_DIR)
+            srows = sdf.collect()
+            cols = sorted(sdf.columns)
+            s = Counter(tuple(_canon(r[c]) for c in cols) for r in srows)
+        except Exception as ex:
+            failures.append(name)
+            results[name] = {"status": "spark-error",
+                             "error": f"{type(ex).__name__}: {str(ex)[:200]}"}
+            print(f"ERR  {name}: {results[name]['error']}", flush=True)
+            continue
+        wall = round(time.perf_counter() - t0, 2)
+        if name in PY_ORACLES:
+            t1 = time.perf_counter()
+            ocols, orows = PY_ORACLES[name](con)
+            idx = sorted(range(len(ocols)), key=lambda i: ocols[i])
+            o = Counter(
+                tuple(_canon(row[i]) for i in idx) for row in orows
+            )
+            owall = round(time.perf_counter() - t1, 2)
+            ok = s == o and cols == sorted(ocols)
+            results[name] = {
+                "status": "match" if ok else "MISMATCH",
+                "oracle": "python union-find differential "
+                          "(registry closure CTE infeasible: graph "
+                          "percolates at sf1 — see PY_ORACLES comment)",
+                "rows": sum(s.values()),
+                "wall": wall,
+                "oracle_wall": owall,
+            }
+            if not ok:
+                failures.append(name)
+                results[name]["why"] = (
+                    "cols" if cols != sorted(ocols)
+                    else f"values ({sum(s.values())} vs {sum(o.values())})"
+                )
+                print(f"FAIL {name}: {results[name]['why']}", flush=True)
+            else:
+                print(f"ok   {name}: {sum(s.values())} rows "
+                      f"({wall}s spark / {owall}s py-oracle)", flush=True)
+            continue
+        if spec.oracle is None:
+            results[name] = {"status": "rows-only",
+                             "rows": sum(s.values()), "wall": wall}
+            print(f"rows {name}: {sum(s.values())} rows ({wall}s, rows-only)",
+                  flush=True)
+            continue
+        t1 = time.perf_counter()
+        try:
+            odf = con.execute(spec.oracle).fetch_df()
+            ocols = sorted(odf.columns)
+            o = Counter(
+                tuple(_canon(v) for v in row)
+                for row in odf[ocols].itertuples(index=False, name=None)
+            )
+        except Exception as ex:
+            failures.append(name)
+            results[name] = {"status": "oracle-error",
+                             "error": f"{type(ex).__name__}: {str(ex)[:200]}"}
+            print(f"ORACLE-ERR {name}: {results[name]['error']}", flush=True)
+            continue
+        owall = round(time.perf_counter() - t1, 2)
+        ok = s == o and cols == ocols
+        results[name] = {
+            "status": "match" if ok else "MISMATCH",
+            "rows": sum(s.values()),
+            "wall": wall,
+            "oracle_wall": owall,
+        }
+        if not ok:
+            failures.append(name)
+            results[name]["why"] = (
+                "cols" if cols != ocols
+                else f"values ({sum(s.values())} vs {sum(o.values())} rows)"
+            )
+            print(f"FAIL {name}: {results[name]['why']}", flush=True)
+        else:
+            print(f"ok   {name}: {sum(s.values())} rows "
+                  f"({wall}s spark / {owall}s duckdb)", flush=True)
+
+    out = {
+        "sf": "sf1 (10x sf0.1, derived — see scripts/sf1_window_sweep.py)",
+        "fixture_dir": SF1_DIR,
+        "window": len(names),
+        "failures": failures,
+        "results": results,
+    }
+    if not only:  # partial reruns must not overwrite the full artifact
+        with open(os.path.join(REPO, "SF1_SWEEP_r13.json"), "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+    print(f"\n{len(failures)} failures of {len(names)}", flush=True)
+    if failures:
+        print("failed:", failures, flush=True)
+    spark.stop()
+    return len(failures)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
