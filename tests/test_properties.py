@@ -1214,3 +1214,110 @@ def test_prefix_filter_jaccard_pair_set_matches_full_join(
         tuple(r) for r in dedup_prefix_filter_jaccard(spark, str(d)).collect()
     }
     assert pref == full
+
+
+# ------------------------------- SimHash: signature + pigeonhole bands
+
+
+def _py_h64(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+@given(texts=texts_strategy)
+@settings(**_SETTINGS)
+def test_simhash_pairs_match_exhaustive_python(
+    spark, tmp_path_factory, texts
+):
+    """Differential: dedup_simhash vs a pure-Python replica that builds
+    every signature from scratch (md5-derived h31 per distinct shingle,
+    per-bit majority vote with the v==0 tie resolving to bit 0) and
+    enumerates ALL pairs exhaustively. Pins two things at once on random
+    corpora: the 32-vote signature aggregation is bit-exact, and the
+    4x8-bit pigeonhole banding loses no pair within hamming <= 3 (dense
+    tiny-vocab corpora make identical and near-identical signatures
+    common — the tie/collision regime)."""
+    import re
+
+    import pandas as pd
+
+    from hadoop_hive_analysis_spark.operators.dedup import (
+        SIMHASH_BITS,
+        SIMHASH_RADIUS,
+        dedup_simhash,
+    )
+
+    d = tmp_path_factory.mktemp("prop_simhash")
+    pd.DataFrame(
+        [(i, t) for i, t in enumerate(texts)], columns=["doc_id", "text"]
+    ).to_parquet(str(d / "documents.parquet"))
+
+    sigs: dict[int, int] = {}
+    for i, t in enumerate(texts):
+        toks = re.split(r"\s+", t)
+        if len(toks) < 3:
+            continue
+        shingles = {" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)}
+        votes = [0] * SIMHASH_BITS
+        for s in shingles:
+            h = _py_h64(s) % (2**31 - 1)
+            for b in range(SIMHASH_BITS):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        sigs[i] = sum(1 << b for b in range(SIMHASH_BITS) if votes[b] > 0)
+
+    want = set()
+    ids = sorted(sigs)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            ham = bin(sigs[a] ^ sigs[b]).count("1")
+            if ham <= SIMHASH_RADIUS:
+                want.add((a, b, ham))
+
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dedup_simhash(spark, str(d)).collect()
+    }
+    assert got == want
+
+
+# ------------------------------------------- sliding-window chunk math
+
+
+@given(texts=texts_strategy)
+@settings(**_SETTINGS)
+def test_doc_chunks_matches_python(spark, tmp_path_factory, texts):
+    """Differential: doc_chunks vs a pure-Python replica of the sliding
+    window — every token covered, final chunk short, chunk hash equal to
+    the md5-derived h64 of the space-joined slice. Random doc lengths
+    probe the boundary cases (len % stride == 0, len < size, the empty
+    split-of-"" single-token row) where 1-indexed slice math goes wrong.
+    """
+    import re
+
+    import pandas as pd
+
+    from hadoop_hive_analysis_spark.operators.text_pipeline import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        doc_chunks,
+    )
+
+    d = tmp_path_factory.mktemp("prop_chunks")
+    pd.DataFrame(
+        [(i, t) for i, t in enumerate(texts)], columns=["doc_id", "text"]
+    ).to_parquet(str(d / "documents.parquet"))
+
+    want = set()
+    for i, t in enumerate(texts):
+        toks = re.split(r"\s+", t)  # mirrors F.split: "" -> [""]
+        for chunk_no, s in enumerate(range(0, len(toks), CHUNK_STRIDE)):
+            piece = toks[s : s + CHUNK_SIZE]
+            want.add((i, chunk_no, len(piece), _py_h64(" ".join(piece))))
+
+    got = {
+        (r.doc_id, r.chunk_no, r.n_chunk_tokens, r.chunk_h)
+        for r in doc_chunks(spark, str(d)).collect()
+    }
+    assert got == want
