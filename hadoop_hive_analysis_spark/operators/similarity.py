@@ -431,11 +431,26 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         b_ids, b_mat = bc.value
         nb2 = (b_mat * b_mat).sum(axis=1)
+        # numpy int64 matmul has NO BLAS path (naive loops); float64
+        # matmul is BLAS-backed (~100x: 8.07 s vs 0.07 s for 4k x 20k
+        # measured on the 10x fixture) and EXACT while every possible
+        # |dot| <= max|a| * max|b| * dim stays under 2^53 — with the
+        # round(x*1000) quantizer that bound is ~2.1e7 on real data.
+        # Guard it per broadcast matrix and keep the int64 path as the
+        # fallback so pathological magnitudes can't silently lose bits.
+        b_max = int(np.abs(b_mat).max()) if b_mat.size else 0
+        b64 = b_mat.T.astype(np.float64)
         for pdf in batches:
+            if not len(pdf):
+                continue
             a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             a_mat = np.array(list(pdf["q"]), dtype=np.int64)
             na2 = (a_mat * a_mat).sum(axis=1)
-            dots = a_mat @ b_mat.T  # exact int64
+            a_max = int(np.abs(a_mat).max()) if a_mat.size else 0
+            if a_max * b_max * a_mat.shape[1] < 2**53:
+                dots = (a_mat.astype(np.float64) @ b64).astype(np.int64)
+            else:  # exact but slow; unreachable for the 1e-3 quantizer
+                dots = a_mat @ b_mat.T
             mask = (
                 (dots > 0)
                 & (den2 * dots * dots >= num2 * np.outer(na2, nb2))
