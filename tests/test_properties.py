@@ -1321,3 +1321,63 @@ def test_doc_chunks_matches_python(spark, tmp_path_factory, texts):
         for r in doc_chunks(spark, str(d)).collect()
     }
     assert got == want
+
+
+# ------------------------- salted two-phase top-K vs the plain window
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=25),  # user_id
+            st.integers(min_value=0, max_value=5),  # value (cents): dense ties
+        ),
+        min_size=1,  # createDataFrame cannot infer an empty schema
+        max_size=60,
+    )
+)
+@settings(**_SETTINGS)
+def test_salted_top3_matches_python(spark, tmp_path_factory, rows):
+    """Differential: the salted two-phase top-K vs a plain per-key sort
+    in Python. Salting is only correct because top-K re-aggregates (the
+    global top-3 lives in the union of per-salt top-3s) AND the
+    tie-break is total (value desc, event_id asc) — a dense-tie value
+    domain makes any per-salt boundary mistake visible. Random user ids
+    cover both the hot key (-1) and the %10 pass-through keys."""
+    import datetime
+    import uuid
+
+    import pandas as pd
+
+    from hadoop_hive_analysis_spark.operators.skew import (
+        TOP_K_PER_KEY,
+        events_top3_by_hotkey_salted,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    data = [
+        (i, t0, u, "click", c / 100.0, "{}")
+        for i, (u, c) in enumerate(rows)
+    ]
+    d = tmp_path_factory.mktemp(f"salt_{uuid.uuid4().hex[:8]}")
+    spark.createDataFrame(
+        pd.DataFrame(
+            data,
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        )
+    ).coalesce(1).write.parquet(str(d / "events.parquet"))
+
+    per_key: dict = {}
+    for event_id, _, u, _, v, _ in data:
+        key = u if u % 10 == 0 else -1
+        per_key.setdefault(key, []).append((-v, event_id))
+    want = set()
+    for key, lst in per_key.items():
+        for rnk, (nv, eid) in enumerate(sorted(lst)[:TOP_K_PER_KEY], start=1):
+            want.add((key, eid, -nv, rnk))
+
+    got = {
+        (r.skew_key, r.event_id, r.value, r.rnk)
+        for r in events_top3_by_hotkey_salted(spark, str(d)).collect()
+    }
+    assert got == want
