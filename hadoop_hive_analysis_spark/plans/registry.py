@@ -441,6 +441,14 @@ _R13_DEMOTE = (
     "doc_token_rarity",
     "doc_bigram_lm_score",
 )
+# r14 staging: ROTATION_r14_PLAN.json (16/16) — simulate-validated in
+# the r13 session (a first draft that demoted both span_scrub and
+# decontaminate_spans would have dropped the window's only
+# ObjectHashAggregate carriers; the committed plan keeps span_scrub
+# scored and rests dedup_clusters instead) and all 16 promotes
+# bare-session swept 0/16 at sf0.01. r14: apply as _R14_PROMOTE/
+# _R14_DEMOTE, re-simulate if the registry changed, full 50-entry
+# sweep, update docs pins.
 
 
 def _rotate(q: dict[str, QuerySpec]) -> dict[str, QuerySpec]:

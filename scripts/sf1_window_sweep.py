@@ -162,19 +162,30 @@ def _build_embeddings(dst: str) -> None:
     pq.write_table(table, dst)
 
 
+def _src_stamp(t: str) -> str:
+    """Identity of the source fixture file: a regenerated sf0.1 (same
+    row count, different content — the warc-cache ADVICE class) must
+    invalidate the derived table, so key on mtime+size, not counts."""
+    st = os.stat(os.path.join(SRC, f"{t}.parquet"))
+    return f"{st.st_mtime_ns}:{st.st_size}"
+
+
 def build_fixture(con) -> None:
     os.makedirs(SF1_DIR, exist_ok=True)
     for t in TABLES:
         dst = os.path.join(SF1_DIR, f"{t}.parquet")
+        stamp = os.path.join(SF1_DIR, f"{t}.src_stamp")
         base_n = con.execute(
             f"SELECT count(*) FROM read_parquet('{SRC}/{t}.parquet')"
         ).fetchone()[0]
         want = base_n if t in ("region", "nation") else base_n * COPIES
-        if os.path.exists(dst):
+        if os.path.exists(dst) and os.path.exists(stamp):
             have = con.execute(
                 f"SELECT count(*) FROM read_parquet('{dst}')"
             ).fetchone()[0]
-            if have == want:
+            with open(stamp) as f:
+                fresh = f.read() == _src_stamp(t)
+            if have == want and fresh:
                 print(json.dumps({"fixture": t, "rows": have, "cached": True}),
                       flush=True)
                 continue
@@ -185,6 +196,8 @@ def build_fixture(con) -> None:
             con.execute(f"CREATE OR REPLACE VIEW base AS SELECT * FROM "
                         f"read_parquet('{SRC}/{t}.parquet')")
             con.execute(f"COPY ({sel}) TO '{dst}' (FORMAT parquet)")
+        with open(stamp, "w") as f:
+            f.write(_src_stamp(t))
         print(json.dumps({"fixture": t, "rows": want, "cached": False}),
               flush=True)
     con.execute("DROP VIEW IF EXISTS base")
