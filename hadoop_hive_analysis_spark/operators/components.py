@@ -466,6 +466,129 @@ def _ensemble_collapse_sql() -> str:
 DEDUP_ENSEMBLE_COLLAPSE_SQL = _ensemble_collapse_sql()
 
 
+# ------------------------------------------- pre-collapse percolation guard
+
+# Largest-component share (ppm of the corpus) above which a collapse is
+# refused in production: a percolated dup graph means the threshold, not
+# the data, decides survivors. 20% is deliberately far above any real
+# dup-family share and far below percolation (which shows up as ~100%).
+PERCOLATION_PPM = 200_000
+
+
+def dedup_semantic_guardrail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The check :func:`dedup_semantic_collapse` owes the corpus BEFORE
+    deleting anything: one exact scalar report over the embedding dup
+    graph — corpus size, graph nodes/edges, component count, the
+    largest component and its corpus share (exact ppm), how many
+    vectors a collapse would remove, and a ``percolated`` alarm.
+
+    Motivated by a measured finding (SCALING.md, round 13): at 10× the
+    fixture the cos ≥ 0.4 pair graph PERCOLATES — chance cross-pairs
+    (the ~3σ tail of 64-dim cosines, with quadratically many chances)
+    chain ALL 20k vectors into one component, and a blind collapse
+    keeps 13 of 20,000 vectors. In that regime the similarity threshold,
+    not the data, decides survivors — a pipeline must refuse the
+    collapse (raise the threshold, add a verify stage, or shard by
+    stronger keys) rather than execute it. ``percolated`` is the exact
+    integer cross-multiply ``largest·10⁶ ≥ PERCOLATION_PPM·corpus_n``
+    (no division), so both engines agree bit-for-bit.
+
+    Scale shape: pair generation is the banded LSH join (never
+    all-pairs); components are star-contraction (O(log n) rounds);
+    everything after is component-table-sized plus two 1-row aggregates
+    joined by a broadcast cross of 1-row frames. The report costs a
+    prefix of the collapse it guards — run it first, collapse only on
+    a clean verdict.
+    """
+    from ..sources.catalog import load_table
+    from .similarity import dedup_embedding_lsh
+
+    corpus = load_table(spark, sf_dir, "embeddings").agg(
+        F.count("*").alias("corpus_n")
+    )
+    pairs = dedup_embedding_lsh(spark, sf_dir).select("va", "vb")
+    # One pair materialization: edges feed BOTH the edge count and the
+    # CC loop (the dual-consumer re-execution class fixed in r10).
+    pairs = pairs.localCheckpoint(eager=False)
+    comp = connected_components_bigstar(pairs, "va", "vb")
+    sizes = comp.groupBy("component").agg(F.count("*").alias("n"))
+    graph = sizes.agg(
+        F.coalesce(F.count("*"), F.lit(0)).alias("n_components"),
+        F.coalesce(F.max("n"), F.lit(0)).alias("largest_component"),
+        F.coalesce(F.sum("n"), F.lit(0)).alias("graph_nodes"),
+    )
+    edges = pairs.agg(F.count("*").alias("graph_edges"))
+    rep = (
+        corpus.crossJoin(F.broadcast(graph))  # three 1-row frames
+        .crossJoin(F.broadcast(edges))
+        .select(
+            F.col("corpus_n").cast("long").alias("corpus_n"),
+            F.col("graph_nodes").cast("long").alias("graph_nodes"),
+            F.col("graph_edges").cast("long").alias("graph_edges"),
+            F.col("n_components").cast("long").alias("n_components"),
+            F.col("largest_component").cast("long").alias("largest_component"),
+            F.expr("largest_component * 1000000 DIV corpus_n")
+            .cast("long")
+            .alias("largest_share_ppm"),
+            (F.col("graph_nodes") - F.col("n_components"))
+            .cast("long")
+            .alias("would_remove"),
+            F.when(
+                F.col("largest_component") * F.lit(1_000_000)
+                >= F.lit(PERCOLATION_PPM) * F.col("corpus_n"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("percolated"),
+        )
+    )
+    return rep
+
+
+def _semantic_guardrail_sql() -> str:
+    from .similarity import DEDUP_EMBEDDING_LSH_SQL
+
+    return f"""
+    WITH RECURSIVE pairs AS ({DEDUP_EMBEDDING_LSH_SQL}),
+    edges AS (
+        SELECT va AS u, vb AS v FROM pairs
+        UNION
+        SELECT vb AS u, va AS v FROM pairs
+    ),
+    reach(u, v) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    labels AS (SELECT u AS node, min(v) AS component FROM reach GROUP BY u),
+    sizes AS (SELECT component, count(*) AS n FROM labels GROUP BY 1),
+    graph AS (
+        SELECT COALESCE(count(*), 0) AS n_components,
+               COALESCE(max(n), 0) AS largest_component,
+               COALESCE(sum(n), 0) AS graph_nodes
+        FROM sizes
+    ),
+    ecount AS (SELECT count(*) AS graph_edges FROM pairs),
+    c AS (SELECT count(*) AS corpus_n FROM embeddings)
+    SELECT CAST(corpus_n AS BIGINT) AS corpus_n,
+           CAST(graph_nodes AS BIGINT) AS graph_nodes,
+           CAST(graph_edges AS BIGINT) AS graph_edges,
+           CAST(n_components AS BIGINT) AS n_components,
+           CAST(largest_component AS BIGINT) AS largest_component,
+           CAST(largest_component * 1000000 // corpus_n AS BIGINT)
+               AS largest_share_ppm,
+           CAST(graph_nodes - n_components AS BIGINT) AS would_remove,
+           CAST(CASE WHEN largest_component * 1000000
+                          >= {PERCOLATION_PPM} * corpus_n
+                     THEN 1 ELSE 0 END AS BIGINT) AS percolated
+    FROM c, graph, ecount
+"""
+
+
+DEDUP_SEMANTIC_GUARDRAIL_SQL = _semantic_guardrail_sql()
+
+
 # ------------------------------------------------- cluster-quality audit
 
 

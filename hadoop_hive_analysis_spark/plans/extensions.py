@@ -273,6 +273,18 @@ def build() -> dict:
         # individually (MinHash pairs, embedding-LSH pairs, the two
         # collapses) — benching the union would double-count them
     )
+    # Round-13 addition, born from the sf1 sweep's percolation finding
+    # (SCALING.md): the exact pre-collapse alarm a production pipeline
+    # runs before dedup_semantic_collapse may delete anything. Staged
+    # for a future scored slot; pytest-parity meanwhile.
+    q["dedup_semantic_guardrail"] = QuerySpec(
+        components.dedup_semantic_guardrail,
+        components.DEDUP_SEMANTIC_GUARDRAIL_SQL,
+        "ext: pre-collapse percolation guardrail (component-size scalar "
+        "report over the embedding dup graph; exact ppm share + alarm)",
+        driver=False,
+        bench=False,  # prefix of dedup_semantic_collapse, already timed
+    )
 
     # --- Pipeline composition ---
     from . import pipeline
