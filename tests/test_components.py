@@ -318,3 +318,36 @@ def test_cluster_quality_chained_vs_clique(spark):
     assert cliq["density_ppm"] == 1_000_000
     assert cliq["chained"] is False
     assert cliq["mean_jaccard_ppm"] == (950_000 + 900_000 + 880_000) // 3
+
+
+def test_semantic_guardrail_accounts_for_collapse(spark, sf_dir):
+    """The guardrail's arithmetic must tie out against the collapse it
+    guards: survivors(collapse) == corpus_n - would_remove, the share
+    ppm is the exact integer division of its own fields, and the
+    fixture graph is far from percolation (the sf1 sweep showed the
+    percolated=1 side — SCALING.md round 13)."""
+    from hadoop_hive_analysis_spark.operators.components import (
+        PERCOLATION_PPM,
+        dedup_semantic_collapse,
+        dedup_semantic_guardrail,
+    )
+
+    r = dedup_semantic_guardrail(spark, sf_dir).collect()[0]
+    survivors = dedup_semantic_collapse(spark, sf_dir).count()
+    assert survivors == r.corpus_n - r.would_remove
+    assert r.largest_share_ppm == r.largest_component * 1_000_000 // r.corpus_n
+    assert r.percolated == (
+        1 if r.largest_component * 1_000_000 >= PERCOLATION_PPM * r.corpus_n else 0
+    )
+    assert r.percolated == 0  # the base fixture must not trip the alarm
+    assert r.n_components >= 1 and r.graph_nodes <= r.corpus_n
+
+    # plan hygiene: the two crossJoins are broadcasts of 1-row frames —
+    # the executed plan must contain no CartesianProduct anywhere
+    plan = (
+        dedup_semantic_guardrail(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, plan
