@@ -1381,3 +1381,74 @@ def test_salted_top3_matches_python(spark, tmp_path_factory, rows):
         for r in events_top3_by_hotkey_salted(spark, str(d)).collect()
     }
     assert got == want
+
+
+# ------------------------ brute-force cosine pairs vs python replica
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.integers(min_value=-80, max_value=80),  # value = k/64 (dyadic)
+            min_size=6,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**_SETTINGS)
+def test_embedding_cosine_pairs_match_python(spark, tmp_path_factory, vecs):
+    """Differential: dedup_embedding_cosine vs an exhaustive pure-Python
+    replica — quantization (round(x*1000), HALF_UP like Spark's round,
+    exact on the dyadic k/64 inputs), the integer predicate
+    dot>0 ∧ 25·dot² ≥ 4·‖a‖²·‖b‖², and the exact dot itself. Guards the
+    BLAS float64 matmul path introduced in r13 (dyadics force .5
+    rounding boundaries where python's banker's rounding would diverge
+    from a naive mirror). Low-dim vectors make chance threshold
+    crossings and zero vectors common."""
+    import math
+    import uuid
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_hive_analysis_spark.operators.similarity import (
+        COSINE_DEDUP_DEN,
+        COSINE_DEDUP_NUM,
+        dedup_embedding_cosine,
+    )
+
+    d = tmp_path_factory.mktemp(f"cos_{uuid.uuid4().hex[:8]}")
+    emb = [[k / 64.0 for k in v] for v in vecs]
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+            "embedding": pa.array(emb, type=pa.list_(pa.float32())),
+            "label": pa.array([0] * len(vecs), type=pa.int32()),
+        }
+    )
+    pq.write_table(table, str(d / "embeddings.parquet"))
+
+    def quant(v: float) -> int:  # Spark round(x*1000, 0): HALF_UP
+        x = v * 1000.0  # exact: dyadic * 1000 is representable
+        return math.floor(x + 0.5) if x >= 0 else -math.floor(-x + 0.5)
+
+    q = [[quant(x) for x in row] for row in emb]
+    num2 = COSINE_DEDUP_NUM * COSINE_DEDUP_NUM
+    den2 = COSINE_DEDUP_DEN * COSINE_DEDUP_DEN
+    want = set()
+    for a in range(len(q)):
+        for b in range(a + 1, len(q)):
+            dot = sum(x * y for x, y in zip(q[a], q[b]))
+            na2 = sum(x * x for x in q[a])
+            nb2 = sum(x * x for x in q[b])
+            if dot > 0 and den2 * dot * dot >= num2 * na2 * nb2:
+                want.add((a, b, dot))
+
+    got = {
+        (r.va, r.vb, r.dot_q)
+        for r in dedup_embedding_cosine(spark, str(d)).collect()
+    }
+    assert got == want
