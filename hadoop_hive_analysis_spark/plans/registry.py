@@ -441,14 +441,54 @@ _R13_DEMOTE = (
     "doc_token_rarity",
     "doc_bigram_lm_score",
 )
-# r14 staging: ROTATION_r14_PLAN.json (16/16) — simulate-validated in
-# the r13 session (a first draft that demoted both span_scrub and
-# decontaminate_spans would have dropped the window's only
-# ObjectHashAggregate carriers; the committed plan keeps span_scrub
-# scored and rests dedup_clusters instead) and all 16 promotes
-# bare-session swept 0/16 at sf0.01. r14: apply as _R14_PROMOTE/
-# _R14_DEMOTE, re-simulate if the registry changed, full 50-entry
-# sweep, update docs pins.
+# r14 rotation — executes ROTATION_r14_PLAN.json (16/16, staged and
+# simulate-validated in the r13 session; a first draft that demoted
+# both span_scrub and decontaminate_spans would have dropped the
+# window's only ObjectHashAggregate carriers — the committed plan
+# keeps span_scrub scored and rests dedup_clusters instead, its CC
+# shape carried by the scored sibling dedup_clusters_bigstar).
+# Promotes are the longest-unhashed rested rows: multimodal_decode_stub,
+# events_pivot_by_type, ann_bruteforce_topk, the r7-r8 pack
+# (text_quality_score … seq_packing), orders_above_customer_avg. All 16
+# bare-session swept 0/16 at sf0.01 in r13. Demotes rest double-fresh
+# entries (hashed green in BOTH r12 and r13) whose shapes are carried by
+# scored siblings or promotes.
+_R14_PROMOTE = (
+    "multimodal_decode_stub",
+    "events_pivot_by_type",
+    "ann_bruteforce_topk",
+    "text_quality_score",
+    "text_lang_id",
+    "doc_fingerprint",
+    "dedup_exact",
+    "duplicated_spans_topk",
+    "contamination_ngram",
+    "pii_scrub",
+    "doc_repetition_filter",
+    "train_stratified_sample",
+    "corpus_filter_funnel",
+    "data_mixture_resample",
+    "seq_packing",
+    "orders_above_customer_avg",
+)
+_R14_DEMOTE = (
+    "duplicated_spans",
+    "decontaminate_spans",
+    "dedup_containment",
+    "dedup_prefix_filter_jaccard",
+    "doc_bm25_search",
+    "dedup_semantic_collapse",
+    "dedup_ensemble_collapse",
+    "doc_quality_classifier",
+    "doc_quality_ecdf",
+    "doc_tokenize_with_vocab",
+    "vocab_coverage_build",
+    "events_latest_state",
+    "events_scd2_intervals",
+    "events_cohort_retention",
+    "corpus_clean_staged",
+    "dedup_clusters",
+)
 
 
 def _rotate(q: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
@@ -459,6 +499,7 @@ def _rotate(q: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
         (_R10_PROMOTE, _R10_DEMOTE),
         (_R12_PROMOTE, _R12_DEMOTE),
         (_R13_PROMOTE, _R13_DEMOTE),
+        (_R14_PROMOTE, _R14_DEMOTE),
     ):
         for name in promote:
             if q[name].driver:
