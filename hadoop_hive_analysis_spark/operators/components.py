@@ -335,7 +335,9 @@ DEDUP_COLLAPSE_SQL = f"""
 """
 
 
-def dedup_semantic_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_semantic_collapse(
+    spark: SparkSession, sf_dir: str, require_clean: bool = True
+) -> DataFrame:
     """SEMANTIC near-dup collapse — the embedding-space twin of
     :func:`dedup_collapse`: vectors whose embeddings are near-identical
     in cosine (paraphrases, re-encodes, translations an exact/lexical
@@ -350,6 +352,18 @@ def dedup_semantic_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors being deleted (tiny vs corpus), corpus scanned once, never
     shuffled; min vec_id is the pluggable quality-argmax policy hook.
 
+    ``require_clean`` (the default) ENFORCES the percolation guardrail:
+    before anything is deleted, the :func:`dedup_semantic_guardrail`
+    report is computed from the same checkpointed pair frame and shared
+    component table (one extra 1-row collect — a prefix of the collapse
+    itself), and a percolated graph raises :class:`PercolatedGraphError`
+    naming the largest component's exact corpus share. At 10× the
+    fixture the cos ≥ 0.4 graph chains 19,988 of 20,000 vectors into one
+    component and a blind collapse keeps 13 vectors (SCALING.md round
+    13) — that catastrophe must be a refusal, not a result. Pass
+    ``require_clean=False`` only to inspect what a blind collapse WOULD
+    do.
+
     Output: the surviving (vec_id, label) rows — scalar, exact-hashable;
     the production variant keeps the embedding column (projection-only
     change).
@@ -361,7 +375,18 @@ def dedup_semantic_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("label").cast("long").alias("label")
     )
     pairs = dedup_embedding_lsh(spark, sf_dir).select("va", "vb")
+    # One pair materialization feeds CC and (when enforcing) the
+    # guardrail's edge count — the dual-consumer re-execution class
+    # fixed in r10.
+    pairs = pairs.localCheckpoint(eager=False)
     comp = connected_components_bigstar(pairs, "va", "vb")
+    if require_clean:
+        corpus = load_table(spark, sf_dir, "embeddings").agg(
+            F.count("*").alias("corpus_n")
+        )
+        _refuse_if_percolated(
+            _guardrail_report(corpus, pairs, comp), "dedup_semantic_collapse"
+        )
     losers = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("vec_id")
     )
@@ -395,7 +420,9 @@ def _semantic_collapse_sql() -> str:
 DEDUP_SEMANTIC_COLLAPSE_SQL = _semantic_collapse_sql()
 
 
-def dedup_ensemble_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ensemble_collapse(
+    spark: SparkSession, sf_dir: str, require_clean: bool = True
+) -> DataFrame:
     """ENSEMBLE near-dup collapse: one dedup over the UNION of the
     lexical and semantic duplicate graphs — the production shape
     (SemDeDup-style pipelines run both detectors and collapse the joint
@@ -414,6 +441,14 @@ def dedup_ensemble_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: both pair generators are banded candidate joins (never
     all-pairs), the union is a cheap distinct over two tiny pair sets,
     and everything downstream is bounded by dup-cluster cardinality.
+
+    ``require_clean`` (the default) enforces the percolation guardrail
+    over the JOINT edge set (corpus = the documents table) before any
+    deletion — see :func:`dedup_semantic_collapse`; a percolated union
+    graph raises :class:`PercolatedGraphError`. The joint graph
+    percolates whenever either detector's graph does (its edge set is a
+    superset), so the ensemble needs the guard at least as much as the
+    semantic path.
     """
     from ..sources.catalog import load_table
     from .dedup import dedup_minhash_lsh
@@ -428,8 +463,15 @@ def dedup_ensemble_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     sem = dedup_embedding_lsh(spark, sf_dir).select(
         F.col("va").alias("u"), F.col("vb").alias("v")
     )
-    pairs = lex.unionByName(sem).distinct()
+    pairs = lex.unionByName(sem).distinct().localCheckpoint(eager=False)
     comp = connected_components_bigstar(pairs, "u", "v")
+    if require_clean:
+        corpus = load_table(spark, sf_dir, "documents").agg(
+            F.count("*").alias("corpus_n")
+        )
+        _refuse_if_percolated(
+            _guardrail_report(corpus, pairs, comp), "dedup_ensemble_collapse"
+        )
     losers = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
@@ -475,6 +517,87 @@ DEDUP_ENSEMBLE_COLLAPSE_SQL = _ensemble_collapse_sql()
 PERCOLATION_PPM = 200_000
 
 
+class PercolatedGraphError(RuntimeError):
+    """Raised by the collapse operators when the duplicate graph is
+    percolated: the similarity threshold, not the data, is deciding
+    survivors, so executing the collapse would be data destruction
+    (at 10× the fixture it keeps 13 of 20,000 vectors). Remedies:
+    raise the cosine threshold, add a verify stage to the pair
+    generator, or shard the graph by stronger keys — then re-run."""
+
+
+def _guardrail_report(
+    corpus: DataFrame, pairs: DataFrame, comp: DataFrame
+) -> DataFrame:
+    """The 1-row percolation report from pieces the collapse already
+    has: ``corpus`` a 1-row (corpus_n) aggregate, ``pairs`` the
+    checkpointed edge frame, ``comp`` its component labels. Shared by
+    :func:`dedup_semantic_guardrail` (the standalone report) and the
+    ``require_clean`` enforcement inside both collapses, so the guard
+    costs two tiny aggregates over frames that exist anyway.
+
+    ``corpus_n`` is zero-guarded with ``greatest(corpus_n, 1)``: on an
+    empty corpus Spark's DIV returns NULL while DuckDB ``//`` raises,
+    so without the guard the engines diverge on the degenerate input —
+    with it both report share 0 ppm. ``percolated`` additionally
+    requires a non-empty largest component (an empty graph trivially
+    satisfies ``0 ≥ ppm·0`` and must not alarm)."""
+    sizes = comp.groupBy("component").agg(F.count("*").alias("n"))
+    graph = sizes.agg(
+        F.coalesce(F.count("*"), F.lit(0)).alias("n_components"),
+        F.coalesce(F.max("n"), F.lit(0)).alias("largest_component"),
+        F.coalesce(F.sum("n"), F.lit(0)).alias("graph_nodes"),
+    )
+    edges = pairs.agg(F.count("*").alias("graph_edges"))
+    return (
+        corpus.crossJoin(F.broadcast(graph))  # three 1-row frames
+        .crossJoin(F.broadcast(edges))
+        .select(
+            F.col("corpus_n").cast("long").alias("corpus_n"),
+            F.col("graph_nodes").cast("long").alias("graph_nodes"),
+            F.col("graph_edges").cast("long").alias("graph_edges"),
+            F.col("n_components").cast("long").alias("n_components"),
+            F.col("largest_component").cast("long").alias("largest_component"),
+            F.expr("largest_component * 1000000 DIV greatest(corpus_n, 1)")
+            .cast("long")
+            .alias("largest_share_ppm"),
+            (F.col("graph_nodes") - F.col("n_components"))
+            .cast("long")
+            .alias("would_remove"),
+            F.when(
+                (F.col("largest_component") > 0)
+                & (
+                    F.col("largest_component") * F.lit(1_000_000)
+                    >= F.lit(PERCOLATION_PPM) * F.col("corpus_n")
+                ),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("percolated"),
+        )
+    )
+
+
+def _refuse_if_percolated(report: DataFrame, op: str) -> None:
+    """Collect the 1-row guardrail report (bounded by construction) and
+    raise :class:`PercolatedGraphError` when the alarm fires — the
+    enforcement arm of the guardrail: the docstring's "a pipeline must
+    refuse the collapse" as code."""
+    r = report.collect()[0]
+    if r["percolated"]:
+        raise PercolatedGraphError(
+            f"{op}: refusing to collapse a percolated duplicate graph — "
+            f"largest component holds {r['largest_component']} of "
+            f"{r['corpus_n']} rows ({r['largest_share_ppm']} ppm ≥ "
+            f"{PERCOLATION_PPM} ppm); a collapse would remove "
+            f"{r['would_remove']} rows on threshold chance, not "
+            f"duplicate structure. Raise the similarity threshold, add "
+            f"a verify stage, or shard the graph, then re-run; pass "
+            f"require_clean=False only to inspect the blind result."
+        )
+
+
 def dedup_semantic_guardrail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The check :func:`dedup_semantic_collapse` owes the corpus BEFORE
     deleting anything: one exact scalar report over the embedding dup
@@ -490,8 +613,12 @@ def dedup_semantic_guardrail(spark: SparkSession, sf_dir: str) -> DataFrame:
     not the data, decides survivors — a pipeline must refuse the
     collapse (raise the threshold, add a verify stage, or shard by
     stronger keys) rather than execute it. ``percolated`` is the exact
-    integer cross-multiply ``largest·10⁶ ≥ PERCOLATION_PPM·corpus_n``
-    (no division), so both engines agree bit-for-bit.
+    integer cross-multiply ``largest > 0 ∧ largest·10⁶ ≥
+    PERCOLATION_PPM·corpus_n`` (no division), so both engines agree
+    bit-for-bit. Since round 14 the collapses ENFORCE this verdict by
+    default (``require_clean=True`` →
+    :class:`PercolatedGraphError`); this standalone report remains the
+    observability surface a pipeline runs first.
 
     Scale shape: pair generation is the banded LSH join (never
     all-pairs); components are star-contraction (O(log n) rounds);
@@ -511,39 +638,7 @@ def dedup_semantic_guardrail(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CC loop (the dual-consumer re-execution class fixed in r10).
     pairs = pairs.localCheckpoint(eager=False)
     comp = connected_components_bigstar(pairs, "va", "vb")
-    sizes = comp.groupBy("component").agg(F.count("*").alias("n"))
-    graph = sizes.agg(
-        F.coalesce(F.count("*"), F.lit(0)).alias("n_components"),
-        F.coalesce(F.max("n"), F.lit(0)).alias("largest_component"),
-        F.coalesce(F.sum("n"), F.lit(0)).alias("graph_nodes"),
-    )
-    edges = pairs.agg(F.count("*").alias("graph_edges"))
-    rep = (
-        corpus.crossJoin(F.broadcast(graph))  # three 1-row frames
-        .crossJoin(F.broadcast(edges))
-        .select(
-            F.col("corpus_n").cast("long").alias("corpus_n"),
-            F.col("graph_nodes").cast("long").alias("graph_nodes"),
-            F.col("graph_edges").cast("long").alias("graph_edges"),
-            F.col("n_components").cast("long").alias("n_components"),
-            F.col("largest_component").cast("long").alias("largest_component"),
-            F.expr("largest_component * 1000000 DIV corpus_n")
-            .cast("long")
-            .alias("largest_share_ppm"),
-            (F.col("graph_nodes") - F.col("n_components"))
-            .cast("long")
-            .alias("would_remove"),
-            F.when(
-                F.col("largest_component") * F.lit(1_000_000)
-                >= F.lit(PERCOLATION_PPM) * F.col("corpus_n"),
-                F.lit(1),
-            )
-            .otherwise(F.lit(0))
-            .cast("long")
-            .alias("percolated"),
-        )
-    )
-    return rep
+    return _guardrail_report(corpus, pairs, comp)
 
 
 def _semantic_guardrail_sql() -> str:
@@ -576,10 +671,11 @@ def _semantic_guardrail_sql() -> str:
            CAST(graph_edges AS BIGINT) AS graph_edges,
            CAST(n_components AS BIGINT) AS n_components,
            CAST(largest_component AS BIGINT) AS largest_component,
-           CAST(largest_component * 1000000 // corpus_n AS BIGINT)
-               AS largest_share_ppm,
+           CAST(largest_component * 1000000 // greatest(corpus_n, 1)
+               AS BIGINT) AS largest_share_ppm,
            CAST(graph_nodes - n_components AS BIGINT) AS would_remove,
-           CAST(CASE WHEN largest_component * 1000000
+           CAST(CASE WHEN largest_component > 0
+                      AND largest_component * 1000000
                           >= {PERCOLATION_PPM} * corpus_n
                      THEN 1 ELSE 0 END AS BIGINT) AS percolated
     FROM c, graph, ecount

@@ -447,10 +447,20 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             a_mat = np.array(list(pdf["q"]), dtype=np.int64)
             na2 = (a_mat * a_mat).sum(axis=1)
             a_max = int(np.abs(a_mat).max()) if a_mat.size else 0
-            if a_max * b_max * a_mat.shape[1] < 2**53:
+            bound = a_max * b_max * a_mat.shape[1]  # exact python int
+            if bound < 2**53:
                 dots = (a_mat.astype(np.float64) @ b64).astype(np.int64)
-            else:  # exact but slow; unreachable for the 1e-3 quantizer
+            elif bound < 2**63:
+                # exact but slow; unreachable for the 1e-3 quantizer
                 dots = a_mat @ b_mat.T
+            else:
+                # int64 matmul WRAPS silently at 2^63 — never trust it
+                # past the bound; exactness is this operator's contract.
+                raise OverflowError(
+                    f"quantized dot-product bound {bound} >= 2^63: int64 "
+                    f"accumulation would wrap silently; re-quantize with "
+                    f"a coarser scale before deduplicating"
+                )
             mask = (
                 (dots > 0)
                 & (den2 * dots * dots >= num2 * np.outer(na2, nb2))

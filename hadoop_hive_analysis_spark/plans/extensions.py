@@ -256,7 +256,8 @@ def build() -> dict:
         components.DEDUP_SEMANTIC_COLLAPSE_SQL,
         "ext: semantic near-dup collapse over embeddings (banded "
         "hyperplane-LSH pairs -> star-contraction components -> "
-        "broadcast anti join; surviving vectors)",
+        "broadcast anti join; surviving vectors; refuses percolated "
+        "graphs by default since r14 — PercolatedGraphError)",
     )
     # Round-7 addition, staged for the r8 rotation: the production
     # ensemble — ONE collapse over the union of the lexical (MinHash)
@@ -267,7 +268,7 @@ def build() -> dict:
         components.DEDUP_ENSEMBLE_COLLAPSE_SQL,
         "ext: ensemble near-dup collapse (lexical + semantic pair "
         "graphs unioned, joint star-contraction CC, broadcast anti "
-        "join)",
+        "join; refuses percolated graphs by default since r14)",
         driver=False,
         bench=False,  # composes paths the pack already times
         # individually (MinHash pairs, embedding-LSH pairs, the two

@@ -298,15 +298,32 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Validate explicit names (the bare_window_sweep.py fix, mirrored —
+    # ADVICE r13): a typo'd or rested name must fail loudly, never yield
+    # a vacuous '0 failures of 0'. Named rested entries ARE resolvable
+    # (targeted at-scale reruns of pytest-parity rows are legitimate);
+    # unknown names abort.
     only = set(sys.argv[1:])
-    names = [n for n, s in QUERIES.items() if s.driver and (not only or n in only)]
+    unknown = sorted(n for n in only if n not in QUERIES)
+    if unknown:
+        raise SystemExit(f"unknown registry entries: {unknown}")
+    names = [n for n, s in QUERIES.items()
+             if (n in only if only else s.driver)]
     results: dict[str, dict] = {}
     failures: list[str] = []
     for name in names:
         spec = QUERIES[name]
         t0 = time.perf_counter()
         try:
-            sdf = spec.fn(spark, SF1_DIR)
+            # The two transitive collapses PERCOLATE at 10x (the sweep's
+            # own r13 finding) and since r14 their default form refuses a
+            # percolated graph (PercolatedGraphError). The sweep verifies
+            # the blind collapse MACHINERY against the union-find oracle,
+            # so it opts out of the policy guard explicitly.
+            if name in PY_ORACLES:
+                sdf = spec.fn(spark, SF1_DIR, require_clean=False)
+            else:
+                sdf = spec.fn(spark, SF1_DIR)
             srows = sdf.collect()
             cols = sorted(sdf.columns)
             s = Counter(tuple(_canon(r[c]) for c in cols) for r in srows)

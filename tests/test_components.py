@@ -172,7 +172,16 @@ def test_ensemble_collapse_joins_mixed_chain(spark, tmp_path):
         embs, "vec_id long, embedding array<float>, label int"
     ).coalesce(1).write.parquet(str(d / "embeddings.parquet"))
 
-    ens = {r.doc_id for r in dedup_ensemble_collapse(spark, str(d)).collect()}
+    # require_clean=False: a 3-of-4-doc joint cluster is 750000 ppm, so
+    # the (correct) percolation guard would refuse this constructed
+    # corpus — the guard has its own tests; this one pins union
+    # semantics.
+    ens = {
+        r.doc_id
+        for r in dedup_ensemble_collapse(
+            spark, str(d), require_clean=False
+        ).collect()
+    }
     lex = {r.doc_id for r in dedup_collapse(spark, str(d)).collect()}
     assert ens == {1, 4}  # {1,2,3} joint cluster -> survivor 1
     assert lex == {1, 3, 4}  # lexical alone cannot see 2~3
@@ -351,3 +360,156 @@ def test_semantic_guardrail_accounts_for_collapse(spark, sf_dir):
         .toString()
     )
     assert "CartesianProduct" not in plan, plan
+
+
+def test_guardrail_report_empty_and_constructed_graphs(spark):
+    """Unit drive of the shared report builder + enforcement arm on
+    constructed frames: (1) an EMPTY corpus/graph reports all-zero and
+    does not alarm (the zero-guarded DIV — Spark's DIV returns NULL and
+    DuckDB's // raises without `greatest(corpus_n, 1)`); (2) a clean
+    graph passes through; (3) a percolated graph raises
+    PercolatedGraphError naming the exact share."""
+    import pytest
+
+    from hadoop_hive_analysis_spark.operators.components import (
+        PercolatedGraphError,
+        _guardrail_report,
+        _refuse_if_percolated,
+        connected_components_bigstar,
+    )
+
+    def report(corpus_n: int, edges: list):
+        corpus = spark.createDataFrame([(corpus_n,)], "corpus_n long")
+        schema = "va long, vb long"
+        pairs = spark.createDataFrame(edges, schema) if edges else (
+            spark.createDataFrame([], schema)
+        )
+        comp = (
+            connected_components_bigstar(pairs, "va", "vb")
+            if edges
+            else spark.createDataFrame([], "node long, component long")
+        )
+        return _guardrail_report(corpus, pairs, comp).collect()[0]
+
+    r = report(0, [])
+    assert (
+        r.corpus_n,
+        r.graph_nodes,
+        r.graph_edges,
+        r.largest_share_ppm,
+        r.percolated,
+    ) == (0, 0, 0, 0, 0)
+    _refuse_if_percolated(
+        _guardrail_report(
+            spark.createDataFrame([(0,)], "corpus_n long"),
+            spark.createDataFrame([], "va long, vb long"),
+            spark.createDataFrame([], "node long, component long"),
+        ),
+        "empty",
+    )  # must NOT raise
+
+    clean = report(100, [(1, 2), (3, 4)])  # largest 2/100 = 20_000 ppm
+    assert clean.percolated == 0 and clean.largest_share_ppm == 20_000
+
+    # a 9-node chain in a 10-row corpus: 900_000 ppm >= 200_000 ppm
+    perc_edges = [(i, i + 1) for i in range(1, 9)]
+    perc = report(10, perc_edges)
+    assert perc.percolated == 1 and perc.largest_share_ppm == 900_000
+    corpus = spark.createDataFrame([(10,)], "corpus_n long")
+    pairs = spark.createDataFrame(perc_edges, "va long, vb long")
+    comp = connected_components_bigstar(pairs, "va", "vb")
+    with pytest.raises(PercolatedGraphError, match="900000 ppm"):
+        _refuse_if_percolated(_guardrail_report(corpus, pairs, comp), "t")
+
+
+def test_guardrail_empty_corpus_matches_duckdb_oracle(spark, tmp_path):
+    """The ADVICE divergence class, end to end: on an EMPTY embeddings
+    table the engine and the DuckDB oracle SQL must return the SAME
+    all-zero 1-row report (pre-guard, DuckDB // raised
+    Division-by-Zero while Spark DIV returned NULL)."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from hadoop_hive_analysis_spark.operators.components import (
+        DEDUP_SEMANTIC_GUARDRAIL_SQL,
+        dedup_semantic_guardrail,
+    )
+
+    src = pq.read_schema("/root/testdata/sf0.001/embeddings.parquet")
+    empty = src.empty_table()
+    pq.write_table(empty, str(tmp_path / "embeddings.parquet"))
+
+    srow = dedup_semantic_guardrail(spark, str(tmp_path)).collect()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    orow = con.execute(DEDUP_SEMANTIC_GUARDRAIL_SQL).fetchall()
+    assert len(srow) == 1 and len(orow) == 1
+    assert tuple(srow[0]) == tuple(orow[0]) == (0, 0, 0, 0, 0, 0, 0, 0)
+
+
+def _sf1_embeddings_dir(tmp_path_factory) -> str:
+    """Directory holding the 10x percolating embeddings table: reuse
+    the sf1 sweep's cached fixture when present (same builder), else
+    build just the embeddings table (numpy, seconds)."""
+    import os
+
+    cached = os.environ.get("HHA_SF1_DIR", "/tmp/hha_sf1")
+    f = os.path.join(cached, "embeddings.parquet")
+    try:
+        import pyarrow.parquet as pq
+
+        if pq.read_metadata(f).num_rows == 20_000:
+            return cached
+    except Exception:
+        pass
+    import scripts.sf1_window_sweep as sw
+
+    d = tmp_path_factory.mktemp("sf1emb")
+    sw._build_embeddings(str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_semantic_collapse_refuses_percolated_graph_at_10x(
+    spark, tmp_path_factory
+):
+    """THE enforcement test at the scale where it matters: on the 10x
+    fixture (SCALING.md round 13: the cos>=0.4 graph chains 19,988 of
+    20,000 vectors into one component) the default collapse must raise
+    PercolatedGraphError instead of keeping 13 vectors — and
+    require_clean=False must still expose the blind result for
+    inspection."""
+    import pytest
+
+    from hadoop_hive_analysis_spark.operators.components import (
+        PercolatedGraphError,
+        dedup_semantic_collapse,
+        dedup_semantic_guardrail,
+    )
+
+    d = _sf1_embeddings_dir(tmp_path_factory)
+    with pytest.raises(PercolatedGraphError, match="ppm"):
+        dedup_semantic_collapse(spark, d)
+    r = dedup_semantic_guardrail(spark, d).collect()[0]
+    assert r.percolated == 1 and r.corpus_n == 20_000
+    blind = dedup_semantic_collapse(spark, d, require_clean=False).count()
+    assert blind == r.corpus_n - r.would_remove  # the catastrophe, visible
+
+
+def test_ensemble_collapse_clean_pass_through(spark, sf_dir):
+    """On the base (clean) fixture the enforced default and the blind
+    form of BOTH collapses return identical survivor sets — the guard
+    must never perturb a clean collapse."""
+    from hadoop_hive_analysis_spark.operators.components import (
+        dedup_ensemble_collapse,
+        dedup_semantic_collapse,
+    )
+
+    for fn in (dedup_semantic_collapse, dedup_ensemble_collapse):
+        enforced = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        blind = sorted(
+            map(tuple, fn(spark, sf_dir, require_clean=False).collect())
+        )
+        assert enforced == blind and len(enforced) > 0
