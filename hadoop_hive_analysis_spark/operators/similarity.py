@@ -440,6 +440,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         # fallback so pathological magnitudes can't silently lose bits.
         b_max = int(np.abs(b_mat).max()) if b_mat.size else 0
         b64 = b_mat.T.astype(np.float64)
+        # Column tiling bounds the predicate's working set: untiled, the
+        # elementwise mask materializes ~5 int64/bool temporaries of
+        # shape (batch, corpus) — at 4k×20k that is >3 GB of memory
+        # traffic per batch, and the 10× wall is memory-bound there,
+        # not matmul-bound (SCALING.md rounds 13-14). A 2048-column
+        # tile keeps each temporary ≤ ~70 MB so the mask pipeline runs
+        # out of cache; the integers computed are IDENTICAL — tiling
+        # only partitions the pair space by corpus column.
+        TILE = 2048
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -448,12 +457,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             na2 = (a_mat * a_mat).sum(axis=1)
             a_max = int(np.abs(a_mat).max()) if a_mat.size else 0
             bound = a_max * b_max * a_mat.shape[1]  # exact python int
-            if bound < 2**53:
-                dots = (a_mat.astype(np.float64) @ b64).astype(np.int64)
-            elif bound < 2**63:
-                # exact but slow; unreachable for the 1e-3 quantizer
-                dots = a_mat @ b_mat.T
-            else:
+            if bound >= 2**63:
                 # int64 matmul WRAPS silently at 2^63 — never trust it
                 # past the bound; exactness is this operator's contract.
                 raise OverflowError(
@@ -461,17 +465,34 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"accumulation would wrap silently; re-quantize with "
                     f"a coarser scale before deduplicating"
                 )
-            mask = (
-                (dots > 0)
-                & (den2 * dots * dots >= num2 * np.outer(na2, nb2))
-                & (a_ids[:, None] < b_ids[None, :])
-            )
-            ai, bi = np.nonzero(mask)
+            blas = bound < 2**53
+            a64 = a_mat.astype(np.float64) if blas else None
+            # num2·na2 ≤ num2·max²·dim — same int64 headroom as the
+            # untiled num2·outer(na2, nb2) association it replaces.
+            num2_na2 = num2 * na2
+            va, vb, dq = [], [], []
+            for j0 in range(0, b_mat.shape[0], TILE):
+                j1 = min(j0 + TILE, b_mat.shape[0])
+                if blas:
+                    dots = (a64 @ b64[:, j0:j1]).astype(np.int64)
+                else:  # exact but slow; unreachable for the 1e-3 quantizer
+                    dots = a_mat @ b_mat[j0:j1].T
+                mask = (
+                    (dots > 0)
+                    & (den2 * dots * dots >= np.outer(num2_na2, nb2[j0:j1]))
+                    & (a_ids[:, None] < b_ids[None, j0:j1])
+                )
+                ai, bi = np.nonzero(mask)
+                if len(ai):
+                    va.append(a_ids[ai])
+                    vb.append(b_ids[j0 + bi])
+                    dq.append(dots[ai, bi])
+            empty = np.empty(0, dtype=np.int64)
             yield pd.DataFrame(
                 {
-                    "va": a_ids[ai],
-                    "vb": b_ids[bi],
-                    "dot_q": dots[ai, bi],
+                    "va": np.concatenate(va) if va else empty,
+                    "vb": np.concatenate(vb) if vb else empty,
+                    "dot_q": np.concatenate(dq) if dq else empty,
                 }
             )
 
