@@ -11,9 +11,12 @@ questions in one streaming pass with bounded memory:
   re-aggregatable form: per-partition/day sketches stored, unioned at
   query time instead of rescanning.
 
-Estimates are engine-specific (HLL implementations differ), so these are
-rows-only driver checks; the TESTS pin the estimates against exact counts
-with the sketches' error bounds.
+Estimates are engine-specific (HLL implementations differ), so raw
+estimate VALUES are never hashed; instead every profile emits exact
+scalars plus within-error-bound BOOLEANS the DuckDB oracle asserts as
+literal TRUE (the ``daily_distinct_users_hll`` contract, extended to
+``eda_sketch_profile`` in round 14) — a drifting sketch flips a hashed
+boolean and fails the driver row, not just a test.
 """
 
 from __future__ import annotations
@@ -24,38 +27,125 @@ from pyspark.sql import functions as F
 from ..sources.catalog import load_table
 
 
-def eda_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-pass sketch profile of lineitem: the reference's §3 EDA table,
-    scale-ready.
+# Rank-error acceptance for the quantile sketch, in ppm of n. Spark's
+# approx_percentile (KLL-style, default accuracy 10000) guarantees rank
+# error <= n/10000 = 100 ppm; 5000 ppm (0.5%) is a ~50x margin while
+# still catching a broken sketch (a uniform-random value would miss the
+# p99 band with probability ~0.99).
+PCT_RANK_EPS_PPM = 5_000
 
-    Output schema is all-scalar by contract: the driver's canonicalizer
-    hashes values column-wise and array cells don't hash, so the single
-    quantile sketch is computed once (one ``approx_percentile(…, array)``
-    aggregate) and its elements projected to three scalar columns.
+
+def eda_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass-per-scan sketch profile of lineitem: the reference's §3
+    EDA table, scale-ready — and, since round 14, ORACLE-HASHABLE via
+    the same exact+bounded-boolean contract as
+    :func:`daily_distinct_users_hll`: every emitted column is either an
+    exact scalar DuckDB reproduces (counts, distinct counts, min/max) or
+    a boolean asserting the engine-specific estimate sits inside its
+    published error bound, which the oracle asserts as literal TRUE — a
+    drifting sketch flips the hashed boolean and turns the row red.
+
+    * ``apx_*_ok``: HyperLogLog++ estimate within ``HLL_REL_BOUND`` of
+      the exact distinct count (computed in the same aggregate).
+    * ``price_p{50,95,99}_ok``: the sketched percentile value's exact
+      rank lands within ``PCT_RANK_EPS_PPM`` of its target —
+      ``rows_le·10⁶ ≥ (φ−ε)·n  ∧  rows_lt·10⁶ ≤ (φ+ε)·n``, all-integer
+      cross-multiplies (the two-sided form is tie-safe: massive ties
+      can push ``rows_le`` far above φ·n without the VALUE being wrong,
+      which is why the upper bound uses strict-less counts).
+
+    Physical shape: aggregate pass (sketches + exact counts; the exact
+    distincts are the reference's own EDA columns, not a scale
+    concession — drop them at 100 TB and keep only the booleans'
+    inputs if the corpus can't afford the distinct shuffle), then one
+    rank-count re-scan against the broadcast 1-row sketch output.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    agg = li.agg(
+    sk = li.agg(
         F.count("*").alias("n_rows"),
-        F.approx_count_distinct("l_partkey").alias("apx_parts"),
-        F.approx_count_distinct("l_suppkey").alias("apx_suppliers"),
-        F.approx_count_distinct("l_orderkey").alias("apx_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        # rsd=0.015: HLL++'s DEFAULT rsd is 0.05, which would make the
+        # 5% HLL_REL_BOUND a 1σ acceptance (observed: orderkey at 1,473
+        # distinct missed by >5% on the sf0.001 fixture); at 1.5% rsd the
+        # same bound is ≈3.3σ — the sketch still answers in one pass with
+        # bounded (larger) registers.
+        F.approx_count_distinct("l_partkey", 0.015).alias("apx_parts"),
+        F.approx_count_distinct("l_suppkey", 0.015).alias("apx_suppliers"),
+        F.approx_count_distinct("l_orderkey", 0.015).alias("apx_orders"),
         F.min("l_shipdate").alias("min_shipdate"),
         F.max("l_shipdate").alias("max_shipdate"),
         F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99))").alias(
             "pcts"
         ),
+    ).localCheckpoint(eager=False)  # 1 row; feeds rank scan AND output
+    ranks = li.select("l_extendedprice").crossJoin(
+        F.broadcast(sk.select("pcts"))
     )
-    return agg.select(
+    rank_aggs = []
+    for i, tag in enumerate(("p50", "p95", "p99")):
+        rank_aggs.append(
+            F.coalesce(
+                F.sum((F.col("l_extendedprice") <= F.col("pcts")[i]).cast("long")),
+                F.lit(0),
+            ).alias(f"le_{tag}")
+        )
+        rank_aggs.append(
+            F.coalesce(
+                F.sum((F.col("l_extendedprice") < F.col("pcts")[i]).cast("long")),
+                F.lit(0),
+            ).alias(f"lt_{tag}")
+        )
+    rk = ranks.agg(*rank_aggs)
+
+    def apx_ok(apx: str, exact: str) -> Column:
+        return (
+            F.abs(F.col(apx).cast("double") - F.col(exact))
+            <= F.col(exact) * F.lit(HLL_REL_BOUND)
+        )
+
+    def pct_ok(tag: str, phi_ppm: int) -> Column:
+        n = F.col("n_rows")
+        return (
+            F.col(f"le_{tag}") * F.lit(1_000_000)
+            >= F.lit(phi_ppm - PCT_RANK_EPS_PPM) * n
+        ) & (
+            F.col(f"lt_{tag}") * F.lit(1_000_000)
+            <= F.lit(phi_ppm + PCT_RANK_EPS_PPM) * n
+        )
+
+    return sk.crossJoin(F.broadcast(rk)).select(
         "n_rows",
-        "apx_parts",
-        "apx_suppliers",
-        "apx_orders",
+        "n_parts",
+        "n_suppliers",
+        "n_orders",
+        apx_ok("apx_parts", "n_parts").alias("apx_parts_ok"),
+        apx_ok("apx_suppliers", "n_suppliers").alias("apx_suppliers_ok"),
+        apx_ok("apx_orders", "n_orders").alias("apx_orders_ok"),
         "min_shipdate",
         "max_shipdate",
-        F.col("pcts")[0].alias("price_p50"),
-        F.col("pcts")[1].alias("price_p95"),
-        F.col("pcts")[2].alias("price_p99"),
+        pct_ok("p50", 500_000).alias("price_p50_ok"),
+        pct_ok("p95", 950_000).alias("price_p95_ok"),
+        pct_ok("p99", 990_000).alias("price_p99_ok"),
     )
+
+
+EDA_SKETCH_PROFILE_SQL = """
+    SELECT count(*) AS n_rows,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_suppliers,
+           count(DISTINCT l_orderkey) AS n_orders,
+           TRUE AS apx_parts_ok,
+           TRUE AS apx_suppliers_ok,
+           TRUE AS apx_orders_ok,
+           min(l_shipdate) AS min_shipdate,
+           max(l_shipdate) AS max_shipdate,
+           TRUE AS price_p50_ok,
+           TRUE AS price_p95_ok,
+           TRUE AS price_p99_ok
+    FROM lineitem
+"""
 
 
 # HLL++ default lgConfigK=12 → relative std error ≈ 1.04/sqrt(4096) ≈ 1.6%;
