@@ -651,18 +651,24 @@ DUPLICATED_SPANS_TOPK_SQL = rf"""
         )
     ),
     agg AS (
+        -- lexicographic (doc_id, s) min == min of doc_id·2^20 + s: s is a
+        -- token index (corpus docs are << 2^20 tokens), so the packed
+        -- int64 orders exactly like the pair. Spark's min(struct) twin
+        -- stays a struct; this SCALAR encoding exists because DuckDB's
+        -- min(struct_pack(...)) over ~10 M single-row groups at the 10x
+        -- fixture degraded to a single-threaded >80 GB grind (observed
+        -- r14) where three plain scalar aggregates stream in seconds.
         SELECT span_h,
                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
                count(*) AS n_occurrences,
-               -- lexicographic struct-min == Spark's min(struct(doc_id, s))
-               min(struct_pack(doc_id := doc_id, s := s)) AS ex
+               min(doc_id * 1048576 + s) AS ex
         FROM sp
         GROUP BY span_h
         HAVING count(DISTINCT doc_id) > 1
     )
     SELECT span_h, n_docs, n_occurrences,
-           ex.doc_id AS example_doc,
-           CAST(ex.s AS BIGINT) AS example_start
+           ex // 1048576 AS example_doc,
+           CAST(ex % 1048576 AS BIGINT) AS example_start
     FROM agg
     ORDER BY n_docs DESC, n_occurrences DESC, span_h ASC
     LIMIT {TOPK_SPANS}
