@@ -286,7 +286,9 @@ DEDUP_CLUSTERS_SQL = f"""
 """
 
 
-def dedup_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_collapse(
+    spark: SparkSession, sf_dir: str, require_clean: bool = True
+) -> DataFrame:
     """The end-to-end dedup DELIVERABLE: the surviving corpus after
     near-dup collapse — every document that is either untouched by any
     dup cluster or its cluster's canonical representative (min doc_id;
@@ -300,16 +302,36 @@ def dedup_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus is scanned once, never shuffled. This is the operator a
     reference user actually schedules; the pair/cluster queries upstream
     are its observability surface.
+
+    ``require_clean`` (the default) enforces the percolation guardrail
+    over the lexical pair graph before any deletion, the same contract
+    as :func:`dedup_semantic_collapse`. A Jaccard ≥ 0.8 MinHash graph
+    sits far from percolation on real corpora (measured: no giant
+    component at the 10× fixture), so the guard is expected to pass —
+    which is exactly why it should be on: the alarm only matters on the
+    day a threshold change or a boilerplate flood makes the graph
+    collapse-hostile.
     """
     from ..sources.catalog import load_table
 
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "n_chars"
     )
-    losers = (
-        dedup_clusters_bigstar(spark, sf_dir)
-        .filter(~F.col("is_canonical"))
-        .select("doc_id")
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    comp = connected_components_bigstar(pairs, "u", "v")
+    if require_clean:
+        corpus = load_table(spark, sf_dir, "documents").agg(
+            F.count("*").alias("corpus_n")
+        )
+        _refuse_if_percolated(
+            _guardrail_report(corpus, pairs, comp), "dedup_collapse"
+        )
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
     )
     return d.join(F.broadcast(losers), "doc_id", "left_anti")
 

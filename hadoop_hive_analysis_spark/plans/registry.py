@@ -491,6 +491,22 @@ _R14_DEMOTE = (
 )
 
 
+# r15 staging: ROTATION_r15_PLAN.json (19/19) — promotes are ALL 19
+# oracle-backed entries last hashed in r11 (the r12-demoted paragraph/
+# editdistance/html/embedding-replay/events-analytics pack); after the
+# swap no oracle-backed entry is more than three rounds unhashed. The 3
+# rows-only-by-design entries stay rested (r12 decision: keeps the
+# window 50/50 hash-checkable; bit-exact pytest differentials carry
+# them). Demotes: 19 of the 25 double-fresh r13 promotes (hashed r13
+# AND r14); kept scored: dedup_clusters_bigstar (only star-contraction
+# CC carrier), the five *_sql duals (two hashes — let entry point 2
+# accumulate a third), span_scrub (ObjectHashAggregate carrier),
+# dedup_embedding_lsh (only FlatMapGroupsInPandas carrier), the
+# harness/FullOuter keepers, the 4-query parity pack. r15: apply as
+# _R15_PROMOTE/_R15_DEMOTE, re-simulate if the registry changed, full
+# 50-entry bare sweep, update docs pins.
+
+
 def _rotate(q: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
     from dataclasses import replace
 

@@ -182,7 +182,10 @@ def test_ensemble_collapse_joins_mixed_chain(spark, tmp_path):
             spark, str(d), require_clean=False
         ).collect()
     }
-    lex = {r.doc_id for r in dedup_collapse(spark, str(d)).collect()}
+    lex = {
+        r.doc_id
+        for r in dedup_collapse(spark, str(d), require_clean=False).collect()
+    }
     assert ens == {1, 4}  # {1,2,3} joint cluster -> survivor 1
     assert lex == {1, 3, 4}  # lexical alone cannot see 2~3
 
@@ -503,11 +506,12 @@ def test_ensemble_collapse_clean_pass_through(spark, sf_dir):
     form of BOTH collapses return identical survivor sets — the guard
     must never perturb a clean collapse."""
     from hadoop_hive_analysis_spark.operators.components import (
+        dedup_collapse,
         dedup_ensemble_collapse,
         dedup_semantic_collapse,
     )
 
-    for fn in (dedup_semantic_collapse, dedup_ensemble_collapse):
+    for fn in (dedup_collapse, dedup_semantic_collapse, dedup_ensemble_collapse):
         enforced = sorted(map(tuple, fn(spark, sf_dir).collect()))
         blind = sorted(
             map(tuple, fn(spark, sf_dir, require_clean=False).collect())
