@@ -61,11 +61,16 @@ def eda_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank-count re-scan against the broadcast 1-row sketch output.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    # The sketch aggregate and the EXACT-distinct aggregate run as two
+    # separate 1-row passes joined by broadcast, never one combined agg:
+    # countDistinct forces an Expand (input ×4), and dragging the HLL /
+    # percentile IMPERATIVE buffers through that expanded sort-fallback
+    # aggregate serializes a multi-KB buffer per expanded row — measured
+    # 18 s (vs 1.2 s + 2.5 s split) at sf0.1 and a heap OOM on the
+    # bench's default-heap session with 16 tasks. Two scans of a
+    # columnar table are cheaper than one pathological aggregate.
     sk = li.agg(
         F.count("*").alias("n_rows"),
-        F.countDistinct("l_partkey").alias("n_parts"),
-        F.countDistinct("l_suppkey").alias("n_suppliers"),
-        F.countDistinct("l_orderkey").alias("n_orders"),
         # rsd=0.015: HLL++'s DEFAULT rsd is 0.05, which would make the
         # 5% HLL_REL_BOUND a 1σ acceptance (observed: orderkey at 1,473
         # distinct missed by >5% on the sf0.001 fixture); at 1.5% rsd the
@@ -80,6 +85,11 @@ def eda_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pcts"
         ),
     ).localCheckpoint(eager=False)  # 1 row; feeds rank scan AND output
+    ex = li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
     ranks = li.select("l_extendedprice").crossJoin(
         F.broadcast(sk.select("pcts"))
     )
@@ -115,7 +125,7 @@ def eda_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(phi_ppm + PCT_RANK_EPS_PPM) * n
         )
 
-    return sk.crossJoin(F.broadcast(rk)).select(
+    return sk.crossJoin(F.broadcast(ex)).crossJoin(F.broadcast(rk)).select(
         "n_rows",
         "n_parts",
         "n_suppliers",
