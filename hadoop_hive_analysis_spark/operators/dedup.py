@@ -71,7 +71,15 @@ _SHINGLE_SQL = r"""
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from ..sources.catalog import spread_small_scan
+
+    # spread BEFORE the explode: the shingle transform multiplies each
+    # row's CPU ~50x, and a small single-row-group documents file scans
+    # as 1-2 partitions (see spread_small_scan) — measured 9 s -> <2 s
+    # for the sf1 shingle pass.
+    d = spread_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     return with_shingles(d, "text", 3).select("doc_id", "shingle")
 
 
@@ -490,9 +498,14 @@ def _span_hashes(
     from ..functions.text import tokens
 
     if toks_df is None:
-        toks_df = load_table(spark, sf_dir, "documents").select(
-            "doc_id", tokens("text").alias("toks")
-        )
+        from ..sources.catalog import spread_small_scan
+
+        # spread before tokenize+span explode (CPU ×tokens per row) — the
+        # small-scan regime note in spread_small_scan applies here too;
+        # spread the raw text so the shuffle moves strings, not arrays
+        toks_df = spread_small_scan(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        ).select("doc_id", tokens("text").alias("toks"))
     d = toks_df.filter(F.size("toks") >= SPAN_TOKENS)
     return (
         d.select(
@@ -708,9 +721,15 @@ def span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`_scrub_against_starts`).
     """
     from ..functions.text import tokens
+    from ..sources.catalog import spread_small_scan
 
+    # spread before tokenize: the checkpointed token table feeds the span
+    # explode AND the scrub pass, so a 1-2-partition small scan would pin
+    # both CPU-heavy consumers (see spread_small_scan)
     d = (
-        load_table(spark, sf_dir, "documents")
+        spread_small_scan(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        )
         .select("doc_id", tokens("text").alias("toks"))
         .localCheckpoint(eager=False)
     )

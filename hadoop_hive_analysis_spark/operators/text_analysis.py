@@ -170,7 +170,12 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rabin-Karp signal), and a min-shingle-hash (the 1-permutation MinHash
     / winnowing signal). Docs shorter than 3 tokens get min_shingle_hash
     NULL via left join."""
-    d = load_table(spark, sf_dir, "documents")
+    from ..sources.catalog import spread_small_scan
+
+    # Per-doc rolling hash + shingle explode are CPU-heavy row expanders;
+    # a small single-row-group documents scan would pin them to 1-2
+    # cores (see spread_small_scan) — measured 14.4 s -> ~4 s at sf1.
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
     base = d.select(
         "doc_id",
         F.md5("text").alias("md5_hex"),

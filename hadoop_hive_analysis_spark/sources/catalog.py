@@ -114,6 +114,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _read_with_declared(spark, path, declared)
 
 
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Round-robin-repartition ``df`` up to the session's default
+    parallelism — ONLY when the scan cannot split that far on its own.
+
+    When to use: in front of an expensive row-expanding transform
+    (shingle explode, span explode, per-doc hashing) reading a SMALL
+    parquet table. Parquet splits at row-group granularity, so a
+    few-MB single-row-group file scans as 1-2 partitions no matter what
+    ``spark.sql.files.*`` says — and a transform that multiplies each
+    row's CPU 50× then runs on 2 of 32 cores (measured: the sf1
+    documents table scanned as 2 partitions and the 3-gram explode ran
+    9 s where the tuned shuffle takes <1 s to spread it).
+
+    When NOT to use: large multi-file tables — the gate below makes it
+    a no-op there, because forcing a shuffle of a table that already
+    scans wide would move data to rebalance nothing. At 100 TB the
+    corpus arrives in thousands of row groups and this function never
+    fires; it exists for the small-file long-document regime.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def events_partitioned_path(spark: SparkSession, sf_dir: str) -> str:
     """Day-partitioned parquet layout of the events table, built once per
     ``sf_dir`` and cached under the system temp dir.
