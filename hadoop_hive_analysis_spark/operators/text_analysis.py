@@ -25,7 +25,7 @@ from ..functions.text import (
     tokens,
     with_shingles,
 )
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, spread_small_scan
 
 
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -170,8 +170,6 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rabin-Karp signal), and a min-shingle-hash (the 1-permutation MinHash
     / winnowing signal). Docs shorter than 3 tokens get min_shingle_hash
     NULL via left join."""
-    from ..sources.catalog import spread_small_scan
-
     # Per-doc rolling hash + shingle explode are CPU-heavy row expanders;
     # a small single-row-group documents scan would pin them to 1-2
     # cores (see spread_small_scan) — measured 14.4 s -> ~4 s at sf1.
@@ -256,7 +254,12 @@ def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines); docs with <2 tokens carry a NULL bigram share and
     are kept on the unigram signal alone.
     """
-    d = load_table(spark, sf_dir, "documents").withColumn("t", tokens("text"))
+    # spread_small_scan: the run-length/bigram folds are per-row CPU ×
+    # tokens inside the scan stage — a 1-2-partition small scan would
+    # pin them (measured 7.3 s at the 10× fixture); no-op on wide scans
+    d = spread_small_scan(
+        load_table(spark, sf_dir, "documents")
+    ).withColumn("t", tokens("text"))
     top_uni = F.expr(_max_eq_run("t")) / F.size("t")
     bigrams = shingles("t", 2)
     top_bi = F.when(

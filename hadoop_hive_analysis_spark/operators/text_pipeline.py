@@ -94,7 +94,12 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shingles and are excluded (mirrored in the oracle). ``flagged``
     uses an exact integer cross-multiplied threshold (≥ 1/2).
     """
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from ..sources.catalog import spread_small_scan
+
+    # spread: both branches explode 3-gram shingles (see spread_small_scan)
+    d = spread_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     bench_pred = F.col("doc_id") % BENCH_MOD == 0
     # corpus_sh feeds two branches (per-doc totals + the broadcast-probe
     # hit counts); materialize it so the corpus shingle explode runs once
@@ -311,7 +316,11 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     tree; `tests/test_text_pipeline.py` additionally proves the redaction
     behavior on constructed rows against DuckDB.
     """
-    d = load_table(spark, sf_dir, "documents")
+    from ..sources.catalog import spread_small_scan
+
+    # spread: the per-pattern regexp_count + redact chain is per-row
+    # regex CPU inside the scan stage (see spread_small_scan)
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
     # Column-typed patterns (F.lit) — embedding them in a SQL string
     # literal would re-interpret backslashes (\b, \.) on the Spark side.
     counts = [
@@ -494,9 +503,14 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import LANG_MARKERS, marker_score, shingles
     from .text_analysis import TOP_BIGRAM_MAX, TOP_UNIGRAM_MAX, _max_eq_run
 
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text", "lang", tokens("text").alias("t")
-    )
+    from ..sources.catalog import spread_small_scan
+
+    # spread: every stage boolean is per-row token/regex CPU in the scan
+    # stage (see spread_small_scan); the funnel agg itself stays 5
+    # counters per task
+    d = spread_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    ).select("doc_id", "text", "lang", tokens("text").alias("t"))
     d = d.withColumn("b", shingles("t", 2))
 
     langs = list(LANG_MARKERS)
