@@ -49,7 +49,15 @@ _QUANT_SQL = (
 
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    from ..sources.catalog import spread_small_scan
+
+    # spread before quantizing: a single-row-group embeddings file scans
+    # as ONE partition (row-group granularity), which would pin every
+    # downstream vector pipeline — the cosine mapInPandas batch loop,
+    # the LSH band matmul, the quantize fold itself — to one of 32
+    # cores (measured: the 10× cosine ran 25 s single-core, ~5 s
+    # spread). No-op on wide scans; see spread_small_scan.
+    emb = spread_small_scan(load_table(spark, sf_dir, "embeddings"))
     return emb.select("vec_id", F.expr(_QUANT).alias("q"))
 
 
