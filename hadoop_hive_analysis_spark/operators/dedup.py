@@ -650,6 +650,18 @@ def duplicated_spans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The guarded packed-int64 lexicographic argmin over (doc_id, s). Named so
+# the guard's failure path is unit-testable WITHOUT generating a >=2^20-token
+# document through the full span pipeline (the unnest would carry the whole
+# token list per row — quadratic). Preconditions: s < 2^20, doc_id < 2^43.
+PACKED_ARGMIN_SQL = (
+    "min(CASE WHEN s >= 1048576 OR doc_id >= 8796093022208 "
+    "THEN CAST(error('duplicated_spans_topk oracle: span start s >= 2^20 "
+    "or doc_id >= 2^43 violates the packed-int64 argmin encoding "
+    "(doc_id*2^20 + s); widen the packing or revert to min(struct_pack)') "
+    "AS BIGINT) ELSE doc_id * 1048576 + s END)"
+)
+
 DUPLICATED_SPANS_TOPK_SQL = rf"""
     WITH toks AS (
         SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
@@ -671,10 +683,14 @@ DUPLICATED_SPANS_TOPK_SQL = rf"""
         -- min(struct_pack(...)) over ~10 M single-row groups at the 10x
         -- fixture degraded to a single-threaded >80 GB grind (observed
         -- r14) where three plain scalar aggregates stream in seconds.
+        -- The CASE guards the encoding's preconditions AT the packing
+        -- site: a >=2^20-token document (or a doc_id big enough to wrap
+        -- int64) aborts the oracle loudly instead of silently ordering
+        -- wrong and surfacing as an inexplicable hash mismatch.
         SELECT span_h,
                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
                count(*) AS n_occurrences,
-               min(doc_id * 1048576 + s) AS ex
+               {PACKED_ARGMIN_SQL} AS ex
         FROM sp
         GROUP BY span_h
         HAVING count(DISTINCT doc_id) > 1

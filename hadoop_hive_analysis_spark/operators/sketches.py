@@ -110,6 +110,16 @@ def eda_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     rk = ranks.agg(*rank_aggs)
 
     def apx_ok(apx: str, exact: str) -> Column:
+        # ~3.3σ acceptance: rsd=0.015 against HLL_REL_BOUND=0.05. HLL is
+        # DETERMINISTIC per dataset, so an unlucky corpus at a NEW scale
+        # can sit outside the bound permanently (a persistently red
+        # hashed row, not a flake). Remediation if that happens (ADVICE
+        # r14): first lower rsd at the approx_count_distinct call sites
+        # above (cost: a wider sketch, still KBs), else widen
+        # HLL_REL_BOUND. To diagnose a flipped boolean, select the raw
+        # ``apx_*`` columns off ``sk`` next to the exact ``n_*`` — they
+        # can't ship in the driver row itself because the oracle cannot
+        # reproduce a JVM HLL estimate, only bound it.
         return (
             F.abs(F.col(apx).cast("double") - F.col(exact))
             <= F.col(exact) * F.lit(HLL_REL_BOUND)
@@ -160,7 +170,11 @@ EDA_SKETCH_PROFILE_SQL = """
 
 # HLL++ default lgConfigK=12 → relative std error ≈ 1.04/sqrt(4096) ≈ 1.6%;
 # 5% is a ≈3σ acceptance bound, and small daily cardinalities sit in the
-# sketch's exact sparse mode anyway.
+# sketch's exact sparse mode anyway. HLL is deterministic per dataset, so
+# a bound miss at a new scale is PERSISTENT, not flaky — remediation is to
+# widen the sketch (lower rsd / raise lgConfigK at the call site), or as a
+# last resort widen this bound; diagnose by selecting the raw estimate
+# next to the exact count (see apx_ok in eda_sketch_profile).
 HLL_REL_BOUND = 0.05
 
 

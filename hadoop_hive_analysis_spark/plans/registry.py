@@ -491,20 +491,74 @@ _R14_DEMOTE = (
 )
 
 
-# r15 staging: ROTATION_r15_PLAN.json (19/19) — promotes are ALL 19
-# oracle-backed entries last hashed in r11 (the r12-demoted paragraph/
-# editdistance/html/embedding-replay/events-analytics pack); after the
-# swap no oracle-backed entry is more than three rounds unhashed. The 3
+# r15 rotation — executes the AMENDED ROTATION_r15_PLAN.json (20/20;
+# judge r14 items 1-2). Promotes: the 19 oracle-backed entries last
+# hashed in r11 (the r12-demoted paragraph/editdistance/html/
+# embedding-replay/events-analytics pack) PLUS dedup_semantic_guardrail
+# — never driver-hashed, and since r14 it gates every collapse, so the
+# operator that refuses deletions gets its first driver hash. The r14
+# staging note's claim that this swap leaves nothing >3 rounds unhashed
+# was WRONG (judge r14 finding): a 30-entry oracle-backed cohort is at
+# r7-r9 and 7 *_sql duals at r1 — all oracle-checked on every pytest
+# run (tests/test_oracle_parity.py), and ROTATION_r16_PLAN.json stages
+# the drain (r7-ancients + the q1b/q2 duals first). The 3
 # rows-only-by-design entries stay rested (r12 decision: keeps the
-# window 50/50 hash-checkable; bit-exact pytest differentials carry
-# them). Demotes: 19 of the 25 double-fresh r13 promotes (hashed r13
-# AND r14); kept scored: dedup_clusters_bigstar (only star-contraction
-# CC carrier), the five *_sql duals (two hashes — let entry point 2
-# accumulate a third), span_scrub (ObjectHashAggregate carrier),
-# dedup_embedding_lsh (only FlatMapGroupsInPandas carrier), the
-# harness/FullOuter keepers, the 4-query parity pack. r15: apply as
-# _R15_PROMOTE/_R15_DEMOTE, re-simulate if the registry changed, full
-# 50-entry bare sweep, update docs pins.
+# window 50/50 hash-checkable). Demotes: 19 of the 25 double-fresh r13
+# promotes (hashed green in BOTH r13 and r14) plus semi_join_customers,
+# whose full signature {BroadcastHashJoin, join:LeftSemi} is a strict
+# subset of the kept-scored corpus_clean (per-entry signature scan) —
+# it funds the guardrail slot. Kept scored: dedup_clusters_bigstar
+# (only star-contraction CC carrier), cube_orders_sql (entry point 2's
+# scored row + Expand), span_scrub (ObjectHashAggregate),
+# dedup_embedding_lsh (only FlatMapGroupsInPandas carrier),
+# setop_nations (LeftSemi + Generate), corpus_clean (LeftAnti+LeftSemi),
+# the harness/FullOuter keepers, the 4-query parity pack. Simulated
+# (zero shapes lost, gains harness:embedding/harness:events) and all
+# 20 promotes bare-swept 0/20 at sf0.01 before applying.
+_R15_PROMOTE = (
+    "corpus_snapshot_diff",
+    "dedup_paragraphs",
+    "paragraph_scrub",
+    "dedup_editdistance",
+    "doc_html_extract",
+    "embedding_centroid_replay",
+    "embedding_int8_quantize",
+    "events_audience_overlap",
+    "events_click_purchase_join",
+    "events_conversion_funnel",
+    "events_day_bounded_agg",
+    "events_key_skew_profile",
+    "events_markov_transitions",
+    "events_null_profile",
+    "events_ohlc_bars",
+    "events_robust_outliers",
+    "events_rolling_stats",
+    "events_stream_enrich_replay",
+    "events_value_histogram",
+    "dedup_semantic_guardrail",
+)
+_R15_DEMOTE = (
+    "dedup_embedding_cosine",
+    "q1a_via_ddl_catalog",
+    "window_rank_orders",
+    "rollup_lineitem",
+    "brand_revenue",
+    "events_top3_by_hotkey_salted",
+    "multimodal_meta",
+    "events_tumbling_window",
+    "shipping_priority",
+    "forecast_revenue",
+    "events_props_extract",
+    "ann_lsh_topk",
+    "dedup_simhash",
+    "doc_chunks",
+    "train_val_split",
+    "q1a_top_suppliers_by_revenue_sql",
+    "q1c_top_dates_by_revenue_sql",
+    "rollup_lineitem_sql",
+    "revenue_by_region_sql",
+    "semi_join_customers",
+)
 
 
 def _rotate(q: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
@@ -516,6 +570,7 @@ def _rotate(q: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
         (_R12_PROMOTE, _R12_DEMOTE),
         (_R13_PROMOTE, _R13_DEMOTE),
         (_R14_PROMOTE, _R14_DEMOTE),
+        (_R15_PROMOTE, _R15_DEMOTE),
     ):
         for name in promote:
             if q[name].driver:

@@ -114,6 +114,47 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _read_with_declared(spark, path, declared)
 
 
+def _byte_size(v: str) -> int:
+    """Parse a Spark byte-size conf string ('128MB', '4m', '1048576b',
+    plain digits) — the subset Spark's JavaUtils.byteStringAsBytes
+    accepts that file confs actually use."""
+    s = str(v).strip().lower()
+    for suffix, mult in (
+        ("pb", 1 << 50), ("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20),
+        ("kb", 1 << 10), ("p", 1 << 50), ("t", 1 << 40), ("g", 1 << 30),
+        ("m", 1 << 20), ("k", 1 << 10), ("b", 1),
+    ):
+        if s.endswith(suffix):
+            return int(float(s[: -len(suffix)]) * mult)
+    return int(s)
+
+
+# verdict cache: (sorted (path,size,mtime_ns) triples, target, confs) ->
+# bool. File stats key the entries, so a regenerated fixture (driver
+# rewrites parquet between rounds) invalidates naturally — same pattern
+# as events_partitioned_path's cache tag.
+_SPREAD_VERDICTS: dict[tuple, bool] = {}
+
+
+def _scan_parallelism(files: list[str]) -> tuple[tuple, int, int]:
+    """(stat key, total row groups, total bytes) from parquet footers.
+
+    Footer reads are metadata-only (no row-group IO) and the result is
+    keyed by (path, size, mtime) upstream, so each distinct file is
+    touched once per process regardless of how many operators scan it.
+    """
+    import pyarrow.parquet as pq
+
+    key, groups, total = [], 0, 0
+    for uri in sorted(files):
+        path = uri[7:] if uri.startswith("file://") else uri
+        st = os.stat(path)
+        key.append((path, st.st_size, st.st_mtime_ns))
+        groups += pq.ParquetFile(path).metadata.num_row_groups
+        total += st.st_size
+    return tuple(key), groups, total
+
+
 def spread_small_scan(df: DataFrame) -> DataFrame:
     """Round-robin-repartition ``df`` up to the session's default
     parallelism — ONLY when the scan cannot split that far on its own.
@@ -132,12 +173,51 @@ def spread_small_scan(df: DataFrame) -> DataFrame:
     scans wide would move data to rebalance nothing. At 100 TB the
     corpus arrives in thousands of row groups and this function never
     fires; it exists for the small-file long-document regime.
+
+    The gate is STATIC (r15, ADVICE): achievable scan parallelism is
+    estimated from parquet footers as ``min(total row groups,
+    ceil(totalBytes / maxSplitBytes))`` with Spark's own maxSplitBytes
+    formula (FilePartition.maxSplitBytes), memoized per (file stats,
+    confs, target). The previous ``df.rdd.getNumPartitions()`` probe
+    compiled a separate non-AQE physical plan on EVERY operator call —
+    and counted empty splits, so a single-row-group 128 MB file read as
+    "32 partitions" while every row sat in one task. Row groups bound
+    real parallelism from above; the static estimate is both cheaper
+    and closer to what the scan actually does.
     """
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+        if not files:
+            raise ValueError("no file scan under this plan")
+        stat_key, row_groups, total_bytes = _scan_parallelism(files)
+    except Exception:
+        # Non-file sources (in-memory test frames, ExistingRDD) or
+        # unreadable footers: fall back to the dynamic probe.
+        if df.rdd.getNumPartitions() < target:
+            return df.repartition(target)
+        return df
+
+    max_part = _byte_size(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
+    )
+    open_cost = _byte_size(
+        spark.conf.get("spark.sql.files.openCostInBytes", "4MB")
+    )
+    key = (stat_key, target, max_part, open_cost)
+    verdict = _SPREAD_VERDICTS.get(key)
+    if verdict is None:
+        # FilePartition.maxSplitBytes (Spark source, public): splits are
+        # min(maxPartitionBytes, max(openCost, bytesPerCore)) wide, and a
+        # split does useful work only if a row-group midpoint lands in it.
+        padded = total_bytes + len(files) * open_cost
+        bytes_per_core = padded // max(target, 1)
+        max_split = min(max_part, max(open_cost, bytes_per_core))
+        splits = max(1, -(-padded // max(max_split, 1)))  # ceil
+        verdict = min(row_groups, splits) < target
+        _SPREAD_VERDICTS[key] = verdict
+    return df.repartition(target) if verdict else df
 
 
 def events_partitioned_path(spark: SparkSession, sf_dir: str) -> str:
