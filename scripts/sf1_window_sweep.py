@@ -41,7 +41,7 @@ pure engine differential at 10x cardinality.
 Usage:
     python scripts/sf1_window_sweep.py [names...]   # default: all 50
 Env: HHA_SF1_DIR (default /tmp/hha_sf1), HHA_SCALE_HEAP (default 12g).
-Writes SF1_SWEEP_r14.json next to the repo root; exit code = failures.
+Writes SF1_SWEEP_r15.json next to the repo root (bump per round); exit code = failures.
 """
 
 from __future__ import annotations
@@ -410,7 +410,7 @@ def main() -> int:
         "results": results,
     }
     if not only:  # partial reruns must not overwrite the full artifact
-        with open(os.path.join(REPO, "SF1_SWEEP_r14.json"), "w") as f:
+        with open(os.path.join(REPO, "SF1_SWEEP_r15.json"), "w") as f:
             json.dump(out, f, indent=1, sort_keys=True)
     print(f"\n{len(failures)} failures of {len(names)}", flush=True)
     if failures:
