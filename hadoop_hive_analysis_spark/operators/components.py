@@ -24,6 +24,7 @@ the declarative twin of the same fixpoint.
 
 from __future__ import annotations
 
+from ..session import CKPT_LEVEL
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -209,13 +210,13 @@ def connected_components_bigstar(
         edges.select(F.col(src).alias("eu"), F.col(dst).alias("ev"))
         .filter(F.col("eu") != F.col("ev"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     )
     n_cur = cur.count()
     if n_cur <= small_graph_cap:
         return _components_driver_side(cur)
     for _ in range(MAX_ITERATIONS):
-        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=False)
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
         # Exact set equality in one anti-join: both sides are distinct, so
         # equal counts + empty (nxt \ cur) ⇒ equal sets; the Python `or`
         # short-circuits, so the except job only runs once counts agree.
@@ -320,7 +321,7 @@ def dedup_collapse(
     pairs = (
         dedup_minhash_lsh(spark, sf_dir)
         .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     )
     comp = connected_components_bigstar(pairs, "u", "v")
     if require_clean:
@@ -400,7 +401,7 @@ def dedup_semantic_collapse(
     # One pair materialization feeds CC and (when enforcing) the
     # guardrail's edge count — the dual-consumer re-execution class
     # fixed in r10.
-    pairs = pairs.localCheckpoint(eager=False)
+    pairs = pairs.localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     comp = connected_components_bigstar(pairs, "va", "vb")
     if require_clean:
         corpus = load_table(spark, sf_dir, "embeddings").agg(
@@ -485,7 +486,7 @@ def dedup_ensemble_collapse(
     sem = dedup_embedding_lsh(spark, sf_dir).select(
         F.col("va").alias("u"), F.col("vb").alias("v")
     )
-    pairs = lex.unionByName(sem).distinct().localCheckpoint(eager=False)
+    pairs = lex.unionByName(sem).distinct().localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     comp = connected_components_bigstar(pairs, "u", "v")
     if require_clean:
         corpus = load_table(spark, sf_dir, "documents").agg(
@@ -658,7 +659,7 @@ def dedup_semantic_guardrail(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_embedding_lsh(spark, sf_dir).select("va", "vb")
     # One pair materialization: edges feed BOTH the edge count and the
     # CC loop (the dual-consumer re-execution class fixed in r10).
-    pairs = pairs.localCheckpoint(eager=False)
+    pairs = pairs.localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     comp = connected_components_bigstar(pairs, "va", "vb")
     return _guardrail_report(corpus, pairs, comp)
 

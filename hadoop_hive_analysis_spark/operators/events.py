@@ -16,6 +16,7 @@ Determinism:
 
 from __future__ import annotations
 
+from ..session import CKPT_LEVEL
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -611,7 +612,7 @@ def events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
         .select("event_type", "event_id", F.expr(_VAL_CENTS).alias("cents"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     )
     n = c.groupBy("event_type").agg(F.count("*").alias("n"))
     wv = Window.partitionBy("event_type").orderBy("cents", "event_id")

@@ -45,6 +45,7 @@ the corpus.
 
 from __future__ import annotations
 
+from ..session import CKPT_LEVEL
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -86,7 +87,7 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     ex = d.select(
         "doc_id", F.explode(tokens("text")).alias("tok")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
 
     dl = ex.groupBy("doc_id").agg(F.count("*").alias("dl"))
     totals = dl.agg(

@@ -13,6 +13,7 @@ frames) are materialized once and reused.
 
 from __future__ import annotations
 
+from ..session import CKPT_LEVEL
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -341,7 +342,7 @@ def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = (
         toks.groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     )
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = tf.join(df, "term").withColumn(
@@ -415,7 +416,7 @@ def doc_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", F.explode(tokens("text")).alias("tok"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     )
     counts = ex.groupBy("tok").agg(F.count("*").alias("c"))
     return (
@@ -633,7 +634,7 @@ def source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = (
         ex.groupBy("source", "tok")
         .agg(F.count("*").alias("c_st"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     )
     tot_t = st.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
     tot_s = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
@@ -744,7 +745,7 @@ def doc_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bg"),
         )
         .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     )
     c12 = ex.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     c1 = ex.groupBy("w1").agg(F.count("*").alias("c1"))
@@ -913,7 +914,7 @@ def doc_quality_ecdf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(ECDF_BINS - 1),
             ).alias("bin"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     )
     hist = scored.groupBy("bin").agg(F.count("*").alias("n_bin"))
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
@@ -1084,7 +1085,7 @@ def corpus_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bg")
         )
         .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     )
     uni = ex.select(F.col("w1").alias("w")).unionAll(
         ex.select(F.col("w2").alias("w"))
@@ -1256,7 +1257,7 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.dedup import _doc_shingles
 
-    sh = _doc_shingles(spark, sf_dir).localCheckpoint(eager=False)
+    sh = _doc_shingles(spark, sf_dir).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     per_doc = (
         sh.join(first, "shingle")

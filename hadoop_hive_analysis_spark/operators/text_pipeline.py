@@ -19,6 +19,7 @@ Scale shapes:
 
 from __future__ import annotations
 
+from ..session import CKPT_LEVEL
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -107,7 +108,7 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_sh = (
         with_shingles(d.filter(~bench_pred), "text")
         .select("doc_id", "shingle")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     )
     bench_sh = (
         with_shingles(d.filter(bench_pred), "text")
@@ -1049,7 +1050,7 @@ def corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(ECDF_BINS - 1),
             ).alias("qbin"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     )
     tot = scored.agg(F.sum("n_tokens").alias("total"))
     hist = scored.groupBy("qbin").agg(F.sum("n_tokens").alias("bin_tokens"))

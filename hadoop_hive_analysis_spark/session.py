@@ -15,7 +15,23 @@ from __future__ import annotations
 
 import os
 
+from pyspark import StorageLevel
 from pyspark.sql import SparkSession
+
+# Storage level for corpus-scale localCheckpoint sites (shingle / token /
+# span / posting / edge frames). SERIALIZED, not the default deserialized
+# level: per-row on-heap objects thrash the GC during downstream sorts
+# and — because localCheckpoint blocks are freed asynchronously by the
+# ContextCleaner — ACCUMULATE across queries sharing one JVM. Measured
+# twice: the r8 tfidf A/B (scripts/ab_tfidf_cosine.py — back-to-back
+# deserialized runs degrade 15.3→8.7→18.1 s in one 8 GiB JVM; serialized
+# levels them) and an r15 sf1 mini-pack A/B (6 dedup queries × 3 reps,
+# one JVM, interleaved vs the prior tree: serialized 131 s total vs
+# deserialized 158 s, worst first-rep outlier halved). Serialized blocks
+# are flat buffers ~5× smaller; MEMORY_AND_DISK spills only under
+# pressure. Deliberately-tiny checkpoints (1-row sketch rows, top-K+1
+# frames) keep the default — there is nothing to win.
+CKPT_LEVEL = StorageLevel.MEMORY_AND_DISK
 
 # Defaults chosen for the 100 TB design point, not for the local test rig:
 #  - AQE on: runtime partition coalescing, skew-join splitting, and
