@@ -41,6 +41,9 @@ pure engine differential at 10x cardinality.
 Usage:
     python scripts/sf1_window_sweep.py [names...]   # default: all 50
 Env: HHA_SF1_DIR (default /tmp/hha_sf1), HHA_SCALE_HEAP (default 12g).
+DuckDB oracle results are cached under $HHA_SF1_DIR/oracle_cache keyed
+by (sql text, fixture bytes) — see the cache block above main(); the
+Spark side always executes.
 Writes SF1_SWEEP_r15.json next to the repo root (bump per round); exit code = failures.
 """
 
@@ -278,6 +281,60 @@ PY_ORACLES = {
 }
 
 
+# --- DuckDB-oracle result cache (r15) -------------------------------
+# Oracle results are a pure function of (oracle SQL text, fixture
+# bytes), and some are brutally expensive at sf1 by design — the r15
+# sweep measured dedup_semantic_guardrail's oracle at 4097 s (the
+# engine's star-contraction answer takes 22 s; grinding the oracle is
+# the COST of checking it, not of running it). Caching the canonical
+# Counter keyed by sha256(sql) + the derived fixture's file stats makes
+# repeat sweeps on an unchanged fixture pay each oracle once per round
+# cycle instead of once per run. A cache row never masks an engine
+# regression: only the ORACLE side is cached, the Spark side always
+# executes, and any fixture or SQL change rotates the key. Results
+# carry "oracle_cached": true so an artifact's ~0 s oracle_wall is
+# self-explaining. Wipe ``$SF1_DIR/oracle_cache`` to force a recompute.
+def _fixture_stamp() -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    for t in sorted(TABLES):
+        st = os.stat(os.path.join(SF1_DIR, f"{t}.parquet"))
+        h.update(f"{t}:{st.st_mtime_ns}:{st.st_size};".encode())
+    return h.hexdigest()[:16]
+
+
+def _oracle_cache_path(name: str, sql: str, stamp: str) -> str:
+    import hashlib
+
+    d = os.path.join(SF1_DIR, "oracle_cache")
+    os.makedirs(d, exist_ok=True)
+    sig = hashlib.sha256(sql.encode()).hexdigest()[:16]
+    return os.path.join(d, f"{name}.{stamp}.{sig}.pkl")
+
+
+def _oracle_cache_load(path: str):
+    import pickle
+
+    try:
+        with open(path, "rb") as f:
+            return pickle.load(f)
+    except (OSError, pickle.PickleError, EOFError):
+        return None
+
+
+def _oracle_cache_store(path: str, payload) -> None:
+    import pickle
+
+    tmp = f"{path}.tmp.{os.getpid()}"
+    try:
+        with open(tmp, "wb") as f:
+            pickle.dump(payload, f)
+        os.replace(tmp, path)  # atomic publish, concurrent-sweep safe
+    except OSError:
+        pass  # cache is best-effort; never fail the sweep over it
+
+
 def main() -> int:
     import duckdb
 
@@ -311,6 +368,7 @@ def main() -> int:
              if (n in only if only else s.driver)]
     results: dict[str, dict] = {}
     failures: list[str] = []
+    fixture_stamp = _fixture_stamp()
     for name in names:
         spec = QUERIES[name]
         t0 = time.perf_counter()
@@ -370,19 +428,25 @@ def main() -> int:
                   flush=True)
             continue
         t1 = time.perf_counter()
-        try:
-            odf = con.execute(spec.oracle).fetch_df()
-            ocols = sorted(odf.columns)
-            o = Counter(
-                tuple(_canon(v) for v in row)
-                for row in odf[ocols].itertuples(index=False, name=None)
-            )
-        except Exception as ex:
-            failures.append(name)
-            results[name] = {"status": "oracle-error",
-                             "error": f"{type(ex).__name__}: {str(ex)[:200]}"}
-            print(f"ORACLE-ERR {name}: {results[name]['error']}", flush=True)
-            continue
+        cpath = _oracle_cache_path(name, spec.oracle, fixture_stamp)
+        cached = _oracle_cache_load(cpath)
+        if cached is not None:
+            ocols, o = cached
+        else:
+            try:
+                odf = con.execute(spec.oracle).fetch_df()
+                ocols = sorted(odf.columns)
+                o = Counter(
+                    tuple(_canon(v) for v in row)
+                    for row in odf[ocols].itertuples(index=False, name=None)
+                )
+            except Exception as ex:
+                failures.append(name)
+                results[name] = {"status": "oracle-error",
+                                 "error": f"{type(ex).__name__}: {str(ex)[:200]}"}
+                print(f"ORACLE-ERR {name}: {results[name]['error']}", flush=True)
+                continue
+            _oracle_cache_store(cpath, (ocols, o))
         owall = round(time.perf_counter() - t1, 2)
         ok = s == o and cols == ocols
         results[name] = {
@@ -391,6 +455,8 @@ def main() -> int:
             "wall": wall,
             "oracle_wall": owall,
         }
+        if cached is not None:
+            results[name]["oracle_cached"] = True
         if not ok:
             failures.append(name)
             results[name]["why"] = (
