@@ -39,6 +39,11 @@ from ..functions.hashing import (
     minhash_sql,
 )
 from ..functions.text import with_shingles
+# CKPT_LEVEL (serialized): rationale + A/B measurements at its
+# definition. This module's context: the r15 sf1 sweep read
+# dedup_editdistance at 34.4 s in-pack (50 queries, one 12 GiB JVM)
+# against 6.5 s in a fresh JVM — cross-query deserialized-block
+# accumulation, the failure mode the serialized level bounds.
 from ..session import CKPT_LEVEL
 from ..sources.catalog import load_table
 
@@ -57,14 +62,6 @@ SIMHASH_RADIUS = 3
 # overlap is pure boilerplate no longer counts as a near-dup, which is the
 # behavior a training-data pipeline wants anyway.
 STOP_SHINGLE_DF = 32
-
-# Serialized checkpoint level for this module's corpus-scale frames —
-# rationale and the two A/B measurements live at session.CKPT_LEVEL.
-# Context for the r15 one: the sf1 sweep read dedup_editdistance at
-# 34.4 s in-pack (50 queries, one 12 GiB JVM) against 6.5 s in a fresh
-# JVM — cross-query deserialized-block accumulation, the failure mode
-# the serialized level bounds.
-_CKPT_LEVEL = CKPT_LEVEL
 
 _SHINGLE_SQL = r"""
     WITH toks AS (
@@ -127,7 +124,7 @@ def _informative_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     LeftAnti / no-Window shape; :func:`dedup_ngram_jaccard` checkpoints
     the result so the cut executes once, not once per consumer branch.
     """
-    sh = _doc_shingles(spark, sf_dir).localCheckpoint(eager=False, storageLevel=_CKPT_LEVEL)
+    sh = _doc_shingles(spark, sf_dir).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     hot = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("df"))
@@ -175,7 +172,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     its logical plan stays inspectable (checkpointing replaces the plan
     with an RDD scan in the consumer).
     """
-    sh = _informative_shingles(spark, sf_dir).localCheckpoint(eager=False, storageLevel=_CKPT_LEVEL)
+    sh = _informative_shingles(spark, sf_dir).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     card = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -257,7 +254,7 @@ def minhash_pairs_from_shingles(sh: DataFrame) -> DataFrame:
             F.col("b.band").alias("band"),
             F.col("b.band_sig").alias("band_sig"),
         )
-        .localCheckpoint(eager=False, storageLevel=_CKPT_LEVEL)
+        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     )
 
     a = banded.alias("a")
@@ -311,7 +308,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
         _doc_shingles(spark, sf_dir)
         .withColumn("h31", h31(F.col("shingle")))
-        .localCheckpoint(eager=False, storageLevel=_CKPT_LEVEL)
+        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     )
     return minhash_pairs_from_shingles(sh)
 
@@ -421,7 +418,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.chunk").alias("chunk"),
             F.col("b.ckey").alias("ckey"),
         )
-        .localCheckpoint(eager=False, storageLevel=_CKPT_LEVEL)
+        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -528,7 +525,7 @@ def _span_hashes(
             ).alias("x"),
         )
         .select("doc_id", F.col("x.s").alias("s"), h64(F.col("x.span")).alias("span_h"))
-        .localCheckpoint(eager=False, storageLevel=_CKPT_LEVEL)
+        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     )
 
 
@@ -756,7 +753,7 @@ def span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             load_table(spark, sf_dir, "documents").select("doc_id", "text")
         )
         .select("doc_id", tokens("text").alias("toks"))
-        .localCheckpoint(eager=False, storageLevel=_CKPT_LEVEL)
+        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     )
     spd = _span_hashes(spark, sf_dir, toks_df=d)
     dup = (
@@ -900,7 +897,7 @@ def decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", tokens("text").alias("toks"))
-        .localCheckpoint(eager=False, storageLevel=_CKPT_LEVEL)
+        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     )
     bench_pred = F.col("doc_id") % BENCH_MOD == 0
     spd = _span_hashes(spark, sf_dir, toks_df=d)
@@ -1092,7 +1089,7 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (identical pair sets), and the pruning ratio is measured there —
     the candidate count must be strictly smaller.
     """
-    sh = _informative_shingles(spark, sf_dir).localCheckpoint(eager=False, storageLevel=_CKPT_LEVEL)
+    sh = _informative_shingles(spark, sf_dir).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     dfs = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     ranked = (
         sh.join(dfs, "shingle")
@@ -1177,7 +1174,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     division is exact-integer cross-multiplied: ix·10 ≥ 9·min(na,nb),
     so threshold membership is bit-identical across engines.
     """
-    sh = _informative_shingles(spark, sf_dir).localCheckpoint(eager=False, storageLevel=_CKPT_LEVEL)
+    sh = _informative_shingles(spark, sf_dir).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     card = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -1339,7 +1336,7 @@ def dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (doc_a, doc_b, edit_distance), pairs within the radius.
     """
-    sh = _informative_shingles(spark, sf_dir).localCheckpoint(eager=False, storageLevel=_CKPT_LEVEL)
+    sh = _informative_shingles(spark, sf_dir).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     a = sh.alias("a")
     b = sh.alias("b")
     cand = (

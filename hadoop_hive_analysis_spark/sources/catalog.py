@@ -136,21 +136,38 @@ def _byte_size(v: str) -> int:
 _SPREAD_VERDICTS: dict[tuple, bool] = {}
 
 
+# (path, size, mtime_ns) -> row-group count. Keyed on file identity so a
+# rewritten fixture invalidates naturally; on repeat calls only os.stat
+# runs per file, the footer parse happens once per distinct file version.
+_ROW_GROUP_COUNTS: dict[tuple, int] = {}
+
+
 def _scan_parallelism(files: list[str]) -> tuple[tuple, int, int]:
     """(stat key, total row groups, total bytes) from parquet footers.
 
-    Footer reads are metadata-only (no row-group IO) and the result is
-    keyed by (path, size, mtime) upstream, so each distinct file is
-    touched once per process regardless of how many operators scan it.
+    Footer reads are metadata-only (no row-group IO) and memoized per
+    (path, size, mtime) in ``_ROW_GROUP_COUNTS``, so each distinct file
+    VERSION is parsed once per process regardless of how many operators
+    scan it — repeat calls pay one os.stat per file.
     """
+    from urllib.parse import unquote
+
     import pyarrow.parquet as pq
 
     key, groups, total = [], 0, 0
     for uri in sorted(files):
-        path = uri[7:] if uri.startswith("file://") else uri
+        # inputFiles() returns percent-encoded file:// URIs — decode so
+        # paths with spaces etc. stat correctly instead of silently
+        # demoting every call to the dynamic probe fallback.
+        path = unquote(uri[7:]) if uri.startswith("file://") else unquote(uri)
         st = os.stat(path)
-        key.append((path, st.st_size, st.st_mtime_ns))
-        groups += pq.ParquetFile(path).metadata.num_row_groups
+        fkey = (path, st.st_size, st.st_mtime_ns)
+        rg = _ROW_GROUP_COUNTS.get(fkey)
+        if rg is None:
+            rg = pq.ParquetFile(path).metadata.num_row_groups
+            _ROW_GROUP_COUNTS[fkey] = rg
+        key.append(fkey)
+        groups += rg
         total += st.st_size
     return tuple(key), groups, total
 

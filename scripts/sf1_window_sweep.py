@@ -304,6 +304,17 @@ def _fixture_stamp() -> str:
     return h.hexdigest()[:16]
 
 
+def _canon_src() -> str:
+    """Cached Counters embed _canon's OUTPUT, so its source travels
+    INSIDE the payload and is validated on load: editing _canon turns
+    every stale row into a miss instead of a spurious MISMATCH against
+    old-canon oracle tuples. In the payload rather than the filename so
+    a canon edit recomputes in place instead of orphaning old files."""
+    import inspect
+
+    return inspect.getsource(_canon)
+
+
 def _oracle_cache_path(name: str, sql: str, stamp: str) -> str:
     import hashlib
 
@@ -318,9 +329,12 @@ def _oracle_cache_load(path: str):
 
     try:
         with open(path, "rb") as f:
-            return pickle.load(f)
+            payload = pickle.load(f)
     except (OSError, pickle.PickleError, EOFError):
         return None
+    if not isinstance(payload, dict) or payload.get("canon") != _canon_src():
+        return None  # stale canon (or pre-v2 row): recompute in place
+    return payload["ocols"], payload["o"]
 
 
 def _oracle_cache_store(path: str, payload) -> None:
@@ -331,8 +345,14 @@ def _oracle_cache_store(path: str, payload) -> None:
         with open(tmp, "wb") as f:
             pickle.dump(payload, f)
         os.replace(tmp, path)  # atomic publish, concurrent-sweep safe
-    except OSError:
-        pass  # cache is best-effort; never fail the sweep over it
+    except Exception:
+        # Best-effort by contract: a store failure (OSError OR a
+        # PicklingError from an exotic _canon value) must never abort a
+        # sweep whose expensive oracle already succeeded.
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
 
 
 def main() -> int:
@@ -446,7 +466,9 @@ def main() -> int:
                                  "error": f"{type(ex).__name__}: {str(ex)[:200]}"}
                 print(f"ORACLE-ERR {name}: {results[name]['error']}", flush=True)
                 continue
-            _oracle_cache_store(cpath, (ocols, o))
+            _oracle_cache_store(
+                cpath, {"canon": _canon_src(), "ocols": ocols, "o": o}
+            )
         owall = round(time.perf_counter() - t1, 2)
         ok = s == o and cols == ocols
         results[name] = {
