@@ -1,0 +1,179 @@
+#!/usr/bin/env python
+"""Driver-hash staleness report (judge r14 "What's missing" item 1).
+
+Round 14's judge recomputed, by hand, how long each oracle-backed registry
+entry had gone without a green driver hash — and found a 30-entry rested
+cohort (last hashed r7–r9) that the rotation plan's prose claim ("no entry
+more than three rounds unhashed") silently missed. This script makes that
+recomputation a one-command artifact so a rotation plan's staleness claim is
+CHECKED, not asserted:
+
+- For every registry entry, derive the last round with a green driver look
+  from the committed ``CORRECTNESS_r*.json`` history (triple-green for
+  oracle-backed entries: rows+schema+hash all true, no err; rows-only green
+  for the documented no-oracle entries: err == "no_oracle" with a row count).
+- Print the staleness histogram (entries grouped by last-green round) for
+  the oracle-backed, currently-rested population — the exact table the
+  judge rebuilt — plus never-driver-hashed entries.
+- With ``--plan ROTATION_rN_PLAN.json``: validate the swap against the live
+  registry (promotes currently rested, demotes currently scored, counts
+  equal, window stays at the 50-slot cap) and print the POST-SWAP residue
+  assuming the promotes go green in round N, so the plan's note can quote a
+  recomputable list instead of a hand-waved claim.
+
+Usage:
+    python scripts/staleness_report.py [--plan ROTATION_r16_PLAN.json]
+                                       [--json out.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _green(entry: dict) -> bool:
+    """A green driver look: triple-green oracle row, or the documented
+    rows-only contract (no_oracle + a real row count)."""
+    if entry.get("err") == "no_oracle":
+        return entry.get("spark_rows") is not None
+    return (
+        entry.get("err") in (None, "")
+        and entry.get("rows_match") is True
+        and entry.get("schema_match") is True
+        and entry.get("hash_match") is True
+    )
+
+
+def load_history() -> dict[str, int]:
+    """name -> last round with a green driver look (absent = never)."""
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1))
+        with open(path) as f:
+            data = json.load(f)
+        for name, entry in data.items():
+            if _green(entry):
+                last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--plan", help="ROTATION_rN_PLAN.json to validate")
+    ap.add_argument("--json", dest="json_out", help="write report as JSON")
+    args = ap.parse_args()
+
+    from hadoop_hive_analysis_spark.plans.registry import QUERIES
+
+    last = load_history()
+    cur_round = max(last.values())
+
+    rows = []
+    for name, spec in QUERIES.items():
+        rows.append(
+            {
+                "name": name,
+                "driver": spec.driver,
+                "oracle": spec.oracle is not None,
+                "last_green": last.get(name),
+            }
+        )
+
+    # rows-only-by-design entries (no DuckDB oracle) are outside the
+    # "oracle-backed cadence" claim rotation plans make — mark them "*"
+    rows_only = {n for n, s in QUERIES.items() if s.oracle is None}
+
+    def histogram(entries: list[dict], title: str) -> dict[str, list[str]]:
+        by_round: dict[str, list[str]] = {}
+        for r in entries:
+            key = "never" if r["last_green"] is None else f"r{r['last_green']}"
+            by_round.setdefault(key, []).append(r["name"])
+        print(f"\n== {title} ==   (* = rows-only by design, no oracle)")
+        for key in sorted(by_round, key=lambda k: (k != "never", k)):
+            names = sorted(by_round[key])
+            shown = [n + ("*" if n in rows_only else "") for n in names]
+            n_oracle = sum(1 for n in names if n not in rows_only)
+            print(
+                f"  {key:>6} ({len(names):3d}, {n_oracle:3d} oracle-backed):"
+                f" {', '.join(shown)}"
+            )
+        return by_round
+
+    print(f"registry entries: {len(rows)}; latest scored round: r{cur_round}")
+    scored = [r for r in rows if r["driver"]]
+    rested = [r for r in rows if not r["driver"]]
+    print(f"scored (driver=True): {len(scored)}; rested: {len(rested)}")
+
+    report: dict = {"latest_round": cur_round}
+    report["rested_histogram"] = histogram(
+        rested, "rested entries by last green driver look"
+    )
+    never = [r["name"] for r in rows if r["last_green"] is None]
+    report["never_hashed"] = sorted(never)
+    print(f"\nnever driver-hashed: {sorted(never) or '(none)'}")
+
+    if args.plan:
+        with open(args.plan) as f:
+            plan = json.load(f)
+        promote, demote = set(plan["promote"]), set(plan["demote"])
+        errs = []
+        unknown = (promote | demote) - set(QUERIES)
+        if unknown:
+            errs.append(f"unknown entries: {sorted(unknown)}")
+        bad_p = [n for n in promote if n in QUERIES and QUERIES[n].driver]
+        if bad_p:
+            errs.append(f"promotes already scored: {sorted(bad_p)}")
+        bad_d = [n for n in demote if n in QUERIES and not QUERIES[n].driver]
+        if bad_d:
+            errs.append(f"demotes already rested: {sorted(bad_d)}")
+        if len(promote) != len(demote):
+            errs.append(
+                f"swap not balanced: {len(promote)} promote vs "
+                f"{len(demote)} demote (window must stay at the slot cap)"
+            )
+        if errs:
+            print(f"\nPLAN {args.plan}: INVALID")
+            for e in errs:
+                print(f"  - {e}")
+            report["plan"] = {"valid": False, "errors": errs}
+        else:
+            plan_round = plan.get("round", cur_round + 1)
+            post: dict[str, int | None] = dict(last.items())
+            post_scored = (
+                {r["name"] for r in scored} - demote
+            ) | promote
+            for n in post_scored:  # assume the swap window goes green
+                post[n] = plan_round
+            residue = [
+                {"name": r["name"], "last_green": post.get(r["name"])}
+                for r in rows
+                if r["name"] not in post_scored
+            ]
+            report["plan"] = {
+                "valid": True,
+                "round": plan_round,
+                "post_swap_residue": histogram(
+                    residue, f"POST-SWAP residue if r{plan_round} goes green"
+                ),
+            }
+            print(f"\nPLAN {args.plan}: VALID (balanced {len(promote)}-swap)")
+
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(report, f, indent=1, sort_keys=True)
+        print(f"\nwrote {args.json_out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
