@@ -561,6 +561,68 @@ _R15_DEMOTE = (
 )
 
 
+# r16 rotation — executes ROTATION_r16_PLAN.json verbatim (20/20; staged
+# and simulate-validated in r15, judge r15 item 1). Promotes: the 7
+# r7-ancients, the two never-driver-hashed reference HiveQL duals
+# q1b/q2 *_sql (Software Documentation.pdf p.2,5 — the natives demote in
+# the same swap so the exact reference SQL text holds the scored slot),
+# eda_sketch_profile (last driver look r2, pre-dating its r14 oracle-hashed
+# contract), all 6 r8-rested, and 4 of the 17 r9-rested. Demotes: the 16
+# double-fresh r14 promotes (hashed green r14 AND r15), the q1b/q2 natives
+# (duals take the slots — shapes identical by construction),
+# documents_dedup_replay (harness:documents re-carried by the promoted
+# documents_neardup_replay), dedup_ngram_jaccard (signature covered by the
+# union of kept scored entries). Post-swap residue (tooled:
+# scripts/staleness_report.py, judge-verified to match exactly): 13
+# r9-rested + 5 r1 *_sql duals = 18 entries, drained by the staged r17
+# plan. Validated: zero shapes lost, harness:ann gained; all 20 promotes
+# bare-swept 0/20 at sf0.01 (r15 session log).
+_R16_PROMOTE = (
+    "anti_join_customers",
+    "doc_tfidf_topterms",
+    "embedding_group_centroid",
+    "events_sliding_window",
+    "events_value_by_user_salted",
+    "order_priority_late_ship",
+    "revenue_by_region",
+    "q1b_top_parts_by_quantity_sql",
+    "q2_supplier_revenue_rightouter_sql",
+    "eda_sketch_profile",
+    "ann_ivf_recall",
+    "ann_lsh_recall",
+    "documents_neardup_replay",
+    "events_hierarchical_rollup",
+    "events_share_of_key_total",
+    "events_tumbling_replay",
+    "text_token_stats",
+    "doc_heavy_hitters",
+    "embedding_quality_screen",
+    "ann_pq_recall",
+)
+_R16_DEMOTE = (
+    "ann_bruteforce_topk",
+    "contamination_ngram",
+    "corpus_filter_funnel",
+    "data_mixture_resample",
+    "dedup_exact",
+    "doc_fingerprint",
+    "doc_repetition_filter",
+    "duplicated_spans_topk",
+    "events_pivot_by_type",
+    "multimodal_decode_stub",
+    "orders_above_customer_avg",
+    "pii_scrub",
+    "seq_packing",
+    "text_lang_id",
+    "text_quality_score",
+    "train_stratified_sample",
+    "q1b_top_parts_by_quantity",
+    "q2_supplier_revenue_rightouter",
+    "documents_dedup_replay",
+    "dedup_ngram_jaccard",
+)
+
+
 def _rotate(q: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
     from dataclasses import replace
 
@@ -571,6 +633,7 @@ def _rotate(q: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
         (_R13_PROMOTE, _R13_DEMOTE),
         (_R14_PROMOTE, _R14_DEMOTE),
         (_R15_PROMOTE, _R15_DEMOTE),
+        (_R16_PROMOTE, _R16_DEMOTE),
     ):
         for name in promote:
             if q[name].driver:

@@ -85,3 +85,51 @@ def get_spark(
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def release_cached_blocks(spark: SparkSession, blocking: bool = True) -> int:
+    """Synchronously free every persisted RDD block in the JVM — the
+    deterministic release the ContextCleaner does not guarantee.
+
+    Non-eager ``localCheckpoint`` frames register with the BlockManager at
+    first materialization and are freed ASYNCHRONOUSLY: the ContextCleaner
+    only enqueues the cleanup after a *driver GC* collects the last
+    reference, so in a long-lived JVM running a query pack the blocks from
+    earlier queries ACCUMULATE and squeeze later queries' execution memory
+    (r15 sf1 sweep: ``dedup_embedding_lsh`` 42.1 s in-pack vs 3.3-3.8 s in
+    a fresh JVM — adjudicated to exactly this, VERDICT r15 item 2). No
+    operator reuses a checkpoint across queries (each ``queries()`` entry
+    rebuilds its plan from the parquet scan), so a blocking unpersist of
+    everything between queries reproduces the fresh-JVM condition without
+    the JVM restart.
+
+    Two mechanisms, because checkpointed frames die two ways:
+    (1) frames still referenced (registered in ``sc.persistentRdds``) are
+    unpersisted directly, blocking until the BlockManager confirms;
+    (2) frames whose Python/JVM references were already dropped inside an
+    operator are invisible to the registry (weak values) but their BLOCKS
+    remain until a driver GC feeds the ContextCleaner's reference queue —
+    so force the GC and poll ``getRDDStorageInfo`` until the block list
+    is empty (bounded by ``timeout_s``; residue is returned, not raised,
+    so measurement paths degrade to the old behavior instead of failing).
+
+    Returns the number of RDDs explicitly unpersisted.
+    """
+    # cache()/persist()'d DataFrames keep CacheManager references that
+    # would re-materialize; clear those first so the RDD sweep below is
+    # the final word. (Checkpoint blocks are NOT in the CacheManager.)
+    spark.catalog.clearCache()
+    sc = spark.sparkContext
+    jrdds = list(sc._jsc.getPersistentRDDs().values())
+    for jrdd in jrdds:
+        jrdd.unpersist(blocking)
+    if blocking:
+        import time as _time
+
+        deadline = _time.monotonic() + 30.0
+        while len(sc._jsc.sc().getRDDStorageInfo()) > 0:
+            if _time.monotonic() > deadline:
+                break  # leave residue to the ContextCleaner; best-effort
+            sc._jvm.System.gc()  # enqueue dropped-ref RDDs for the cleaner
+            _time.sleep(0.1)
+    return len(jrdds)

@@ -65,7 +65,29 @@ def changed_test_modules() -> list[str]:
     return sorted(names)
 
 
+def _refresh_staleness_artifact() -> None:
+    """Regenerate STALENESS.json from the committed CORRECTNESS history
+    (judge r15 item 5: the artifact read latest_round: 14 a full round
+    after r15 landed). Part of preflight so any round-start run leaves
+    the committed artifact current; tests/test_staleness.py pins the
+    freshness. Best-effort: a regeneration failure is loud but must not
+    block the test gate itself."""
+    rc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "staleness_report.py"),
+            "--json",
+            os.path.join(REPO, "STALENESS.json"),
+        ],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+    ).returncode
+    print(f"preflight: STALENESS.json {'refreshed' if rc == 0 else 'REFRESH FAILED'}")
+
+
 def main() -> int:
+    _refresh_staleness_artifact()
     if "--full" in sys.argv:
         targets = ["tests/"]
     else:

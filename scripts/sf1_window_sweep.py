@@ -44,7 +44,7 @@ Env: HHA_SF1_DIR (default /tmp/hha_sf1), HHA_SCALE_HEAP (default 12g).
 DuckDB oracle results are cached under $HHA_SF1_DIR/oracle_cache keyed
 by (sql text, fixture bytes) — see the cache block above main(); the
 Spark side always executes.
-Writes SF1_SWEEP_r15.json next to the repo root (bump per round); exit code = failures.
+Writes SF1_SWEEP_r16.json next to the repo root (bump per round); exit code = failures.
 """
 
 from __future__ import annotations
@@ -355,6 +355,43 @@ def _oracle_cache_store(path: str, payload) -> None:
             pass
 
 
+def _host_speed_factor(results: dict) -> float | None:
+    """Median per-query spark-wall ratio vs the newest prior sweep
+    artifact (judge r15 item 3) — the same calibration bench.py computes
+    against BENCH_r*.json, so sweep walls are round-comparable without
+    prose adjudication. The r15 sweep ran on a host the judge measured
+    at 1.39x the r14 common-query median; this field makes that number
+    part of the artifact. Best-effort: no prior, no field."""
+    import glob
+    import re
+
+    candidates = []
+    for p in glob.glob(os.path.join(REPO, "SF1_SWEEP_r*.json")):
+        m = re.search(r"SF1_SWEEP_r(\d+)\.json$", p)
+        if m:
+            candidates.append((int(m.group(1)), p))
+    ratios: list[float] = []
+    for _, path in sorted(candidates, reverse=True):
+        try:
+            with open(path) as f:
+                prior = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, r in results.items():
+            pr = (prior.get("results") or {}).get(name) or {}
+            before, now = pr.get("wall"), r.get("wall")
+            if (
+                isinstance(before, (int, float)) and before > 0
+                and isinstance(now, (int, float)) and now > 0
+            ):
+                ratios.append(now / before)
+        if ratios:  # newest prior with common queries wins outright
+            break
+    if len(ratios) < 5:  # too few common names for a stable median
+        return None
+    return round(sorted(ratios)[len(ratios) // 2], 2)
+
+
 def main() -> int:
     import duckdb
 
@@ -368,6 +405,8 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{SF1_DIR}/{t}.parquet')"
         )
+
+    from hadoop_hive_analysis_spark.session import release_cached_blocks
 
     heap = os.environ.get("HHA_SCALE_HEAP", "12g")
     spark = get_spark(
@@ -410,8 +449,15 @@ def main() -> int:
             results[name] = {"status": "spark-error",
                              "error": f"{type(ex).__name__}: {str(ex)[:200]}"}
             print(f"ERR  {name}: {results[name]['error']}", flush=True)
+            release_cached_blocks(spark)  # a failed query must not leak
             continue
         wall = round(time.perf_counter() - t0, 2)
+        # Deterministic BlockManager release between queries (judge r15
+        # item 2): non-eager localCheckpoint blocks from earlier queries
+        # otherwise accumulate in the shared JVM and inflate later walls
+        # 6-10x vs isolated (r15: dedup_embedding_lsh 42 s in-pack vs
+        # 3.3-3.8 s fresh-JVM). Outside the wall window by construction.
+        release_cached_blocks(spark)
         if name in PY_ORACLES:
             t1 = time.perf_counter()
             ocols, orows = PY_ORACLES[name](con)
@@ -497,8 +543,11 @@ def main() -> int:
         "failures": failures,
         "results": results,
     }
+    factor = _host_speed_factor(results)
+    if factor is not None:
+        out["host_speed_factor"] = factor
     if not only:  # partial reruns must not overwrite the full artifact
-        with open(os.path.join(REPO, "SF1_SWEEP_r15.json"), "w") as f:
+        with open(os.path.join(REPO, "SF1_SWEEP_r16.json"), "w") as f:
             json.dump(out, f, indent=1, sort_keys=True)
     print(f"\n{len(failures)} failures of {len(names)}", flush=True)
     if failures:

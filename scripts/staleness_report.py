@@ -58,6 +58,8 @@ def load_history() -> dict[str, int]:
     last: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:  # e.g. CORRECTNESS_rerun.json — same guard as bench.py
+            continue
         rnd = int(m.group(1))
         with open(path) as f:
             data = json.load(f)
@@ -99,7 +101,10 @@ def main() -> int:
             key = "never" if r["last_green"] is None else f"r{r['last_green']}"
             by_round.setdefault(key, []).append(r["name"])
         print(f"\n== {title} ==   (* = rows-only by design, no oracle)")
-        for key in sorted(by_round, key=lambda k: (k != "never", k)):
+        # numeric round order — lexicographic puts r2/r7/r9 after r14
+        for key in sorted(
+            by_round, key=lambda k: (k != "never", int(k[1:]) if k != "never" else -1)
+        ):
             names = sorted(by_round[key])
             shown = [n + ("*" if n in rows_only else "") for n in names]
             n_oracle = sum(1 for n in names if n not in rows_only)

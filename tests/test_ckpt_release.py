@@ -1,0 +1,73 @@
+"""Deterministic checkpoint-block release (judge r15 item 2).
+
+Non-eager ``localCheckpoint`` frames are freed ASYNCHRONOUSLY by the
+ContextCleaner (driver GC → reference queue → cleaner thread), so in a
+long-lived JVM running a query pack, blocks from earlier queries
+accumulate and squeeze later queries' execution memory — the r15 sf1
+sweep measured ``dedup_embedding_lsh`` at 42 s in-pack vs 3.3–3.8 s in a
+fresh JVM and adjudicated the gap to exactly this. ``bench.py`` and
+``scripts/sf1_window_sweep.py`` now call
+``session.release_cached_blocks`` between (untimed) runs; these tests pin
+that the call actually empties the BlockManager in both ways a
+checkpointed frame can be held:
+
+- still referenced (registered in ``sc.persistentRdds`` → direct
+  blocking unpersist);
+- reference already dropped inside the operator (invisible to the
+  registry; the forced-GC poll path must still drain the blocks).
+"""
+
+from __future__ import annotations
+
+from hadoop_hive_analysis_spark.session import (
+    CKPT_LEVEL,
+    release_cached_blocks,
+)
+
+
+def _n_block_entries(spark) -> int:
+    return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+
+def test_release_frees_held_reference(spark):
+    df = spark.range(200_000).localCheckpoint(
+        eager=False, storageLevel=CKPT_LEVEL
+    )
+    df.count()  # materialize the checkpoint blocks
+    assert _n_block_entries(spark) >= 1
+    released = release_cached_blocks(spark)
+    assert released >= 1
+    assert _n_block_entries(spark) == 0
+    # the frame was fully consumed before release — nothing is reused
+    # across queries, so there is nothing left to recompute
+
+
+def test_release_frees_dropped_reference(spark):
+    def _run_operator_style():
+        # mimics an operator: checkpoint an intermediate, consume it,
+        # return without keeping a reference (the frame leaves scope)
+        mid = spark.range(300_000).localCheckpoint(
+            eager=False, storageLevel=CKPT_LEVEL
+        )
+        return mid.count()
+
+    _run_operator_style()
+    import gc
+
+    gc.collect()  # drop the py4j reference like a finished query does
+    released_plus_drained = release_cached_blocks(spark)
+    assert released_plus_drained >= 0  # may already be off the registry
+    assert _n_block_entries(spark) == 0
+
+
+def test_release_after_checkpoint_heavy_operator(spark, sf_dir):
+    """End-to-end: a real multi-checkpoint operator leaves zero blocks
+    behind once its action completes and release runs — the exact
+    between-queries state bench.py and the sf1 sweep now enforce."""
+    from hadoop_hive_analysis_spark.plans.registry import QUERIES
+
+    QUERIES["dedup_paragraphs"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    release_cached_blocks(spark)
+    assert _n_block_entries(spark) == 0
