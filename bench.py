@@ -55,6 +55,7 @@ def main() -> None:
             ).save()
         except Exception:
             pass  # the timed loop will surface real errors
+    release_cached_blocks(spark)  # warm-up blocks must not leak into q1
 
     # Reference protocol (CS346 Report.pdf p.9 §5.2): repeated runs, keep
     # the fastest — first run pays one-off codegen/JIT compilation that a

@@ -35,7 +35,10 @@ def main() -> None:
     multipliers = [int(a) for a in sys.argv[1:]] or [1, 2, 5, 10]
 
     from hadoop_hive_analysis_spark.operators.dedup import dedup_editdistance
-    from hadoop_hive_analysis_spark.session import get_spark
+    from hadoop_hive_analysis_spark.session import (
+        get_spark,
+        release_cached_blocks,
+    )
 
     heap = os.environ.get("HHA_SCALE_HEAP", "8g")
     spark = get_spark("hha-scaling-ed", extra_conf={"spark.driver.memory": heap})
@@ -46,7 +49,7 @@ def main() -> None:
         d = build_scaled_corpus(spark, m)
         try:
             samples = []
-            df = None
+            pairs = None
             for _ in range(2):
                 t0 = time.perf_counter()
                 cpu0 = cpu_seconds(spark)
@@ -58,8 +61,13 @@ def main() -> None:
                         "cpu_sec": round(cpu_seconds(spark) - cpu0, 2),
                     }
                 )
+                # count BEFORE release: the frame reads from checkpoint
+                # blocks, which the release below makes unrecomputable
+                pairs = df.count()
+                # untimed: each sample starts from the fresh-JVM block
+                # state (the r16 in-pack inflation fix, session.py)
+                release_cached_blocks(spark)
             best = min(samples, key=lambda s: s["wall_sec"])
-            pairs = df.count()
             row = {
                 "multiplier": m,
                 "docs": 5000 * m,

@@ -38,7 +38,10 @@ def main() -> None:
         events_rolling_stats,
     )
     from hadoop_hive_analysis_spark.operators.rollups import events_ohlc_bars
-    from hadoop_hive_analysis_spark.session import get_spark
+    from hadoop_hive_analysis_spark.session import (
+        get_spark,
+        release_cached_blocks,
+    )
 
     spark = get_spark(
         "hha-scaling-events-misc", extra_conf={"spark.driver.memory": "8g"}
@@ -58,7 +61,7 @@ def main() -> None:
             row = {"multiplier": m, "events": 100_000 * m}
             for name, fn in ops.items():
                 samples = []
-                df = None
+                n_rows = None
                 for _ in range(2):
                     t0 = time.perf_counter()
                     cpu0 = cpu_seconds(spark)
@@ -70,9 +73,14 @@ def main() -> None:
                             "cpu_sec": round(cpu_seconds(spark) - cpu0, 2),
                         }
                     )
+                    # count BEFORE release: checkpoint-backed frames are
+                    # unrecomputable once their blocks are freed
+                    n_rows = df.count()
+                    # untimed: fresh-JVM block state per sample
+                    release_cached_blocks(spark)
                 best = min(samples, key=lambda s: s["wall_sec"])
                 row[name] = {
-                    "rows": df.count(),
+                    "rows": n_rows,
                     "wall_sec": best["wall_sec"],
                     "cpu_sec": best["cpu_sec"],
                 }
