@@ -43,7 +43,10 @@ from ..functions.text import with_shingles
 # definition. This module's context: the r15 sf1 sweep read
 # dedup_editdistance at 34.4 s in-pack (50 queries, one 12 GiB JVM)
 # against 6.5 s in a fresh JVM — cross-query deserialized-block
-# accumulation, the failure mode the serialized level bounds.
+# accumulation, the failure mode the serialized level bounds. Since
+# r16, pack runners additionally RELEASE all checkpoint blocks between
+# queries (session.release_cached_blocks — blocking unpersist + GC
+# drain), so in-pack measurements start from the fresh-JVM block state.
 from ..session import CKPT_LEVEL
 from ..sources.catalog import load_table
 
