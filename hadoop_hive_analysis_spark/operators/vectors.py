@@ -532,11 +532,24 @@ ANN_SQ8_RECALL_SQL = _ann_sq8_recall_sql()
 PQ_M = 8  # subspaces (64 dims -> 8 x 8-dim slices)
 PQ_K = 16  # centroids per subspace (4-bit codes)
 PQ_ITERS = 3
-PQ_CAND = 100  # ADC shortlist size fed to the exact rerank
+PQ_CAND = 100  # ADC shortlist floor fed to the exact rerank
+# The shortlist must scale WITH the corpus, not sit at an absolute
+# constant: on near-orthogonal data ADC ranking is noise-limited, so
+# recall at a fixed shortlist decays roughly with shortlist/corpus —
+# the r16 sf1 sweep measured recall 0.38 at 10x corpus with CAND=100
+# (0.5% coverage) vs 0.80 at 1x (5%). Same law every production ANN
+# system obeys (FAISS scales nprobe/efSearch with the index). 5% of the
+# corpus, floored at 100, keeps results bit-identical at the driver
+# scales (sf0.001-0.1 corpora are <= 2,000 vectors, where the floor
+# binds) and restores the calibrated coverage at every larger scale;
+# rerank cost stays linear in corpus (queries x 5% x corpus rows).
+PQ_CAND_PCT = 5
 # Measured mean recall@5 of shortlist+rerank on the near-orthogonal
 # fixtures (the PQ worst case -- random data has no subspace structure):
-# 0.82 / 0.94 / 0.80 at sf0.001/0.01/0.1. Floor below the observed
-# minimum with margin, far above the chance rate (~CAND/corpus).
+# 0.82 / 0.94 / 0.80 at sf0.001/0.01/0.1, and 0.82 at sf1 (10x) with
+# the corpus-proportional shortlist (0.38 before it — the r16 sweep
+# finding). Floor below the observed minimum with margin, far above the
+# chance rate (~coverage fraction).
 PQ_FLOOR = (7, 10)  # mean recall >= 0.70
 
 
@@ -605,7 +618,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe query, ADC (asymmetric distance computation) scores every
     corpus vector from its 8 nibble codes alone via an M x K lookup
     table of exact integer subvector-centroid dots (the classic PQ
-    table, 128 ints per query); the top PQ_CAND shortlist then joins
+    table, 128 ints per query); the top corpus-proportional shortlist (PQ_CAND_PCT) then joins
     back the TRUE vectors -- candidates only, never the corpus -- for
     exact rescoring and the final top-K.
 
@@ -614,7 +627,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-bit codes cannot rank near-orthogonal vectors), while the
     shortlist keeps enough signal that exact rerank recovers 0.80-0.94.
     That IS the production operator: compressed codes bound the scan
-    footprint, exact math touches only queries x PQ_CAND rows.
+    footprint, exact math touches only queries x shortlist rows.
 
     All-integer scoring both stages, standard (score desc, neighbor asc)
     tie-break.
@@ -628,6 +641,11 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dsub = len(books[0][0])  # subspace width from the codebook — no probe job
     codes = pq_codes(spark, sf_dir, books=books)
     qrows = q.filter(F.col("vec_id") < N_QUERIES).collect()
+    # corpus-proportional shortlist (see PQ_CAND_PCT): one count job on
+    # the already-built codes frame; at the driver fixtures the PQ_CAND
+    # floor binds, so small-scale results are unchanged bit-for-bit
+    n_corpus = codes.count()
+    cand = max(PQ_CAND, -(-n_corpus * PQ_CAND_PCT // 100))
 
     per_query = []
     for r in qrows:
@@ -652,7 +670,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("adc").desc(), F.col("neighbor_id").asc()
     )
     shortlist = scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= PQ_CAND
+        F.col("rank") <= cand
     )
     qdf = q.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qq")

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..schemas import TESTDATA_SCHEMAS
+from ..sources.catalog import spread_small_scan
 from .events import WATERMARK
 
 
@@ -214,15 +215,43 @@ def with_minhash_bands(docs: DataFrame) -> DataFrame:
     return d.withColumn("bands", bands).drop("_toks", "_hs")
 
 
-def neardup_snapshot(docs: DataFrame) -> DataFrame:
+def neardup_snapshot(docs: DataFrame, materialize: bool = True) -> DataFrame:
     """The periodic LSH state snapshot a maintenance job persists: the
     corpus's banded signature table (doc_id, band, band_sig, sig) —
     near-dup analog of :func:`snapshot_digests`. One row per doc × band;
     carries the full signature so the ingest query can verify candidates
-    without touching history text."""
-    return (
-        with_minhash_bands(docs)
-        .select("doc_id", F.explode("bands").alias("b"), "sig")
+    without touching history text.
+
+    ``materialize`` (default) makes the returned frame behave like the
+    persisted table the pattern describes, which matters twice at scale
+    (both bit the r16 sf1 sweep as a 300 s broadcast timeout):
+
+    - the ~50×-CPU shingle→minhash pipeline is spread off the row-group-
+      bound document scan (``spread_small_scan``) instead of inheriting
+      its 1-2 partitions — inside a BroadcastExchange build that compute
+      otherwise runs nearly serially under the broadcast timeout clock;
+    - the signatures are computed ONCE (``localCheckpoint``), so a
+      stream-static join re-reads materialized rows per batch instead of
+      re-deriving the corpus, and — because a checkpointed relation does
+      not advertise a small size estimate — Catalyst plans the join
+      SHUFFLED rather than broadcasting a history table that grows with
+      the corpus, exactly the plan a 100 TB deployment needs (the real
+      maintenance job writes parquet; a scan of it behaves the same).
+
+    Pass ``materialize=False`` to get the raw lineage (e.g. to write the
+    snapshot out as the maintenance job itself would).
+    """
+    # explode_OUTER, deliberately: plain explode lets Catalyst infer a
+    # ``size(bands) > 0`` filter (InferFiltersFromGenerate), which
+    # INLINES the whole 64-hash signature expression and pushes it below
+    # the spread exchange — the r16 sf1 plan showed the entire MinHash
+    # pipeline duplicated into the 2-task scan stage's Filter, serializing
+    # the exact compute the spread exists to parallelize. ``bands`` is a
+    # literal fixed-length array (never null/empty past the token filter),
+    # so outer-explode is value-identical and infers nothing.
+    snap = (
+        with_minhash_bands(spread_small_scan(docs))
+        .select("doc_id", F.explode_outer("bands").alias("b"), "sig")
         .select(
             "doc_id",
             F.col("b.band").alias("band"),
@@ -230,6 +259,9 @@ def neardup_snapshot(docs: DataFrame) -> DataFrame:
             "sig",
         )
     )
+    if materialize:
+        snap = snap.localCheckpoint(eager=True)
+    return snap
 
 
 def neardup_hits_against_snapshot(
@@ -274,7 +306,11 @@ def neardup_hits_against_snapshot(
         .select(
             "digest",
             F.col("sig").alias("arr_sig"),
-            F.explode("bands").alias("b"),
+            # outer, same reason as neardup_snapshot: plain explode's
+            # inferred size-filter inlines the 64-hash expression and
+            # sinks it below any upstream exchange, serializing the
+            # signature compute onto the raw scan's task count
+            F.explode_outer("bands").alias("b"),
         )
         .select(
             "digest",
@@ -377,8 +413,19 @@ def documents_neardup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot = neardup_snapshot(
         read_documents_table_even(spark, sf_dir)
     )
-    arrivals = read_documents_stream(spark, sf_dir).filter(
-        F.col("doc_id") % 2 == 1
+    # The replay's arrivals come from ONE parquet file, and a file-stream
+    # scan does not split files — so each micro-batch plans the ~50x-CPU
+    # shingle→minhash pipeline over ONE task no matter how many cores the
+    # session has (the r16 sf1 sweep measured the batch stuck >10 min on
+    # a 2-partition stream; the batch analog is what spread_small_scan
+    # fixes on the scan side). One explicit shuffle of the raw arrivals
+    # spreads the signature compute across the session's parallelism; a
+    # real deployment ingesting from a many-partition source (Kafka)
+    # arrives wide and would skip this.
+    arrivals = (
+        read_documents_stream(spark, sf_dir)
+        .filter(F.col("doc_id") % 2 == 1)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     tag = uuid.uuid4().hex[:12]
     ckpt = tempfile.mkdtemp(prefix=f"hha_neardup_ckpt_{tag}_")
