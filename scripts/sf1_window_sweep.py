@@ -355,20 +355,26 @@ def _oracle_cache_store(path: str, payload) -> None:
             pass
 
 
+THIS_ROUND = 16  # keep in sync with the output filename below
+
+
 def _host_speed_factor(results: dict) -> float | None:
-    """Median per-query spark-wall ratio vs the newest prior sweep
+    """Median per-query spark-wall ratio vs the newest PRIOR-ROUND sweep
     artifact (judge r15 item 3) — the same calibration bench.py computes
     against BENCH_r*.json, so sweep walls are round-comparable without
     prose adjudication. The r15 sweep ran on a host the judge measured
     at 1.39x the r14 common-query median; this field makes that number
-    part of the artifact. Best-effort: no prior, no field."""
+    part of the artifact. The current round's own artifact is excluded:
+    a same-round re-run must keep comparing against the previous round,
+    not against its own first attempt (the self-referencing-sidecar trap
+    the bench flagger documents). Best-effort: no prior, no field."""
     import glob
     import re
 
     candidates = []
     for p in glob.glob(os.path.join(REPO, "SF1_SWEEP_r*.json")):
         m = re.search(r"SF1_SWEEP_r(\d+)\.json$", p)
-        if m:
+        if m and int(m.group(1)) < THIS_ROUND:
             candidates.append((int(m.group(1)), p))
     ratios: list[float] = []
     for _, path in sorted(candidates, reverse=True):
@@ -547,7 +553,9 @@ def main() -> int:
     if factor is not None:
         out["host_speed_factor"] = factor
     if not only:  # partial reruns must not overwrite the full artifact
-        with open(os.path.join(REPO, "SF1_SWEEP_r16.json"), "w") as f:
+        with open(
+            os.path.join(REPO, f"SF1_SWEEP_r{THIS_ROUND}.json"), "w"
+        ) as f:
             json.dump(out, f, indent=1, sort_keys=True)
     print(f"\n{len(failures)} failures of {len(names)}", flush=True)
     if failures:
