@@ -732,3 +732,43 @@ def test_tumbling_resumes_from_checkpoint_across_restarts(spark, sf_dir, tmp_pat
     assert got1 == want1  # phase 1 saw exactly half 1
     assert got2 == want2  # resumed state + new files == full batch
     assert got1 != got2   # phase 2 genuinely advanced past phase 1
+
+
+def test_neardup_snapshot_side_is_materialized_in_the_join_plan(spark, sf_dir):
+    """Plan pin for the r16 sf1 broadcast-timeout fix: the snapshot side
+    of the near-dup join must be a MATERIALIZED relation (the persisted
+    table the maintenance-job pattern describes), never the inline
+    shingle→minhash pipeline — re-deriving the corpus inside a
+    BroadcastExchange build ran at raw-scan parallelism and blew the
+    300 s broadcast timeout at 10×. Invariants: exactly ONE parquet scan
+    in the executed plan (the arrivals side) and an ExistingRDD scan
+    (the checkpointed snapshot) feeding the join. Which JOIN Spark picks
+    stays scale-adaptive by design (AQE broadcasts the genuinely-small
+    fixture snapshot, shuffles a 10× one) — the pin is about what feeds
+    it, not the strategy."""
+    from pyspark.sql import functions as F
+
+    from hadoop_hive_analysis_spark.sources.catalog import load_table
+    from hadoop_hive_analysis_spark.streaming.dedup import (
+        neardup_hits_against_snapshot,
+        neardup_snapshot,
+        read_documents_table_even,
+    )
+
+    snap = neardup_snapshot(read_documents_table_even(spark, sf_dir))
+    arrivals = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 2 == 1
+    )
+    plan = (
+        neardup_hits_against_snapshot(arrivals, snap)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 1, (
+        "snapshot side re-derives the corpus from parquet inside the "
+        "join plan — the inline-recompute regression is back"
+    )
+    assert "Scan ExistingRDD" in plan, (
+        "snapshot is not a materialized (checkpointed) relation"
+    )
