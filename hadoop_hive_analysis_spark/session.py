@@ -14,9 +14,19 @@ only the test harness.
 from __future__ import annotations
 
 import os
+from typing import NamedTuple
 
 from pyspark import StorageLevel
 from pyspark.sql import SparkSession
+
+
+class ReleaseResult(NamedTuple):
+    """Outcome of ``release_cached_blocks``: ``unpersisted`` registry
+    RDDs explicitly released, ``residual`` RDDs still holding blocks when
+    the drain poll gave up (0 = the JVM is back to fresh-block state)."""
+
+    unpersisted: int
+    residual: int
 
 # Storage level for corpus-scale localCheckpoint sites (shingle / token /
 # span / posting / edge frames). SERIALIZED, not the default deserialized
@@ -87,7 +97,9 @@ def get_spark(
     return builder.getOrCreate()
 
 
-def release_cached_blocks(spark: SparkSession, blocking: bool = True) -> int:
+def release_cached_blocks(
+    spark: SparkSession, blocking: bool = True
+) -> ReleaseResult:
     """Synchronously free every persisted RDD block in the JVM — the
     deterministic release the ContextCleaner does not guarantee.
 
@@ -110,10 +122,21 @@ def release_cached_blocks(spark: SparkSession, blocking: bool = True) -> int:
     operator are invisible to the registry (weak values) but their BLOCKS
     remain until a driver GC feeds the ContextCleaner's reference queue —
     so force the GC and poll ``getRDDStorageInfo`` until the block list
-    is empty (bounded by ``timeout_s``; residue is returned, not raised,
-    so measurement paths degrade to the old behavior instead of failing).
+    is empty. The poll bails after ~0.5 s of ZERO progress (advisor r16):
+    if blocks cannot drain at all — ``-XX:+DisableExplicitGC``, or a
+    Spark-internal persisted RDD outside our control — spinning to the
+    30 s deadline on EVERY call (~3×/query across a ~129-query pack)
+    would silently turn a ~100 s bench into hours, for a drain that was
+    never going to happen. A few no-progress iterations of grace absorb
+    the cleaner thread's normal async latency; the 30 s deadline remains
+    as the cap for the slow-but-progressing case.
 
-    Returns the number of RDDs explicitly unpersisted.
+    Returns ``ReleaseResult(unpersisted, residual)``: the number of RDDs
+    explicitly unpersisted, and the number of RDDs still holding blocks
+    when the poll gave up (0 = fully drained). A nonzero residual is the
+    signal that in-pack block accumulation may be back — measurement
+    paths surface it (bench.py records the pack-wide max in
+    BENCH_FULL.json) instead of failing.
     """
     # cache()/persist()'d DataFrames keep CacheManager references that
     # would re-materialize; clear those first so the RDD sweep below is
@@ -123,13 +146,23 @@ def release_cached_blocks(spark: SparkSession, blocking: bool = True) -> int:
     jrdds = list(sc._jsc.getPersistentRDDs().values())
     for jrdd in jrdds:
         jrdd.unpersist(blocking)
+    residual = 0
     if blocking:
         import time as _time
 
         deadline = _time.monotonic() + 30.0
-        while len(sc._jsc.sc().getRDDStorageInfo()) > 0:
+        prev = len(sc._jsc.sc().getRDDStorageInfo())
+        stalled = 0
+        while prev > 0:
             if _time.monotonic() > deadline:
+                residual = prev
                 break  # leave residue to the ContextCleaner; best-effort
             sc._jvm.System.gc()  # enqueue dropped-ref RDDs for the cleaner
             _time.sleep(0.1)
-    return len(jrdds)
+            cur = len(sc._jsc.sc().getRDDStorageInfo())
+            stalled = stalled + 1 if cur >= prev else 0
+            if cur > 0 and stalled >= 5:  # ~0.5 s with zero progress
+                residual = cur
+                break
+            prev = cur
+    return ReleaseResult(len(jrdds), residual)

@@ -355,7 +355,7 @@ def _oracle_cache_store(path: str, payload) -> None:
             pass
 
 
-THIS_ROUND = 16  # keep in sync with the output filename below
+THIS_ROUND = 17  # keep in sync with the output filename below
 
 
 def _host_speed_factor(results: dict) -> float | None:
@@ -391,7 +391,14 @@ def _host_speed_factor(results: dict) -> float | None:
                 and isinstance(now, (int, float)) and now > 0
             ):
                 ratios.append(now / before)
-        if ratios:  # newest prior with common queries wins outright
+        if len(ratios) >= 5:
+            # Newest prior wins once it yields a STABLE median. Breaking
+            # on the first prior with >=1 common query could return None
+            # right after a heavy rotation (r16 swapped 20/50 slots) —
+            # exactly when cross-round comparability matters most — even
+            # though an older artifact has enough common names (advisor
+            # r16). Ratios accumulate newest-first, so an older prior
+            # only tops up when the newest lacks overlap.
             break
     if len(ratios) < 5:  # too few common names for a stable median
         return None

@@ -35,8 +35,9 @@ def test_release_frees_held_reference(spark):
     )
     df.count()  # materialize the checkpoint blocks
     assert _n_block_entries(spark) >= 1
-    released = release_cached_blocks(spark)
-    assert released >= 1
+    result = release_cached_blocks(spark)
+    assert result.unpersisted >= 1
+    assert result.residual == 0
     assert _n_block_entries(spark) == 0
     # the frame was fully consumed before release — nothing is reused
     # across queries, so there is nothing left to recompute
@@ -55,8 +56,12 @@ def test_release_frees_dropped_reference(spark):
     import gc
 
     gc.collect()  # drop the py4j reference like a finished query does
-    released_plus_drained = release_cached_blocks(spark)
-    assert released_plus_drained >= 0  # may already be off the registry
+    result = release_cached_blocks(spark)
+    assert result.unpersisted >= 0  # may already be off the registry
+    # the GC-poll path must have DRAINED the dropped-reference blocks,
+    # not bailed: residual==0 distinguishes a real drain from the
+    # fast-bail path (advisor r16)
+    assert result.residual == 0
     assert _n_block_entries(spark) == 0
 
 
