@@ -675,6 +675,31 @@ KMEANS_ROUNDS = 2
 IVF_FIT_SAMPLE = 4096  # quantizer fits on this many vectors, not the corpus
 
 
+def _ivf_centroids(spark: SparkSession, sf_dir: str):
+    """The coarse-quantizer FIT alone: first ``IVF_FIT_SAMPLE`` vectors
+    by vec_id (TakeOrderedAndProject — driver memory bounded by the
+    sample whatever the corpus size), centroids initialized from the
+    first N_CELLS sample rows, KMEANS_ROUNDS exact-int64 Lloyd rounds.
+    Returns ``(sample_matrix, centroids)`` — the sample rides along so
+    the IVF-PQ composition (:mod:`.vectors`) can fit its codebooks on
+    the SAME single collect job."""
+    import numpy as np
+
+    q = _quantized(spark, sf_dir)
+    sample = q.orderBy("vec_id").limit(IVF_FIT_SAMPLE).collect()
+    mat = np.array([r.q for r in sample], dtype=np.int64)
+    cent = mat[:N_CELLS].copy()
+    for _ in range(KMEANS_ROUNDS):
+        # squared L2 to each centroid, exact int64
+        d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # ties → lowest cell id (argmin)
+        for c in range(N_CELLS):
+            members = mat[assign == c]
+            if len(members):
+                cent[c] = members.sum(axis=0) // len(members)
+    return mat, cent
+
+
 def _ivf_assignments(spark: SparkSession, sf_dir: str):
     """Deterministic integer k-means over quantized vectors.
 
@@ -697,20 +722,8 @@ def _ivf_assignments(spark: SparkSession, sf_dir: str):
 
     Returns (corpus_with_cell DataFrame, centroids ndarray).
     """
-    import numpy as np
-
     q = _quantized(spark, sf_dir)
-    sample = q.orderBy("vec_id").limit(IVF_FIT_SAMPLE).collect()
-    mat = np.array([r.q for r in sample], dtype=np.int64)
-    cent = mat[:N_CELLS].copy()
-    for _ in range(KMEANS_ROUNDS):
-        # squared L2 to each centroid, exact int64
-        d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)  # ties → lowest cell id (argmin)
-        for c in range(N_CELLS):
-            members = mat[assign == c]
-            if len(members):
-                cent[c] = members.sum(axis=0) // len(members)
+    _, cent = _ivf_centroids(spark, sf_dir)
 
     # Self-contained closure (plain nested list, stdlib+numpy imports only):
     # executors can't import this package when the driver runs elsewhere.

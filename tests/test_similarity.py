@@ -332,6 +332,69 @@ def test_adc_plan_node_count_constant_in_query_count(spark, sf_dir):
     assert two == ten, f"plan grew with query count: {two} -> {ten} nodes"
 
 
+def test_ivfpq_rerank_recall_meets_floor(spark, sf_dir):
+    """The IVF-PQ composition (probed lists -> 8-bit ADC ->
+    corpus-independent shortlist -> exact rerank) must clear the
+    registered floor — the same boolean the driver row hashes."""
+    from hadoop_hive_analysis_spark.operators.similarity import (
+        ann_bruteforce_topk,
+    )
+    from hadoop_hive_analysis_spark.operators.vectors import (
+        IVFPQ_FLOOR,
+        ann_ivfpq_topk,
+    )
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_bruteforce_topk(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_ivfpq_topk(spark, sf_dir).collect()
+    }
+    num, den = IVFPQ_FLOOR
+    assert len(exact & approx) * den >= len(exact) * num
+
+
+def test_ivfpq_prunes_with_a_cell_equi_join(spark, sf_dir):
+    """The prune-first contract: ADC scoring must reach the probed
+    inverted lists through a hash join KEYED ON THE CELL ID (broadcast
+    probes), never a nested-loop scan of the whole corpus — the plan
+    property that makes candidate volume ~(nprobe/ncells) x corpus and
+    lets a cell-partitioned layout prune partitions."""
+    from hadoop_hive_analysis_spark.operators.vectors import ann_ivfpq_topk
+
+    plan = (
+        ann_ivfpq_topk(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "cell" in plan and "probe_cell" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_codes_deterministic(spark, sf_dir):
+    """No RNG anywhere in the two-quantizer fit or assignment: two
+    independent end-to-end runs produce identical (cell, codes) rows,
+    and each code addresses a valid codebook slot."""
+    from hadoop_hive_analysis_spark.operators.vectors import (
+        IVFPQ_K,
+        PQ_M,
+        ivfpq_codes,
+    )
+
+    a = sorted(map(tuple, ivfpq_codes(spark, sf_dir).collect()))
+    b = sorted(map(tuple, ivfpq_codes(spark, sf_dir).collect()))
+    assert a == b
+    for row in a[:200]:
+        for code in row[2:]:
+            assert 0 <= code < IVFPQ_K
+        assert len(row) == 2 + PQ_M
+
+
 def test_pq_codes_deterministic_and_compact(spark, sf_dir):
     """Two independent fits+assignments must produce identical codes
     (no RNG anywhere), and every code must be a valid nibble."""
