@@ -395,6 +395,31 @@ def test_ivfpq_codes_deterministic(spark, sf_dir):
         assert len(row) == 2 + PQ_M
 
 
+def test_lsh_band_bits_floor_spans_every_harness_scale():
+    """The occupancy-adaptive band width must keep the STATIC 4-bit
+    banding (the one the DuckDB oracle mirrors) at every correctness
+    harness scale — driver fixtures (≤2,000 vectors), the sf1 sweep
+    (20,000) — with the documented 2x margin, and grow one bit per
+    occupancy doubling beyond it."""
+    from hadoop_hive_analysis_spark.operators.similarity import (
+        BAND_BITS,
+        _lsh_band_bits,
+    )
+
+    for n in (1, 500, 2000, 20000, 40000):
+        assert _lsh_band_bits(n) == BAND_BITS, n
+    assert _lsh_band_bits(40001) == BAND_BITS + 1
+    assert _lsh_band_bits(100_000) == 6
+    assert _lsh_band_bits(1_000_000) == 9
+    # occupancy stays bounded: n / 2^bits <= 2 * target everywhere
+    from hadoop_hive_analysis_spark.operators.similarity import (
+        LSH_OCCUPANCY_TARGET,
+    )
+
+    for n in (10_000, 50_000, 123_457, 777_777, 5_000_000):
+        assert n / (1 << _lsh_band_bits(n)) <= 2 * LSH_OCCUPANCY_TARGET
+
+
 def test_pq_codes_deterministic_and_compact(spark, sf_dir):
     """Two independent fits+assignments must produce identical codes
     (no RNG anywhere), and every code must be a valid nibble."""
