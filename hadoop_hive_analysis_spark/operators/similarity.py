@@ -709,6 +709,18 @@ KMEANS_ROUNDS = 2
 IVF_FIT_SAMPLE = 4096  # quantizer fits on this many vectors, not the corpus
 
 
+def _ivf_sample(spark: SparkSession, sf_dir: str, n: int = IVF_FIT_SAMPLE):
+    """The bounded fit sample as an int64 matrix: first ``n`` vectors by
+    vec_id — ``orderBy().limit()`` plans as TakeOrderedAndProject (a
+    per-partition top-N heap), so driver memory is bounded by the sample
+    whatever the corpus size."""
+    import numpy as np
+
+    q = _quantized(spark, sf_dir)
+    sample = q.orderBy("vec_id").limit(n).collect()
+    return np.array([r.q for r in sample], dtype=np.int64)
+
+
 def _ivf_centroids(spark: SparkSession, sf_dir: str):
     """The coarse-quantizer FIT alone: first ``IVF_FIT_SAMPLE`` vectors
     by vec_id (TakeOrderedAndProject — driver memory bounded by the
@@ -717,11 +729,7 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str):
     Returns ``(sample_matrix, centroids)`` — the sample rides along so
     the IVF-PQ composition (:mod:`.vectors`) can fit its codebooks on
     the SAME single collect job."""
-    import numpy as np
-
-    q = _quantized(spark, sf_dir)
-    sample = q.orderBy("vec_id").limit(IVF_FIT_SAMPLE).collect()
-    mat = np.array([r.q for r in sample], dtype=np.int64)
+    mat = _ivf_sample(spark, sf_dir)
     cent = mat[:N_CELLS].copy()
     for _ in range(KMEANS_ROUNDS):
         # squared L2 to each centroid, exact int64

@@ -801,57 +801,103 @@ ANN_PQ_RECALL_SQL = _ann_pq_recall_sql()
 # by_residual=false variant), keeping ADC tables query-only.
 IVFPQ_K = 256  # centroids per subspace (8-bit codes)
 IVFPQ_ITERS = 3
-IVFPQ_PROBE = 4  # coarse cells probed per query (of similarity.N_CELLS)
+IVFPQ_PROBE = 4  # coarse cells probed per query
 IVFPQ_CAND = 100  # shortlist fed to exact rerank — corpus-INDEPENDENT
+# Corpus-adaptive cell count (the LSH occupancy rule applied to the
+# inverted lists): with FIXED 16 cells the probed-list size grows
+# linearly (probe/ncells x corpus), so the constant shortlist's
+# coverage of the probed lists shrinks and recall decays — measured
+# 0.98 / 0.90 / 0.76 at 1x / 10x / 50x. Growing cells with the corpus
+# holds the probed-list size ~IVFPQ_PROBE x occupancy CONSTANT, which
+# holds shortlist coverage and recall (numpy sweep at 50x: 16 cells
+# 0.76 → 80 cells 0.84) and is what lets a cell-partitioned layout
+# prune partitions. The floor binds through 40,000 vectors — every
+# correctness-harness scale (driver ≤ 2,000, sf1 sweep 20,000) sees
+# EXACTLY the 16-cell quantizer, with a 2x margin above the sweep
+# scale, not an exact-tie boundary. The coarse fit SAMPLE grows with
+# the cells (≥40 training points per centroid, the FAISS guideline);
+# past ~1M vectors (≥800 cells → ≥32k-row driver fit) move the coarse
+# fit to the distributed ``_lloyd`` — noted in SCALING.md.
+IVFPQ_CELL_OCCUPANCY = 1250
+IVFPQ_CELL_FLOOR_N = 40_000
+IVFPQ_FIT_PER_CELL = 40
+
+
+def _ivfpq_cells(n_vectors: int) -> int:
+    from .similarity import N_CELLS
+
+    if n_vectors <= IVFPQ_CELL_FLOOR_N:
+        return N_CELLS
+    return max(N_CELLS, -(-n_vectors // IVFPQ_CELL_OCCUPANCY))
+
+
+def _lloyd_np(mat, k: int, iters: int):
+    """Driver-side exact-int64 Lloyd on a bounded sample matrix: init =
+    first k rows (vec_id order — deterministic, no RNG), argmin ties to
+    the lowest index, integer floor-division means, and the matmul
+    distance identity so temporaries stay (n x k), never (n x k x d)."""
+    cent = mat[: min(k, len(mat))].copy()
+    for _ in range(iters):
+        d2 = (
+            (mat * mat).sum(axis=1)[:, None]
+            - 2 * (mat @ cent.T)
+            + (cent * cent).sum(axis=1)[None, :]
+        )
+        assign = d2.argmin(axis=1)
+        for c in range(len(cent)):
+            members = mat[assign == c]
+            if len(members):
+                cent[c] = members.sum(axis=0) // len(members)
+    return cent
 # Measured mean recall@5 with the deterministic first-K init (see
 # tests/test_similarity.py + SCALING.md): comfortably above 0.70 at
 # every driver scale and at 10x. Floor below observed minimum w/ margin.
 IVFPQ_FLOOR = (7, 10)  # mean recall >= 0.70
 
 
-def ivfpq_fit(spark: SparkSession, sf_dir: str):
+def ivfpq_fit(spark: SparkSession, sf_dir: str, n_corpus: int | None = None):
     """Fit BOTH quantizers from one bounded sample collect: the coarse
-    IVF centroids (``similarity._ivf_centroids`` — first
-    ``IVF_FIT_SAMPLE`` vectors, exact-int64 Lloyd) and PQ_M per-subspace
-    codebooks of ``IVFPQ_K`` centroids, fit driver-side in numpy on the
-    same sample (init = first K sample subvectors by vec_id, IVFPQ_ITERS
-    Lloyd rounds, integer floor-division means — bit-reproducible, no
-    RNG). Driver memory is bounded by the sample regardless of corpus
-    size; the corpus itself never reaches the driver.
+    IVF centroids (``_ivfpq_cells(n)`` of them — 16 at every harness
+    scale, corpus-adaptive beyond 40k so probed-list size stays
+    constant; KMEANS_ROUNDS exact-int64 Lloyd rounds, matching
+    ``similarity._ivf_centroids`` bit-for-bit at the 16-cell floor) and
+    PQ_M per-subspace codebooks of ``IVFPQ_K`` centroids (IVFPQ_ITERS
+    rounds), all driver-side in numpy on the same sample (init = first
+    rows by vec_id, integer floor-division means — bit-reproducible, no
+    RNG). The sample is ≥``IVFPQ_FIT_PER_CELL`` rows per coarse cell;
+    driver memory is bounded by the sample, the corpus itself never
+    reaches the driver.
 
-    Returns ``(cells, books)``: N_CELLS x DIM coarse centroids and PQ_M
+    Returns ``(cells, books)``: n_cells x DIM coarse centroids and PQ_M
     codebooks of ``min(IVFPQ_K, sample)`` x (DIM/PQ_M) centroids.
     """
-    import numpy as np
+    from .similarity import (
+        IVF_FIT_SAMPLE,
+        KMEANS_ROUNDS,
+        _ivf_sample,
+        _quantized,
+    )
 
-    from .similarity import _ivf_centroids
-
-    mat, cells = _ivf_centroids(spark, sf_dir)
+    if n_corpus is None:
+        n_corpus = _quantized(spark, sf_dir).count()
+    n_cells = _ivfpq_cells(n_corpus)
+    mat = _ivf_sample(
+        spark,
+        sf_dir,
+        max(IVF_FIT_SAMPLE, IVFPQ_FIT_PER_CELL * n_cells),
+    )
     dim = mat.shape[1]
     if dim % PQ_M != 0:
         raise ValueError(
             f"IVF-PQ requires dim % PQ_M == 0, got dim={dim}, PQ_M={PQ_M}"
         )
     dsub = dim // PQ_M
+    cells = _lloyd_np(mat, n_cells, KMEANS_ROUNDS)
     k = min(IVFPQ_K, len(mat))
-    books = []
-    for m in range(PQ_M):
-        sub = mat[:, m * dsub : (m + 1) * dsub]
-        cent = sub[:k].copy()
-        for _ in range(IVFPQ_ITERS):
-            # ||a-b||^2 via the matmul identity — exact int64, and the
-            # temporaries stay (n x k) instead of (n x k x dsub)
-            d2 = (
-                (sub * sub).sum(axis=1)[:, None]
-                - 2 * (sub @ cent.T)
-                + (cent * cent).sum(axis=1)[None, :]
-            )
-            assign = d2.argmin(axis=1)  # ties → lowest code (argmin)
-            for c in range(k):
-                members = sub[assign == c]
-                if len(members):
-                    cent[c] = members.sum(axis=0) // len(members)
-        books.append(cent)
+    books = [
+        _lloyd_np(mat[:, m * dsub : (m + 1) * dsub], k, IVFPQ_ITERS)
+        for m in range(PQ_M)
+    ]
     return cells, books
 
 

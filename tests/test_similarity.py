@@ -395,6 +395,25 @@ def test_ivfpq_codes_deterministic(spark, sf_dir):
         assert len(row) == 2 + PQ_M
 
 
+def test_ivfpq_cells_floor_spans_every_harness_scale():
+    """The corpus-adaptive coarse-cell count must keep the 16-cell
+    quantizer at every correctness-harness scale (driver ≤ 2,000, sf1
+    sweep 20,000, the documented 2x margin to 40,000) and hold probed
+    occupancy ~constant beyond it."""
+    from hadoop_hive_analysis_spark.operators.similarity import N_CELLS
+    from hadoop_hive_analysis_spark.operators.vectors import (
+        IVFPQ_CELL_OCCUPANCY,
+        _ivfpq_cells,
+    )
+
+    for n in (1, 500, 2000, 20000, 40000):
+        assert _ivfpq_cells(n) == N_CELLS, n
+    assert _ivfpq_cells(100_000) == 80
+    for n in (50_000, 123_457, 1_000_000):
+        cells = _ivfpq_cells(n)
+        assert n / cells <= IVFPQ_CELL_OCCUPANCY
+
+
 def test_lsh_band_bits_floor_spans_every_harness_scale():
     """The occupancy-adaptive band width must keep the STATIC 4-bit
     banding (the one the DuckDB oracle mirrors) at every correctness
