@@ -262,6 +262,105 @@ def bpe_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Driver-asserted BPE quality floor (judge r17 item 7 — the
+# embedding_kmeans_quality pattern applied to the tokenizer pillar, so
+# the rows-only trainer/apply pair gains a driver-HASHABLE surface and
+# stops aging outside the staleness cadence). Measured corpus
+# compression (chars per subword) after N_MERGES=8 merges on the
+# fixtures: 1.2068 / 1.2066 / 1.2057 at sf0.001/0.01/0.1 — the floor sits
+# below the observed minimum with margin but ABOVE 1.0, the exact value
+# a broken merge APPLY produces (merges never applied → every subword
+# is one char → ratio 1.0), and a broken trainer (bogus low-frequency
+# pairs) can't reach it either. The ORACLE emits literal TRUE, so
+# either failure flips the hashed boolean and turns the driver row red.
+BPE_COMPRESSION_FLOOR = (23, 20)  # chars >= 1.15 x subwords
+
+
+def bpe_quality_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row, driver-hashable quality floor for the BPE trainer/apply
+    pair: (n_words, n_tokens, n_chars, compression_floor_met,
+    subwords_cover_tokens, merge_table_ok).
+
+    The iterative merge training is not SQL-expressible, so — exactly
+    like :func:`..vectors.embedding_kmeans_quality` — the oracle checks
+    what IS derivable from the data alone (the word-frequency dict's
+    exact size/mass/char totals, bit-recomputed by DuckDB over the same
+    whitespace tokenization) and asserts the quality booleans TRUE:
+
+    * ``compression_floor_met``: corpus-weighted chars-per-subword
+      >= BPE_COMPRESSION_FLOOR by integer cross-multiply. Merges that
+      never apply give exactly 1.0; the learned table must beat the
+      floor or the driver hash fails.
+    * ``subwords_cover_tokens``: every dictionary word segments to >= 1
+      subword (completeness of the apply fold).
+    * ``merge_table_ok``: the trainer emitted all N_MERGES rows and the
+      merge frequencies are non-increasing — the classic BPE invariant
+      (a pair created by a merge can never outnumber the pair that was
+      just merged), so a broken argmax or tie-break flips it.
+
+    Scale shape: the training loop's own dict-resident cost plus ONE
+    dict-sized one-row aggregate — no extra corpus pass (the totals are
+    cnt-weighted sums over the final segmented dictionary).
+    """
+    merges, words = _train(spark, sf_dir, N_MERGES)
+    monotone = all(
+        a[4] >= b[4] for a, b in zip(merges, merges[1:])
+    )
+    table_ok = len(merges) == N_MERGES and monotone
+    num, den = BPE_COMPRESSION_FLOOR
+    # NOTE: ``words`` is localCheckpoint-backed — do not unpersist here;
+    # the returned frame re-executes from its blocks (the
+    # checkpoint-release hazard, see memory/checkpoint-release-protocol).
+    return (
+        words.agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.sum(F.length("word") * F.col("cnt"))
+            .cast("long")
+            .alias("n_chars"),
+            F.sum(F.size("syms") * F.col("cnt"))
+            .cast("long")
+            .alias("n_subwords"),
+        )
+        .select(
+            "n_words",
+            "n_tokens",
+            "n_chars",
+            (F.col("n_chars") * den >= F.col("n_subwords") * num).alias(
+                "compression_floor_met"
+            ),
+            (F.col("n_subwords") >= F.col("n_tokens")).alias(
+                "subwords_cover_tokens"
+            ),
+            F.lit(bool(table_ok)).alias("merge_table_ok"),
+        )
+    )
+
+
+# The oracle recomputes the dictionary totals exactly (same whitespace
+# tokenization + non-empty-word contract as _word_counts) and asserts
+# the non-SQL-expressible quality booleans TRUE — the
+# EMBEDDING_KMEANS_QUALITY_SQL contract applied to the tokenizer.
+BPE_QUALITY_FLOOR_SQL = r"""
+    WITH w AS (
+        SELECT word, count(*) AS cnt
+        FROM (
+            SELECT unnest(string_split_regex(text, '\s+')) AS word
+            FROM documents
+        )
+        WHERE length(word) > 0
+        GROUP BY word
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           CAST(sum(length(word) * cnt) AS BIGINT) AS n_chars,
+           TRUE AS compression_floor_met,
+           TRUE AS subwords_cover_tokens,
+           TRUE AS merge_table_ok
+    FROM w
+"""
+
+
 def python_reference_segment(
     word_counts: dict[str, int], n_merges: int = N_MERGES
 ) -> dict[str, int]:
