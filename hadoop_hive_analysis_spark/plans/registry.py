@@ -679,6 +679,63 @@ _R17_DEMOTE = (
 )
 
 
+# r18 rotation — executes ROTATION_r18_PLAN.json verbatim (18/18; staged
+# and simulate-validated in r17, bare-swept 0/18 including the
+# never-hashed ann_ivfpq_recall, judge r17 item 1). Promotes: the IVF-PQ
+# composition takes its first driver hash (harness:ann transfers to it
+# from ann_ivf_recall) plus the first 17 (name-order tiebreak) of the
+# 27-entry r12-rested cohort — the oldest remaining after r17 drained
+# everything pre-r12. Demotes: 18 of the 20 r16 promotes, double-fresh
+# (hashed green r16 AND r17); kept scored from that cohort as sole
+# shape carriers: q2_supplier_revenue_rightouter_sql (join:RightOuter)
+# and documents_neardup_replay (harness:documents). Retires flat
+# ann_pq_recall's driver slot — r17's one perf-weak entry (corpus-
+# proportional shortlist; IVF-PQ is the serving path at scale). The 10
+# r12 entries left behind drain in the staged r19 plan (cohort 27 >
+# one swap's 17 shape-safe demote slots, so the drain spans two rounds
+# by construction).
+_R18_PROMOTE = (
+    "ann_ivfpq_recall",
+    "ann_sq8_recall",
+    "corpus_budget_select",
+    "cube_orders",
+    "daily_distinct_users_hll",
+    "dedup_cluster_quality",
+    "dedup_collapse",
+    "dedup_minhash_lsh",
+    "doc_bigram_lm_score",
+    "doc_hybrid_search_rrf",
+    "doc_tfidf_cosine_pairs",
+    "doc_token_rarity",
+    "events_asof_join",
+    "events_campaign_range_join",
+    "events_churn_report",
+    "events_daily_trend",
+    "events_expectations_report",
+    "events_freshness_report",
+)
+_R18_DEMOTE = (
+    "ann_ivf_recall",
+    "ann_lsh_recall",
+    "ann_pq_recall",
+    "anti_join_customers",
+    "doc_heavy_hitters",
+    "doc_tfidf_topterms",
+    "eda_sketch_profile",
+    "embedding_group_centroid",
+    "embedding_quality_screen",
+    "events_hierarchical_rollup",
+    "events_share_of_key_total",
+    "events_sliding_window",
+    "events_tumbling_replay",
+    "events_value_by_user_salted",
+    "order_priority_late_ship",
+    "q1b_top_parts_by_quantity_sql",
+    "revenue_by_region",
+    "text_token_stats",
+)
+
+
 def _rotate(q: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
     from dataclasses import replace
 
@@ -691,6 +748,7 @@ def _rotate(q: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
         (_R15_PROMOTE, _R15_DEMOTE),
         (_R16_PROMOTE, _R16_DEMOTE),
         (_R17_PROMOTE, _R17_DEMOTE),
+        (_R18_PROMOTE, _R18_DEMOTE),
     ):
         for name in promote:
             if q[name].driver:

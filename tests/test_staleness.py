@@ -3,13 +3,14 @@
 Round 14's judge caught a rotation plan whose prose staleness claim was
 false. ``scripts/staleness_report.py`` derives the claims from the
 committed ``CORRECTNESS_r*.json`` history; these tests pin that the staged
-r18 plan (a) is a valid balanced swap against the live registry — which
-already carries the executed r17 overlay — and (b) its claims hold by
-recomputation: every promote is either never-driver-hashed (a staged new
-operator getting its first hash) or a member of the OLDEST rested
-oracle-backed cohort, and the named 10-entry r12 leftover (cohort size 27
-exceeds one swap's shape-safe demote budget) is exactly what the plan
-says it is, so the note cannot silently rot the way the r15 plan's did.
+r19 plan (a) is a valid balanced swap against the live registry — which
+already carries the executed r18 overlay — and (b) its claims hold by
+recomputation: every promote is either never-driver-hashed (the staged
+bpe_quality_floor getting its first hash) or a member of the OLDEST
+rested oracle-backed cohort (the 10 r12 leftovers the r18 plan named and
+deferred), and after the swap the oldest remaining cohort is exactly the
+16-entry r13 cohort (≤6 rounds old at r19, draining in the r20 plan) —
+so the note cannot silently rot the way the r15 plan's did.
 """
 
 from __future__ import annotations
@@ -21,20 +22,28 @@ from hadoop_hive_analysis_spark.plans.registry import QUERIES
 from scripts.staleness_report import load_history
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-PLAN = os.path.join(REPO, "ROTATION_r18_PLAN.json")
+PLAN = os.path.join(REPO, "ROTATION_r19_PLAN.json")
 
-# cohort size 27 > the 17/18 shape-safe demote budget: these drain in r19
-R12_LEFTOVER = {
-    "events_gap_fill",
-    "events_rolling_active_users",
-    "events_sessionize",
-    "multimodal_audio_stats",
-    "multimodal_dhash_neardup",
-    "price_quantiles_sketch",
-    "pricing_summary",
-    "seq_length_buckets",
-    "text_encoding_screen",
-    "train_priority_sample",
+# after the r19 swap drains the r12 ten, this r13 cohort becomes the
+# oldest rested oracle-backed residue (exactly 6 rounds old at r19;
+# cohort size 16 fits one r20 swap, so the drain completes there)
+R13_NEXT = {
+    "corpus_clean_staged",
+    "decontaminate_spans",
+    "dedup_clusters",
+    "dedup_containment",
+    "dedup_ensemble_collapse",
+    "dedup_prefix_filter_jaccard",
+    "dedup_semantic_collapse",
+    "doc_bm25_search",
+    "doc_quality_classifier",
+    "doc_quality_ecdf",
+    "doc_tokenize_with_vocab",
+    "duplicated_spans",
+    "events_cohort_retention",
+    "events_latest_state",
+    "events_scd2_intervals",
+    "vocab_coverage_build",
 }
 
 
@@ -43,7 +52,7 @@ def _plan() -> dict:
         return json.load(f)
 
 
-def test_r18_plan_is_a_valid_balanced_swap():
+def test_r19_plan_is_a_valid_balanced_swap():
     plan = _plan()
     promote, demote = set(plan["promote"]), set(plan["demote"])
     assert promote.isdisjoint(demote)
@@ -56,7 +65,7 @@ def test_r18_plan_is_a_valid_balanced_swap():
     assert not already_rested, f"demotes already rested: {already_rested}"
 
 
-def test_r18_promotes_drain_the_oldest_cohort():
+def test_r19_promotes_drain_the_oldest_cohort():
     """Every promote is oracle-backed and either never driver-hashed (a
     staged new operator) or a member of the oldest rested oracle-backed
     cohort — the double-fresh cadence never skips an older entry for a
@@ -76,10 +85,10 @@ def test_r18_promotes_drain_the_oldest_cohort():
         )
 
 
-def test_r18_post_swap_leftover_is_exactly_the_named_ten():
-    """The plan note's headline: the only entries the r18 swap leaves
-    below the double-fresh cadence floor are the 10 named r12 leftovers
-    (drained in r19)."""
+def test_r19_post_swap_leftover_is_exactly_the_r13_cohort():
+    """The plan note's headline: the r19 swap drains the r12 residue
+    completely, leaving the 16-entry r13 cohort as the oldest rested
+    oracle-backed entries (drained in r20)."""
     plan = _plan()
     last = load_history()
     post_scored = (
@@ -92,11 +101,11 @@ def test_r18_post_swap_leftover_is_exactly_the_named_ten():
         for n in oracle_backed - post_scored
         if last.get(n) is not None and last[n] == oldest
     }
-    assert oldest >= 12, f"post-swap residue regresses below r12: r{oldest}"
-    assert leftover == R12_LEFTOVER, (
-        f"leftover != the plan's named ten; "
-        f"missing={sorted(R12_LEFTOVER - leftover)} "
-        f"extra={sorted(leftover - R12_LEFTOVER)}"
+    assert oldest >= 13, f"post-swap residue regresses below r13: r{oldest}"
+    assert leftover == R13_NEXT, (
+        f"leftover != the r13 cohort; "
+        f"missing={sorted(R13_NEXT - leftover)} "
+        f"extra={sorted(leftover - R13_NEXT)}"
     )
 
     # nothing oracle-backed may be unhashed AND unstaged
