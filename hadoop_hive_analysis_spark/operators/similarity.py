@@ -726,9 +726,10 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str):
     by vec_id (TakeOrderedAndProject — driver memory bounded by the
     sample whatever the corpus size), centroids initialized from the
     first N_CELLS sample rows, KMEANS_ROUNDS exact-int64 Lloyd rounds.
-    Returns ``(sample_matrix, centroids)`` — the sample rides along so
-    the IVF-PQ composition (:mod:`.vectors`) can fit its codebooks on
-    the SAME single collect job."""
+    Returns the centroid matrix. (The IVF-PQ composition in
+    :mod:`.vectors` fits on its OWN, larger cell-scaled sample via
+    ``ivfpq_fit`` — it does not share this collect; advisor r17 removed
+    the dead ``(sample, centroids)`` tuple that claimed otherwise.)"""
     mat = _ivf_sample(spark, sf_dir)
     cent = mat[:N_CELLS].copy()
     for _ in range(KMEANS_ROUNDS):
@@ -739,7 +740,7 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str):
             members = mat[assign == c]
             if len(members):
                 cent[c] = members.sum(axis=0) // len(members)
-    return mat, cent
+    return cent
 
 
 def _ivf_assignments(spark: SparkSession, sf_dir: str):
@@ -765,7 +766,7 @@ def _ivf_assignments(spark: SparkSession, sf_dir: str):
     Returns (corpus_with_cell DataFrame, centroids ndarray).
     """
     q = _quantized(spark, sf_dir)
-    _, cent = _ivf_centroids(spark, sf_dir)
+    cent = _ivf_centroids(spark, sf_dir)
 
     # Self-contained closure (plain nested list, stdlib+numpy imports only):
     # executors can't import this package when the driver runs elsewhere.

@@ -150,19 +150,28 @@ def release_cached_blocks(
     if blocking:
         import time as _time
 
+        def _drain_state() -> tuple[int, int]:
+            # progress metric = total cached PARTITIONS, not RDD count
+            # (advisor r17): a single large RDD draining block-by-block
+            # keeps the RDD count constant for >0.5 s and would trip the
+            # no-progress bail even though the drain was advancing —
+            # exactly the slow-but-progressing case the 30 s cap covers.
+            infos = list(sc._jsc.sc().getRDDStorageInfo())
+            return len(infos), sum(i.numCachedPartitions() for i in infos)
+
         deadline = _time.monotonic() + 30.0
-        prev = len(sc._jsc.sc().getRDDStorageInfo())
+        n_rdds, prev = _drain_state()
         stalled = 0
-        while prev > 0:
+        while n_rdds > 0:
             if _time.monotonic() > deadline:
-                residual = prev
+                residual = n_rdds
                 break  # leave residue to the ContextCleaner; best-effort
             sc._jvm.System.gc()  # enqueue dropped-ref RDDs for the cleaner
             _time.sleep(0.1)
-            cur = len(sc._jsc.sc().getRDDStorageInfo())
+            n_rdds, cur = _drain_state()
             stalled = stalled + 1 if cur >= prev else 0
-            if cur > 0 and stalled >= 5:  # ~0.5 s with zero progress
-                residual = cur
+            if n_rdds > 0 and stalled >= 5:  # ~0.5 s with zero progress
+                residual = n_rdds
                 break
             prev = cur
     return ReleaseResult(len(jrdds), residual)
