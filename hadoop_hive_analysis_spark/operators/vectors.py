@@ -807,12 +807,29 @@ ANN_PQ_RECALL_SQL = _ann_pq_recall_sql()
 # clear the floor without a proportional shortlist) vs 8-bit 0.94 /
 # 1.00 / 0.84 at sf0.01 / sf0.1 / sf1 with probe=4. Codebooks fit on
 # the SAME bounded sample as the IVF coarse quantizer (one collect,
-# driver cost independent of corpus); encoding is raw-vector (FAISS
-# by_residual=false variant), keeping ADC tables query-only.
+# driver cost independent of corpus); encoding is BY-RESIDUAL (the
+# FAISS default and the Jégou et al. 2011 layout) since r18 — raw-
+# vector codes collapse on clustered corpora (every probed list packs
+# near-identical codes; measured shortlist coverage 18/50 → recall
+# 0.36 at the 100k MoG point, SCALING.md) — with the per-(query,cell)
+# dot(q, centroid) base term riding the probe rows and one GLOBAL
+# residual codebook set keeping the ADC tables query-only.
 IVFPQ_K = 256  # centroids per subspace (8-bit codes)
 IVFPQ_ITERS = 3
 IVFPQ_PROBE = 4  # coarse cells probed per query
-IVFPQ_CAND = 100  # shortlist fed to exact rerank — corpus-INDEPENDENT
+IVFPQ_CAND = 100  # shortlist FLOOR fed to exact rerank
+# Occupancy-proportional shortlist (r18, measured in the SCALING.md
+# clustered block): the rerank shortlist covers a fixed fraction of the
+# PROBED MASS — IVFPQ_PROBE x occupancy, which the occupancy-adaptive
+# cell count holds ~constant (~1250/cell) at every corpus — so the
+# shortlist is still corpus-INDEPENDENT (~500 at production occupancy)
+# while its coverage of the probed lists stops shrinking as cells fill.
+# Measured at the 100k MoG point: coverage 37/50 at the flat 100 floor
+# vs 48/50 at probed_mass/10 → recall 0.74 vs 0.96. The floor binds
+# through every driver-hash scale (occupancy <= 125 at the 2,000-vector
+# fixtures → proportional term <= 50 < 100, a 2x corpus margin), so
+# driver-hashed outputs are unchanged bit-for-bit.
+IVFPQ_CAND_DIV = 10  # shortlist = probed mass / this, floored at IVFPQ_CAND
 # Corpus-adaptive cell count (the LSH occupancy rule applied to the
 # inverted lists): with FIXED 16 cells the probed-list size grows
 # linearly (probe/ncells x corpus), so the constant shortlist's
@@ -1007,9 +1024,28 @@ def ivfpq_fit(spark: SparkSession, sf_dir: str, n_corpus: int | None = None):
     dsub = dim // PQ_M
     if cells is None:
         cells = _lloyd_np(mat, n_cells, KMEANS_ROUNDS)
+    # PQ codebooks train on RESIDUALS x - centroid(cell(x)) — FAISS
+    # by_residual, the Jégou et al. 2011 coarse+fine layout. Measured
+    # motivation (r18, SCALING.md clustered block): with raw-vector
+    # codes a clustered corpus packs each probed list with near-
+    # identical codes, ADC cannot rank within a cluster, and shortlist
+    # coverage collapses (true-NN in probed cells 50/50, in the ADC
+    # shortlist 18/50 at the 100k MoG point → recall 0.36). Residuals
+    # re-spread each list across the codebook space; recall recovers to
+    # ~1.0 there and the isotropic fixtures are unaffected within noise
+    # (their centroids sit near the origin, so residual ≈ raw).
+    import numpy as np
+
+    cells_np = np.asarray(cells, dtype=np.int64)
+    d2 = (
+        (mat * mat).sum(axis=1)[:, None]
+        - 2 * (mat @ cells_np.T)
+        + (cells_np * cells_np).sum(axis=1)[None, :]
+    )
+    res = mat - cells_np[d2.argmin(axis=1)]
     k = min(IVFPQ_K, len(mat))
     books = [
-        _lloyd_np(mat[:, m * dsub : (m + 1) * dsub], k, IVFPQ_ITERS)
+        _lloyd_np(res[:, m * dsub : (m + 1) * dsub], k, IVFPQ_ITERS)
         for m in range(PQ_M)
     ]
     return cells, books
@@ -1051,12 +1087,16 @@ def ivfpq_codes(
             d2 = (
                 (m_ * m_).sum(axis=1)[:, None] - 2 * (m_ @ c.T) + c2[None, :]
             )
+            cell = d2.argmin(axis=1)
             out = {
                 "vec_id": pdf["vec_id"],
-                "cell": d2.argmin(axis=1).astype("int32"),
+                "cell": cell.astype("int32"),
             }
+            # by_residual (FAISS default; see ivfpq_fit): codes quantize
+            # x - centroid(cell), matching the residual-trained books
+            r_ = m_ - c[cell]
             for mi, bk in enumerate(bks):
-                sub = m_[:, mi * len(bk[0]) : (mi + 1) * len(bk[0])]
+                sub = r_[:, mi * len(bk[0]) : (mi + 1) * len(bk[0])]
                 d2b = (
                     (sub * sub).sum(axis=1)[:, None]
                     - 2 * (sub @ bk.T)
@@ -1075,7 +1115,8 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ search: probe the IVFPQ_PROBE nearest coarse cells per
     query (driver-side — N_CELLS centroids, trivially bounded), ADC-score
     ONLY the probed inverted lists via a broadcast equi-join on the cell
-    id, rerank the top IVFPQ_CAND candidates exactly.
+    id, rerank the top shortlist candidates exactly (a fixed fraction
+    of the probed mass, floored at IVFPQ_CAND — see IVFPQ_CAND_DIV).
 
     Plan shape: the (query, probe_cell) frame carries the per-query ADC
     tables as array columns — one row per probe, IVFPQ_PROBE x N_QUERIES
@@ -1083,9 +1124,10 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``cell``: non-probed lists drop AT THE JOIN, so scored rows are
     ~(nprobe/ncells) x corpus x queries, and with a cell-partitioned
     index layout the same plan prunes partitions. Shortlist and rerank
-    are corpus-independent (queries x IVFPQ_CAND rows). One plan for all
-    queries — node count constant in query count (the ann_pq_topk
-    contract, kept here)."""
+    are corpus-independent (queries x ~probe x occupancy / IVFPQ_CAND_DIV
+    rows, and occupancy is held ~constant by the adaptive cell count).
+    One plan for all queries — node count constant in query count (the
+    ann_pq_topk contract, kept here)."""
     import numpy as np
 
     from pyspark.sql import Window
@@ -1093,7 +1135,10 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import N_QUERIES, TOP_K, _int_dot, _quantized
 
     q = _quantized(spark, sf_dir)
-    cells, books = ivfpq_fit(spark, sf_dir)
+    n_corpus = q.count()
+    cells, books = ivfpq_fit(spark, sf_dir, n_corpus=n_corpus)
+    occupancy = -(-n_corpus // max(1, len(cells)))
+    cand = max(IVFPQ_CAND, (IVFPQ_PROBE * occupancy) // IVFPQ_CAND_DIV)
     dsub = len(books[0][0])
     codes = ivfpq_codes(spark, sf_dir, cells=cells, books=books)
     qrows = q.filter(F.col("vec_id") < N_QUERIES).collect()
@@ -1105,13 +1150,20 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         qv = np.array(r["q"], dtype=np.int64)
         d2 = ((cells_np - qv[None, :]) ** 2).sum(axis=1)
         for cell in np.argsort(d2, kind="stable")[:IVFPQ_PROBE]:
-            probe_rows.append((t[0], int(cell)) + t[1:])
+            # by_residual ADC: x ≈ centroid(cell) + r̂, so
+            # dot(q, x) ≈ dot(q, centroid) + Σ_m dot(q_m, book_m[code])
+            # — the first term is constant per (query, cell) and rides
+            # the probe row as ``base``; the adc_m tables stay global
+            # per query (one shared residual codebook set, not
+            # per-cell), exactly the FAISS table layout.
+            base = int(qv @ cells_np[cell])
+            probe_rows.append((t[0], int(cell), base) + t[1:])
     n_books = len(books)
-    schema = "query_id long, probe_cell int, " + ", ".join(
+    schema = "query_id long, probe_cell int, base long, " + ", ".join(
         f"adc_{m} array<bigint>" for m in range(n_books)
     )
     probes = spark.createDataFrame(probe_rows, schema)
-    score = " + ".join(
+    score = "base + " + " + ".join(
         f"element_at(adc_{m}, code_{m} + 1)" for m in range(n_books)
     )
     scored = codes.join(
@@ -1127,7 +1179,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("adc").desc(), F.col("neighbor_id").asc()
     )
     shortlist = scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= IVFPQ_CAND
+        F.col("rank") <= cand
     )
     qdf = spark.createDataFrame(
         [(int(r["vec_id"]), list(r["q"])) for r in qrows],
