@@ -816,7 +816,17 @@ ANN_PQ_RECALL_SQL = _ann_pq_recall_sql()
 # residual codebook set keeping the ADC tables query-only.
 IVFPQ_K = 256  # centroids per subspace (8-bit codes)
 IVFPQ_ITERS = 3
-IVFPQ_PROBE = 4  # coarse cells probed per query
+IVFPQ_PROBE = 4  # probe FLOOR: coarse cells probed per query
+# Effective probe count is max(IVFPQ_PROBE, isqrt(n_cells)) — r18,
+# measured on the clustered MoG fixture: with occupancy-constant cells
+# a fixed probe covers a vanishing fraction of the lists, and once the
+# corpus outgrows its topic count each true cluster FRAGMENTS across
+# ~cells/K_true lists, so constant-probe recall decays (0.80 @500k,
+# 0.48 @2M — below floor) exactly as FAISS's nprobe guidance predicts.
+# probe = sqrt(cells) restores recall 1.0 at BOTH points while scored
+# rows grow only ~sqrt(corpus) (2.5% of a 2M corpus), and every
+# driver-hash scale still sees exactly 4 probes (16 cells through the
+# 40k floor → isqrt = 4 = the floor, identical behavior bit-for-bit).
 IVFPQ_CAND = 100  # shortlist FLOOR fed to exact rerank
 # Occupancy-proportional shortlist (r18, measured in the SCALING.md
 # clustered block): the rerank shortlist covers a fixed fraction of the
@@ -1112,8 +1122,9 @@ def ivfpq_codes(
 
 
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ search: probe the IVFPQ_PROBE nearest coarse cells per
-    query (driver-side — N_CELLS centroids, trivially bounded), ADC-score
+    """IVF-PQ search: probe the max(IVFPQ_PROBE, sqrt(n_cells)) nearest
+    coarse cells per query (driver-side — the centroid table, trivially
+    bounded), ADC-score
     ONLY the probed inverted lists via a broadcast equi-join on the cell
     id, rerank the top shortlist candidates exactly (a fixed fraction
     of the probed mass, floored at IVFPQ_CAND — see IVFPQ_CAND_DIV).
@@ -1138,7 +1149,12 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_corpus = q.count()
     cells, books = ivfpq_fit(spark, sf_dir, n_corpus=n_corpus)
     occupancy = -(-n_corpus // max(1, len(cells)))
-    cand = max(IVFPQ_CAND, (IVFPQ_PROBE * occupancy) // IVFPQ_CAND_DIV)
+    # sqrt-scaled probe (see IVFPQ_PROBE comment): covers a fragmenting
+    # true cluster at any corpus while scored rows grow only ~sqrt(n)
+    import math
+
+    n_probe = max(IVFPQ_PROBE, math.isqrt(len(cells)))
+    cand = max(IVFPQ_CAND, (n_probe * occupancy) // IVFPQ_CAND_DIV)
     dsub = len(books[0][0])
     codes = ivfpq_codes(spark, sf_dir, cells=cells, books=books)
     qrows = q.filter(F.col("vec_id") < N_QUERIES).collect()
@@ -1149,7 +1165,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r, t in zip(qrows, tables):
         qv = np.array(r["q"], dtype=np.int64)
         d2 = ((cells_np - qv[None, :]) ** 2).sum(axis=1)
-        for cell in np.argsort(d2, kind="stable")[:IVFPQ_PROBE]:
+        for cell in np.argsort(d2, kind="stable")[:n_probe]:
             # by_residual ADC: x ≈ centroid(cell) + r̂, so
             # dot(q, x) ≈ dot(q, centroid) + Σ_m dot(q_m, book_m[code])
             # — the first term is constant per (query, cell) and rides

@@ -114,11 +114,15 @@ def main() -> None:
             bf_wall = round(time.perf_counter() - t1, 2)
             release_cached_blocks(spark)
 
+            import math
+
             n = BASE_N * m
             cells = vectors._ivfpq_cells(n)
-            # default probe and the FAISS-guidance scaled probe
-            # (nprobe grows with the cell count, floored at the default)
-            scaled = max(vectors.IVFPQ_PROBE, round(cells / 4))
+            # effective default (the engine's sqrt-scaled probe) and the
+            # aggressive FAISS-guidance probe (nprobe ~ cells/4) as the
+            # lever's upper point
+            default = max(vectors.IVFPQ_PROBE, math.isqrt(cells))
+            scaled = max(default, round(cells / 4))
             row = {
                 "multiplier": m,
                 "vectors": n,
@@ -126,10 +130,10 @@ def main() -> None:
                 "bruteforce_wall": bf_wall,
             }
             for tag, probe in (
-                ("default", vectors.IVFPQ_PROBE),
+                ("default", default),
                 ("scaled", scaled),
             ):
-                if tag == "scaled" and probe == vectors.IVFPQ_PROBE:
+                if tag == "scaled" and probe == default:
                     row["recall_scaled"] = row["recall_default"]
                     row["probe_scaled"] = probe
                     continue
