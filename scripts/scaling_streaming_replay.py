@@ -132,6 +132,35 @@ def main() -> None:
         finally:
             shutil.rmtree(ckpt, ignore_errors=True)
 
+    def drain_join(spark, d):
+        """events_stream_join_replay's composition over the scaled
+        DIRECTORY layout (the registry fn streams the single-file
+        testdata/sweep layout via the default glob; a directory of part
+        files needs the explicit part glob + footer file, same as the
+        session drain)."""
+        table_dir = os.path.join(d, "events.parquet")
+        first_part = sorted(
+            f for f in os.listdir(table_dir) if f.endswith(".parquet")
+        )[0]
+        stream = se.read_events_stream(
+            spark,
+            table_dir,
+            file_glob="part-*.parquet",
+            footer_file=first_part,
+        )
+        ckpt = tempfile.mkdtemp(
+            prefix=f"hha_replay_ckpt_{uuid.uuid4().hex[:8]}_"
+        )
+        try:
+            return se.run_available_now(
+                se.streaming_click_purchase_join(stream),
+                query_name=f"scale_ssjoin_{uuid.uuid4().hex[:6]}",
+                checkpoint_dir=ckpt,
+                output_mode="append",
+            )
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
+
     def drain_tumbling(spark, d):
         table_dir = os.path.join(d, "events.parquet")
         first_part = sorted(
@@ -164,7 +193,7 @@ def main() -> None:
         ),
         (
             "events_stream_join_replay",
-            se.events_stream_join_replay,
+            drain_join,
             events_click_purchase_join,
             ["click_id", "purchase_id", "user_id", "secs_to_purchase"],
         ),
