@@ -585,3 +585,38 @@ def test_adc_scored_empty_query_set_returns_empty(spark, sf_dir):
     out = _adc_scored(spark, codes, [])
     assert out.collect() == []
     assert set(out.columns) == {"query_id", "neighbor_id", "adc"}
+
+
+def test_ivfpq_shortlist_and_probe_floors_bind_at_driver_scales():
+    """The r18 corpus-adaptive knobs (occupancy-proportional shortlist,
+    sqrt-scaled probe) must sit AT their floors through every
+    driver-hash scale, so driver-hashed outputs are provably unchanged
+    by the adaptivity — and must leave the floor with margin at the
+    scales the SCALING.md curves measured."""
+    import math
+
+    from hadoop_hive_analysis_spark.operators.vectors import (
+        IVFPQ_CAND,
+        IVFPQ_CAND_DIV,
+        IVFPQ_PROBE,
+        _ivfpq_cells,
+    )
+
+    # driver-hash scales: embeddings fixtures are <= 2,000 vectors
+    for n in (200, 500, 2_000):
+        cells = _ivfpq_cells(n)
+        probe = max(IVFPQ_PROBE, math.isqrt(cells))
+        occupancy = -(-n // cells)
+        assert probe == IVFPQ_PROBE, n  # 16 cells -> isqrt == floor
+        assert (probe * occupancy) // IVFPQ_CAND_DIV <= IVFPQ_CAND // 2, (
+            "proportional shortlist term must stay under the floor with "
+            "a 2x margin at driver scales"
+        )
+
+    # measured harness points leave the floors (the adaptive regime)
+    for n, min_probe in ((500_000, 20), (2_000_000, 40)):
+        cells = _ivfpq_cells(n)
+        probe = max(IVFPQ_PROBE, math.isqrt(cells))
+        assert probe >= min_probe, (n, probe)
+        occupancy = -(-n // cells)
+        assert (probe * occupancy) // IVFPQ_CAND_DIV > IVFPQ_CAND, n
