@@ -481,6 +481,20 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Untimed warm-up (r18, the bench.py rationale applied here): the
+    # FIRST query to touch an executor path pays its one-time costs —
+    # codegen JIT, file index, and above all the Python/Arrow worker
+    # pool spin-up for mapInPandas kernels. Measured: dedup_embedding_lsh
+    # first-run 13.5 s vs 3.9 s warmed; the r18 rotation demoted the ANN
+    # entries that used to absorb this early in the pack, which surfaced
+    # as a phantom ~2x "regression" on the two LSH rows. Touch the fact
+    # table and spin the worker pool once, then release.
+    spark.read.parquet(f"{SF1_DIR}/lineitem.parquet").count()
+    spark.range(100_000).repartition(64).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
+    release_cached_blocks(spark)
+
     # Validate explicit names (the bare_window_sweep.py fix, mirrored —
     # ADVICE r13): a typo'd or rested name must fail loudly, never yield
     # a vacuous '0 failures of 0'. Named rested entries ARE resolvable
