@@ -6,11 +6,15 @@ sweep's construction: within-copy geometry bit-exact, cross-copy
 cosines at chance, so the true-neighbor structure is preserved while
 the corpus grows).
 
-This is the harness behind the SCALING.md IVF-PQ rows: 0.98 / 0.90 /
+This is the harness behind the SCALING.md isotropic IVF-PQ rows.
+r17 (raw-vector codes, flat 100-row shortlist, probe 4): 0.98 / 0.90 /
 0.84 / 0.74 recall@5 at 1x / 10x / 50x / 250x with the adaptive cell
-count (16 / 16 / 80 / 400 cells), wall flat ~5-7 s through 50x. The
-nprobe-∝-cells negative result (recall unchanged, +34% wall at 250x)
-was measured with this same harness plus a probe-count override.
+count (16 / 16 / 80 / 400 cells) — plus the nprobe-∝-cells negative
+result (recall unchanged, +34% wall at 250x). r18 (by-residual codes,
+occupancy-proportional shortlist, sqrt-scaled probe): **1.0 / 1.0 /
+0.98 / 0.98** — the r17 "isotropic decay law" was shortlist coverage,
+closed without corpus-proportional rerank cost (see the SCALING.md
+round-18 clustered block for the measurements that drove each change).
 
 Usage: python scripts/scaling_ivfpq.py [multipliers...]   # default 1 10 50
 (250 adds ~5 min and needs ~16g heap: HHA_SCALE_HEAP=16g)
