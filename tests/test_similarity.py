@@ -620,3 +620,34 @@ def test_ivfpq_shortlist_and_probe_floors_bind_at_driver_scales():
         assert probe >= min_probe, (n, probe)
         occupancy = -(-n // cells)
         assert (probe * occupancy) // IVFPQ_CAND_DIV > IVFPQ_CAND, n
+
+
+def test_ivfpq_cell_partitioned_layout_prunes_partitions(spark, sf_dir, tmp_path):
+    """The serving-layout claim in ann_ivfpq_topk's docstring, proven
+    with a real layout: write the codes frame partitioned BY CELL (the
+    production index layout), probe-filter the read, and the scan plan
+    must carry PartitionFilters — i.e. at 100 TB the probed-cell
+    equi-join touches only the probed directories, everything else is
+    pruned at planning time. Values must round-trip exactly."""
+    from hadoop_hive_analysis_spark.operators.vectors import ivfpq_codes
+
+    codes = ivfpq_codes(spark, sf_dir)
+    idx = str(tmp_path / "ivfpq_index")
+    codes.write.partitionBy("cell").mode("overwrite").parquet(idx)
+
+    probed = [0, 3]
+    from pyspark.sql import functions as F
+
+    back = spark.read.parquet(idx).filter(F.col("cell").isin(probed))
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the filter must reach the partition pruning, not a post-scan Filter
+    assert "cell" in plan.split("PartitionFilters")[1][:200]
+
+    want = sorted(
+        map(tuple, codes.filter(F.col("cell").isin(probed)).collect())
+    )
+    got = sorted(
+        tuple(r[c] for c in codes.columns) for r in back.collect()
+    )
+    assert got == want
