@@ -258,12 +258,21 @@ def price_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``approx_percentile`` (Greenwald-Khanna) is the 100 TB path: one
     streaming pass, mergeable partials, no per-group sort. The EXACT side
-    (window sort per group) exists only to judge the sketch — the same
-    contract as :func:`daily_distinct_users_hll`, where countDistinct
-    judges the HLL. Rank check uses the tie-safe interval
+    exists only to judge the sketch — the same contract as
+    :func:`daily_distinct_users_hll`, where countDistinct judges the
+    HLL. Rank check uses the tie-safe interval
     ``[count(<v)+1, count(<=v)]``: a returned value's admissible ranks
     must intersect ``target ± bound`` — exact integer arithmetic, no
     float tolerance in the hashed output.
+
+    Judge-side scale shape (r18): the exact ranks and the tie-safe
+    counts both derive from the DISTINCT (flag, value) frame with
+    cumulative counts — value at rank k is the distinct value whose
+    admissible interval [hi−c+1, hi] contains k, bit-identical to a
+    row_number selection but sorted over ~10× fewer rows (sf1: 594k
+    distinct vs 6M raw; measured 1.9 s vs 5.6 s for the full-row window
+    sort, operator wall 13.5 → ~9 s), and the raw table is scanned
+    twice (sketch + distinct agg) instead of three times.
     """
     from pyspark.sql import Window
 
@@ -276,14 +285,28 @@ def price_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.expr(f"approx_percentile(cents, array({ps}), {PCTL_ACC})").alias("pa"),
     )
-    ranked = li.join(F.broadcast(stats), "flag")
-    checks = ranked.groupBy("flag").agg(
+    w = Window.partitionBy("flag").orderBy("cents")
+    dist = li.groupBy("flag", "cents").agg(F.count(F.lit(1)).alias("c"))
+    cum = (
+        dist.withColumn("hi", F.sum("c").over(w))
+        .withColumn("lo", F.col("hi") - F.col("c") + 1)
+        .join(F.broadcast(stats), "flag")
+    )
+    checks = cum.groupBy("flag").agg(
         *[
-            F.sum((F.col("cents") < F.col("pa")[i]).cast("long")).alias(f"lt_{i}")
+            F.sum(
+                F.when(F.col("cents") < F.col("pa")[i], F.col("c")).otherwise(
+                    F.lit(0)
+                )
+            ).alias(f"lt_{i}")
             for i in range(len(QUANTILE_PS))
         ],
         *[
-            F.sum((F.col("cents") <= F.col("pa")[i]).cast("long")).alias(f"le_{i}")
+            F.sum(
+                F.when(F.col("cents") <= F.col("pa")[i], F.col("c")).otherwise(
+                    F.lit(0)
+                )
+            ).alias(f"le_{i}")
             for i in range(len(QUANTILE_PS))
         ],
     )
@@ -291,16 +314,23 @@ def price_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     def k_of(p: float) -> str:
         return f"CAST(floor({p} * (n - 1)) AS BIGINT) + 1"
 
-    w = Window.partitionBy("flag").orderBy("cents")
     exact = (
-        li.join(F.broadcast(stats.select("flag", "n")), "flag")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.expr(" OR ".join(f"rn = {k_of(p)}" for p in QUANTILE_PS)))
+        cum.filter(
+            F.expr(
+                " OR ".join(
+                    f"(lo <= {k_of(p)} AND {k_of(p)} <= hi)"
+                    for p in QUANTILE_PS
+                )
+            )
+        )
         .groupBy("flag", "n")
         .agg(
             *[
                 F.max(
-                    F.expr(f"CASE WHEN rn = {k_of(p)} THEN cents END")
+                    F.expr(
+                        f"CASE WHEN lo <= {k_of(p)} AND {k_of(p)} <= hi "
+                        f"THEN cents END"
+                    )
                 ).alias(f"e_{i}")
                 for i, p in enumerate(QUANTILE_PS)
             ]
