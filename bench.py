@@ -165,13 +165,6 @@ def main() -> None:
         # attempt raised (ADVICE r15) — value must equal sum(queries)
         out["value"] = round(sum(timings.values()), 4)
         out["remeasured"] = remeasured
-    # Native-schema section: the reference's own .dat format at ~1 GB, so
-    # the BASELINE comparison is apples-to-apples on schema AND format.
-    # Best-effort: it must not void the headline pack.
-    try:
-        out["store_sales"] = _store_sales_section(spark)
-    except Exception as exc:
-        out["store_sales"] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
     regressions = _regressions_vs_prior(timings, sf)
     factor = regressions.pop("_host_speed_factor", None)
     by_file = regressions.pop("_host_speed_factor_by_file", None)
@@ -180,6 +173,27 @@ def main() -> None:
     # push a borderline un-flagged query past 1.2x — a "flag" that never
     # received the adjudication re-runs would contradict the protocol.
     regressions = {n: v for n, v in regressions.items() if n in first_pass}
+    # Absolute-delta floor on SURVIVING flags (judge r18 item 2): every
+    # one of r18's three noise survivors was a <=0.32 s delta on a
+    # factor-1.13 host vs a 0.92 pin — a ratio-only rule re-flags that
+    # shape every time the host factors straddle the pin's. A surviving
+    # flag now needs ratio_vs_pack > 1.3 AND an absolute delta > 0.5 s;
+    # the prepass stays at 1.2x so the remeasure loop is still generous,
+    # and flags_prepass still records everything that tripped it.
+    regressions = _surviving_flags(regressions)
+    # Native-schema section: the reference's own .dat format at ~1 GB, so
+    # the BASELINE comparison is apples-to-apples on schema AND format.
+    # Best-effort: it must not void the headline pack. Runs AFTER the
+    # pack's host factor is known so the native flag pass (judge r18
+    # item 2: the r18 pin committed a 4x-polluted q2 median that nothing
+    # flagged because store_sales sat outside the flag machinery) can
+    # normalize by the same factor as the pack.
+    try:
+        out["store_sales"] = _store_sales_section(
+            spark, host_factor=factor if factor is not None else 1.0
+        )
+    except Exception as exc:
+        out["store_sales"] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
     if factor is not None:
         out["host_speed_factor"] = factor
     if by_file:
@@ -266,20 +280,79 @@ def _emit(
         prune(slim)
     s = line(slim)
     if len(s) > LIMIT:  # last resort: contract fields only (queries
-        # already rounded + core-restricted by the prune chain above)
-        s = line(
-            {
-                "metric": slim["metric"],
-                "value": slim["value"],
-                "unit": slim["unit"],
-                "queries": slim["queries"],
-                "sf": slim["sf"],
-            }
-        )
+        # already rounded + core-restricted by the prune chain above).
+        # host_speed_factor and release_residual_max ride along (judge
+        # r18 item 8): every flag adjudication starts from those two
+        # numbers, so they must survive even the minimal line.
+        minimal = {
+            "metric": slim["metric"],
+            "value": slim["value"],
+            "unit": slim["unit"],
+            "queries": slim["queries"],
+            "sf": slim["sf"],
+        }
+        for k in ("host_speed_factor", "release_residual_max"):
+            if k in slim:
+                minimal[k] = slim[k]
+        s = line(minimal)
     print(s)
 
 
-def _store_sales_section(spark) -> dict:
+def _surviving_flags(regressions: dict) -> dict:
+    """The absolute-delta floor for flags that survive the remeasure
+    (judge r18 item 2): ratio_vs_pack > 1.3 AND delta > 0.5 s. All three
+    of r18's noise survivors were <= 0.32 s deltas at 1.31-1.37x — the
+    exact shape a mixed host-factor pair produces on sub-second queries —
+    while the one real candidate (price_quantiles_sketch, +1.02 s at
+    1.41x) clears both bars."""
+    return {
+        n: v
+        for n, v in regressions.items()
+        if v["ratio_vs_pack"] > 1.3 and (v["now"] - v["prior"]) > 0.5
+    }
+
+
+def _native_baseline() -> dict[str, float]:
+    """Newest-first merge of prior artifacts' store_sales medians, the
+    same merge discipline as ``_regressions_vs_prior``. Two shapes exist:
+    ``BENCH_FULL.json`` carries ``store_sales.queries``; driver-recorded
+    ``BENCH_r*.json`` lines carry ``store_sales`` pruned to the flat
+    name->sec dict by ``_emit``."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    candidates = []
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"r(\d+)", os.path.basename(p))
+        if m:
+            candidates.append((int(m.group(1)), p))
+    prior_files = [p for _, p in sorted(candidates)]
+    full = os.path.join(here, "BENCH_FULL.json")
+    if os.path.exists(full):
+        prior_files.append(full)
+    baseline: dict[str, float] = {}
+    for path in reversed(prior_files):
+        try:
+            with open(path) as f:
+                prior = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if isinstance(prior.get("parsed"), dict):
+            prior = prior["parsed"]
+        ss = prior.get("store_sales")
+        if not isinstance(ss, dict):
+            continue
+        queries = ss.get("queries", ss)
+        if not isinstance(queries, dict):
+            continue
+        for name, sec in queries.items():
+            if name not in baseline and isinstance(sec, (int, float)) and sec > 0:
+                baseline[name] = float(sec)
+    return baseline
+
+
+def _store_sales_section(spark, host_factor: float = 1.0) -> dict:
     """Reference-native benchmark: generate (once, cached) ~1 GB of
     23-field pipe-delimited store_sales.dat + store.dat, then time the
     4 reference queries end-to-end INCLUDING the PERMISSIVE CSV parse —
@@ -330,9 +403,10 @@ def _store_sales_section(spark) -> dict:
     # n=3 medians with per-run detail: single runs on sub-4s queries moved
     # 5-25% between r4/r5 artifacts with no code change (VERDICT r5) — the
     # median + recorded spread separates host noise from real movement.
+    fns = [("q1a", q1a), ("q1b", q1b), ("q1c", q1c), ("q2", q2)]
     timings = {}
     runs_detail = {}
-    for name, fn in [("q1a", q1a), ("q1b", q1b), ("q1c", q1c), ("q2", q2)]:
+    for name, fn in fns:
         samples = []
         for _ in range(3):
             t0 = time.perf_counter()
@@ -341,13 +415,73 @@ def _store_sales_section(spark) -> dict:
             _release(spark)  # untimed; see the pack loop
         timings[name] = sorted(samples)[1]  # median of 3
         runs_detail[name] = samples
-    return {
+    section = {
         "rows": n_rows,
         "dat_bytes": n_bytes,
         "gen_sec": gen_sec,
         "queries": timings,
         "runs": runs_detail,
     }
+    # Native flag pass (judge r18 item 2): the r18 pin's q2 median was a
+    # 4x host pollution (runs 6.4/12.0/12.2 s vs the normal ~3 s) and
+    # nothing flagged it — the natives sat outside the flag machinery, so
+    # the next round's comparisons would have been judged against a
+    # corrupted baseline. Same shape as the pack: prepass at 1.2x vs the
+    # merged prior (pack-factor-normalized), remeasure the tripped
+    # queries with 2 extra runs (median over all 5 — a median absorbs the
+    # polluted-run class that min-merge was designed for, while staying
+    # the committed native metric), then final flags need ratio_vs_pack
+    # > 1.3 AND delta > 0.5 s like the pack's surviving-flag floor.
+    prior = _native_baseline()
+    norm = max(host_factor, 1.0)
+
+    def _flag_dict(name: str, threshold: float) -> dict | None:
+        if name not in prior:
+            return None
+        ratio = timings[name] / prior[name]
+        if ratio / norm <= threshold:
+            return None
+        return {
+            "prior": prior[name],
+            "now": timings[name],
+            "ratio": round(ratio, 2),
+            "ratio_vs_pack": round(ratio / norm, 2),
+        }
+
+    prepass = {}
+    for name, _fn in fns:
+        d = _flag_dict(name, 1.2)
+        if d:
+            prepass[name] = d
+    if prepass:
+        section["flags_prepass"] = prepass
+        remeasured = []
+        for name, fn in fns:
+            if name not in prepass:
+                continue
+            try:
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    fn(spark).write.format("noop").mode("overwrite").save()
+                    runs_detail[name].append(
+                        round(time.perf_counter() - t0, 4)
+                    )
+                    _release(spark)
+                remeasured.append(name)
+            except Exception:
+                _release(spark)
+            samples = runs_detail[name]
+            timings[name] = sorted(samples)[len(samples) // 2]
+        if remeasured:
+            section["remeasured"] = remeasured
+        flags = {}
+        for name in prepass:
+            d = _flag_dict(name, 1.3)
+            if d and (d["now"] - d["prior"]) > 0.5:
+                flags[name] = d
+        if flags:
+            section["flags"] = flags
+    return section
 
 
 def _regressions_vs_prior(timings: dict[str, float], sf: float) -> dict:

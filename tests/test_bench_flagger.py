@@ -233,3 +233,56 @@ def test_sub_floor_queries_still_count_in_pack_median(tmp_path, monkeypatch):
     out = _run(tmp_path, monkeypatch, prior, now)
     assert out.pop("_host_speed_factor") == 2.0
     assert out == {}
+
+
+def test_surviving_flag_floor_clears_small_deltas():
+    # The r18 noise trio's exact shape: 1.31-1.37x ratio_vs_pack with
+    # <= 0.32 s absolute deltas — must auto-clear. The real candidate
+    # (+1.02 s at 1.41x) must survive.
+    regs = {
+        "events_top3_by_hotkey_salted": {
+            "prior": 0.3733, "now": 0.5548, "ratio": 1.49, "ratio_vs_pack": 1.31
+        },
+        "corpus_budget_select": {
+            "prior": 0.6067, "now": 0.9257, "ratio": 1.53, "ratio_vs_pack": 1.35
+        },
+        "events_merge_upsert": {
+            "prior": 0.4096, "now": 0.6351, "ratio": 1.55, "ratio_vs_pack": 1.37
+        },
+        "price_quantiles_sketch": {
+            "prior": 1.6897, "now": 2.7066, "ratio": 1.6, "ratio_vs_pack": 1.41
+        },
+    }
+    out = bench._surviving_flags(regs)
+    assert set(out) == {"price_quantiles_sketch"}
+
+
+def test_surviving_flag_floor_needs_both_bars():
+    # Big delta but sub-1.3 normalized ratio (a slow host on a heavy
+    # query) must also clear.
+    regs = {
+        "heavy": {"prior": 10.0, "now": 12.9, "ratio": 1.29, "ratio_vs_pack": 1.29}
+    }
+    assert bench._surviving_flags(regs) == {}
+
+
+def test_native_baseline_merges_both_artifact_shapes(tmp_path, monkeypatch):
+    # BENCH_FULL.json carries store_sales.queries; driver-recorded
+    # BENCH_r*.json carries store_sales pruned to the flat dict. Newest
+    # (the round artifact, written after the sidecar the driver read)
+    # fills first; BENCH_FULL backfills names the round artifact lacks.
+    with open(tmp_path / "BENCH_FULL.json", "w") as f:
+        json.dump(
+            {"sf": 0.1, "queries": {}, "store_sales": {"queries": {"q1a": 9.0, "q2": 11.96}}},
+            f,
+        )
+    with open(tmp_path / "BENCH_r02.json", "w") as f:
+        json.dump(
+            {"parsed": {"sf": 0.1, "queries": {}, "store_sales": {"q1a": 2.76}}},
+            f,
+        )
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    base = bench._native_baseline()
+    # Precedence: BENCH_FULL is appended last -> reversed() visits it
+    # first -> it wins ties, same as the pack logic.
+    assert base == {"q1a": 9.0, "q2": 11.96}
