@@ -248,6 +248,17 @@ PCTL_ACC = 1000  # approx_percentile accuracy ⇒ rank error ≤ n/PCTL_ACC
 # acceptance bound: 3x the sketch's guaranteed rank error, floor of 3 rows
 # so tiny groups (where 3x n/1000 rounds to 0) still have slack for ties.
 _BOUND = f"greatest(CAST(3 AS BIGINT), (n * 3) DIV {PCTL_ACC})"
+# Judge-plan crossover (r19 A/B adjudication, SCALING.md): the
+# distinct-CDF judge sorts value CARDINALITY instead of rows — a ~10x
+# win at sf1 (594k distinct vs 6M rows, operator wall 16.6 -> ~3 s) —
+# but below ~1M rows cents cardinality is ~rows (sf0.1: little dedup),
+# so the extra (flag, cents) shuffle buys no sort reduction and costs
+# more than it saves: interleaved pin/cur A/B measured 1.20 s
+# (row_number judge) vs 2.54 s (distinct-CDF) at sf0.1 on the same
+# host. Both judges are exact and bit-identical; the gate only picks
+# the cheaper plan. The one extra action is a zero-column parquet
+# count (row-group metadata, ~0.1 s at any harness scale).
+QUANTILE_DISTINCT_JUDGE_MIN_ROWS = 1_000_000
 
 
 def price_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -265,14 +276,17 @@ def price_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     must intersect ``target ± bound`` — exact integer arithmetic, no
     float tolerance in the hashed output.
 
-    Judge-side scale shape (r18): the exact ranks and the tie-safe
-    counts both derive from the DISTINCT (flag, value) frame with
-    cumulative counts — value at rank k is the distinct value whose
-    admissible interval [hi−c+1, hi] contains k, bit-identical to a
-    row_number selection but sorted over ~10× fewer rows (sf1: 594k
-    distinct vs 6M raw; measured 1.9 s vs 5.6 s for the full-row window
-    sort, operator wall 13.5 → ~9 s), and the raw table is scanned
-    twice (sketch + distinct agg) instead of three times.
+    Judge-side scale shape (r18, GATED r19): past
+    ``QUANTILE_DISTINCT_JUDGE_MIN_ROWS`` the exact ranks and the
+    tie-safe counts both derive from the DISTINCT (flag, value) frame
+    with cumulative counts — value at rank k is the distinct value
+    whose admissible interval [hi−c+1, hi] contains k, bit-identical to
+    a row_number selection but sorted over ~10× fewer rows (sf1: 594k
+    distinct vs 6M raw; operator wall 16.6 → ~3 s). Below the gate the
+    classic row_number judge wins (see the constant's comment — the r19
+    interleaved A/B measured the distinct shuffle costing 2.1× at
+    sf0.1, where cents cardinality ≈ rows); both judges are exact, so
+    the output is bit-identical either way.
     """
     from pyspark.sql import Window
 
@@ -280,62 +294,96 @@ def price_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").alias("flag"),
         F.expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").alias("cents"),
     )
+    n_rows = li.count()  # zero-column scan: row-group metadata only
     ps = ", ".join(str(p) for p in QUANTILE_PS)
     stats = li.groupBy("flag").agg(
         F.count("*").alias("n"),
         F.expr(f"approx_percentile(cents, array({ps}), {PCTL_ACC})").alias("pa"),
     )
-    w = Window.partitionBy("flag").orderBy("cents")
-    dist = li.groupBy("flag", "cents").agg(F.count(F.lit(1)).alias("c"))
-    cum = (
-        dist.withColumn("hi", F.sum("c").over(w))
-        .withColumn("lo", F.col("hi") - F.col("c") + 1)
-        .join(F.broadcast(stats), "flag")
-    )
-    checks = cum.groupBy("flag").agg(
-        *[
-            F.sum(
-                F.when(F.col("cents") < F.col("pa")[i], F.col("c")).otherwise(
-                    F.lit(0)
-                )
-            ).alias(f"lt_{i}")
-            for i in range(len(QUANTILE_PS))
-        ],
-        *[
-            F.sum(
-                F.when(F.col("cents") <= F.col("pa")[i], F.col("c")).otherwise(
-                    F.lit(0)
-                )
-            ).alias(f"le_{i}")
-            for i in range(len(QUANTILE_PS))
-        ],
-    )
 
     def k_of(p: float) -> str:
         return f"CAST(floor({p} * (n - 1)) AS BIGINT) + 1"
 
-    exact = (
-        cum.filter(
-            F.expr(
-                " OR ".join(
-                    f"(lo <= {k_of(p)} AND {k_of(p)} <= hi)"
-                    for p in QUANTILE_PS
+    w = Window.partitionBy("flag").orderBy("cents")
+    if n_rows >= QUANTILE_DISTINCT_JUDGE_MIN_ROWS:
+        dist = li.groupBy("flag", "cents").agg(F.count(F.lit(1)).alias("c"))
+        cum = (
+            dist.withColumn("hi", F.sum("c").over(w))
+            .withColumn("lo", F.col("hi") - F.col("c") + 1)
+            .join(F.broadcast(stats), "flag")
+        )
+        checks = cum.groupBy("flag").agg(
+            *[
+                F.sum(
+                    F.when(
+                        F.col("cents") < F.col("pa")[i], F.col("c")
+                    ).otherwise(F.lit(0))
+                ).alias(f"lt_{i}")
+                for i in range(len(QUANTILE_PS))
+            ],
+            *[
+                F.sum(
+                    F.when(
+                        F.col("cents") <= F.col("pa")[i], F.col("c")
+                    ).otherwise(F.lit(0))
+                ).alias(f"le_{i}")
+                for i in range(len(QUANTILE_PS))
+            ],
+        )
+        exact = (
+            cum.filter(
+                F.expr(
+                    " OR ".join(
+                        f"(lo <= {k_of(p)} AND {k_of(p)} <= hi)"
+                        for p in QUANTILE_PS
+                    )
                 )
             )
+            .groupBy("flag", "n")
+            .agg(
+                *[
+                    F.max(
+                        F.expr(
+                            f"CASE WHEN lo <= {k_of(p)} AND {k_of(p)} <= hi "
+                            f"THEN cents END"
+                        )
+                    ).alias(f"e_{i}")
+                    for i, p in enumerate(QUANTILE_PS)
+                ]
+            )
         )
-        .groupBy("flag", "n")
-        .agg(
+    else:
+        ranked = li.join(F.broadcast(stats), "flag")
+        checks = ranked.groupBy("flag").agg(
             *[
-                F.max(
-                    F.expr(
-                        f"CASE WHEN lo <= {k_of(p)} AND {k_of(p)} <= hi "
-                        f"THEN cents END"
-                    )
-                ).alias(f"e_{i}")
-                for i, p in enumerate(QUANTILE_PS)
-            ]
+                F.sum((F.col("cents") < F.col("pa")[i]).cast("long")).alias(
+                    f"lt_{i}"
+                )
+                for i in range(len(QUANTILE_PS))
+            ],
+            *[
+                F.sum((F.col("cents") <= F.col("pa")[i]).cast("long")).alias(
+                    f"le_{i}"
+                )
+                for i in range(len(QUANTILE_PS))
+            ],
         )
-    )
+        exact = (
+            li.join(F.broadcast(stats.select("flag", "n")), "flag")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(
+                F.expr(" OR ".join(f"rn = {k_of(p)}" for p in QUANTILE_PS))
+            )
+            .groupBy("flag", "n")
+            .agg(
+                *[
+                    F.max(
+                        F.expr(f"CASE WHEN rn = {k_of(p)} THEN cents END")
+                    ).alias(f"e_{i}")
+                    for i, p in enumerate(QUANTILE_PS)
+                ]
+            )
+        )
     ok = " AND ".join(
         f"(lt_{i} + 1 <= {k_of(p)} + {_BOUND} AND le_{i} >= {k_of(p)} - {_BOUND})"
         for i, p in enumerate(QUANTILE_PS)

@@ -306,3 +306,21 @@ def test_key_skew_profile_null_key_tiebreak(spark, tmp_path):
     want = [r[0] for r in con.execute(EVENTS_KEY_SKEW_SQL).fetchall()]
     con.close()
     assert want == [1, 2, 3, None]
+
+
+def test_quantile_judge_gate_paths_bit_identical(spark, sf_dir, monkeypatch):
+    """The r19 judge-plan gate (QUANTILE_DISTINCT_JUDGE_MIN_ROWS): the
+    row_number judge (below the gate — every driver scale) and the
+    distinct-CDF judge (forced here by dropping the gate to 0) must
+    produce bit-identical rows — both are exact; the gate only picks the
+    cheaper plan for the scale."""
+    from hadoop_hive_analysis_spark.operators import sketches
+
+    want = sorted(
+        map(tuple, sketches.price_quantiles_sketch(spark, sf_dir).collect())
+    )
+    monkeypatch.setattr(sketches, "QUANTILE_DISTINCT_JUDGE_MIN_ROWS", 0)
+    got = sorted(
+        map(tuple, sketches.price_quantiles_sketch(spark, sf_dir).collect())
+    )
+    assert got == want
