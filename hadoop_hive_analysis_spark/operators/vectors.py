@@ -1300,9 +1300,15 @@ def ivfpq_index_build(spark: SparkSession, sf_dir: str, index_dir: str) -> dict:
     n_corpus = q.count()
     cells, books = ivfpq_fit(spark, sf_dir, n_corpus=n_corpus)
     codes = ivfpq_codes(spark, sf_dir, cells=cells, books=books)
-    codes.join(q, "vec_id").write.partitionBy("cell").mode(
-        "overwrite"
-    ).parquet(os.path.join(index_dir, "lists"))
+    # repartition BY CELL before the partitioned write: each cell's rows
+    # land in one task -> ONE file per list directory (the compacted
+    # layout a production index maintains) instead of
+    # n_write_tasks × n_cells fragments — measured at the 2M point:
+    # 9,733 files for 327 probed dirs without it. One shuffle, paid once
+    # at build time.
+    codes.join(q, "vec_id").repartition("cell").write.partitionBy(
+        "cell"
+    ).mode("overwrite").parquet(os.path.join(index_dir, "lists"))
     meta = {
         "n_corpus": int(n_corpus),
         "cells": [[int(x) for x in row] for row in cells],
