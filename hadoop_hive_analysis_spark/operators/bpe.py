@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.frames import local_frame
 from ..functions.text import tokens
 from ..sources.catalog import load_table
 
@@ -180,7 +181,7 @@ def bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_bpe.py."""
     rows = train_merges(spark, sf_dir)
     schema = "rank long, left string, right string, merged string, freq long"
-    return spark.createDataFrame(rows, schema)
+    return local_frame(spark, rows, schema)
 
 
 def python_reference_merges(

@@ -20,6 +20,7 @@ from ..session import CKPT_LEVEL
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.frames import local_frame
 from ..sources.catalog import load_table
 
 WINDOW_SEC = 300
@@ -370,8 +371,8 @@ def events_campaign_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the single shuffle.
     """
     ev = load_table(spark, sf_dir, "events")
-    camp = spark.createDataFrame(
-        CAMPAIGNS, "campaign_id INT, start_epoch BIGINT, end_epoch BIGINT"
+    camp = local_frame(
+        spark, CAMPAIGNS, "campaign_id INT, start_epoch BIGINT, end_epoch BIGINT"
     )
     camp_b = camp.withColumn(
         "bucket",

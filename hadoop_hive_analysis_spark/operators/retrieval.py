@@ -49,6 +49,7 @@ from ..session import CKPT_LEVEL
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.frames import local_frame
 from ..functions.text import tokens
 from ..sources.catalog import load_table
 
@@ -93,7 +94,7 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = dl.agg(
         F.sum("dl").cast("long").alias("s"), F.count("*").alias("n")
     )
-    qterms = spark.createDataFrame(_query_terms(), "qid int, tok string")
+    qterms = local_frame(spark, _query_terms(), "qid int, tok string")
     terms = qterms.select("tok").distinct()
 
     tf = (

@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.frames import local_frame
 from ..sources.catalog import load_table
 
 N_QUERIES = 10
@@ -823,8 +824,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         d2 = ((cent - qv[None, :]) ** 2).sum(axis=1)
         for cell in np.argsort(d2, kind="stable")[:N_PROBE]:
             probe_rows.append((int(r.vec_id), list(r.q), int(cell)))
-    probes = spark.createDataFrame(
-        probe_rows, "query_id long, qq array<bigint>, probe_cell int"
+    probes = local_frame(
+        spark, probe_rows, "query_id long, qq array<bigint>, probe_cell int"
     )
 
     cand = corpus.join(

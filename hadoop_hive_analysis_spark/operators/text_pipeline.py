@@ -23,6 +23,7 @@ from ..session import CKPT_LEVEL
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.frames import local_frame
 from ..functions.hashing import h64, h64_sql
 from ..functions.text import tokens, with_shingles
 from ..sources.catalog import load_table
@@ -215,7 +216,7 @@ def data_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines.
     """
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
-    w = spark.createDataFrame(list(TARGET_MIX), "lang STRING, w INT")
+    w = local_frame(spark, list(TARGET_MIX), "lang STRING, w INT")
     counts = (
         d.groupBy("lang").agg(F.count("*").alias("n_l")).join(F.broadcast(w), "lang")
     )

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.frames import local_frame
 from ..sources.catalog import load_table
 from .similarity import _QUANT, _QUANT_SQL
 
@@ -653,7 +654,7 @@ def _adc_scored(
     schema = "query_id long, " + ", ".join(
         f"adc_{m} array<bigint>" for m in range(n_books)
     )
-    qdf = spark.createDataFrame(tables, schema)
+    qdf = local_frame(spark, tables, schema)
     score = " + ".join(
         f"element_at(adc_{m}, code_{m} + 1)" for m in range(n_books)
     )
@@ -1153,7 +1154,7 @@ def _ivfpq_probes(spark, qrows, cells, books, n_probe):
     schema = "query_id long, probe_cell int, base long, " + ", ".join(
         f"adc_{m} array<bigint>" for m in range(len(books))
     )
-    return spark.createDataFrame(probe_rows, schema), sorted(probed)
+    return local_frame(spark, probe_rows, schema), sorted(probed)
 
 
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1211,7 +1212,8 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlist = scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= cand
     )
-    qdf = spark.createDataFrame(
+    qdf = local_frame(
+        spark,
         [(int(r["vec_id"]), list(r["q"])) for r in qrows],
         "query_id long, qq array<bigint>",
     )
@@ -1383,7 +1385,8 @@ def ann_ivfpq_search(
     shortlist = scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= cand
     )
-    qdf = spark.createDataFrame(
+    qdf = local_frame(
+        spark,
         [(int(r["vec_id"]), [int(x) for x in r["q"]]) for r in qrows],
         "query_id long, qq array<bigint>",
     )

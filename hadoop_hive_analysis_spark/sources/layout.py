@@ -317,8 +317,10 @@ def erase_rows(
     # explicit schema from the source column: no sampling-based inference,
     # and the anti-join key types match by construction
     erase_schema = StructType([StructField(key_col, df.schema[key_col].dataType)])
-    erase = spark.createDataFrame(
-        [(k,) for k in keys], erase_schema
+    from ..functions.frames import local_frame
+
+    erase = local_frame(
+        spark, [(k,) for k in keys], erase_schema
     ).dropDuplicates()
 
     # restore the original column order: a USING join hoists the key to

@@ -800,7 +800,9 @@ def events_stream_left_join_replay(spark: SparkSession, sf_dir: str) -> DataFram
     out = spark.read.schema(out_schema).parquet(out_dir)
     rows = out.collect()
     shutil.rmtree(out_dir, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    from ..functions.frames import local_frame
+
+    return local_frame(spark, rows, out.schema)
 
 
 # ------------------------------------------------ stream-static enrich

@@ -1,0 +1,47 @@
+"""local_frame must be a drop-in for createDataFrame(list, schema):
+identical rows and schema, one partition, across the row shapes the
+engine's driver-built frames actually use (r19 optimization — the
+pickled-list path pays 32 Python-worker tasks per consumer)."""
+
+import pytest
+from pyspark.sql import types as T
+
+from hadoop_hive_analysis_spark.functions.frames import local_frame
+
+CASES = [
+    # (rows, schema)
+    ([(1, 2), (3, 4)], "node bigint, component bigint"),
+    ([("a", 1), ("b", None)], "k string, v int"),
+    ([(1, [1, 2, 3]), (2, [4])], "query_id long, qq array<bigint>"),
+    ([(0, "x", "y", "xy", 5)], "rank long, left string, right string, merged string, freq long"),
+    ([], "node bigint, component bigint"),
+    ([(1, None), (None, "s")], "a int, b string"),
+]
+
+
+@pytest.mark.parametrize("rows,schema", CASES, ids=range(len(CASES)))
+def test_local_frame_matches_createdataframe(spark, rows, schema):
+    got = local_frame(spark, rows, schema)
+    want = spark.createDataFrame(rows, schema)
+    assert got.schema == want.schema
+    key = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
+    assert sorted(map(tuple, got.collect()), key=key) == sorted(
+        map(tuple, want.collect()), key=key
+    )
+
+
+def test_local_frame_single_partition(spark):
+    df = local_frame(spark, [(i, i) for i in range(5000)], "a long, b long")
+    assert df.rdd.getNumPartitions() == 1
+
+
+def test_local_frame_struct_type_schema(spark):
+    schema = T.StructType(
+        [
+            T.StructField("node", T.LongType()),
+            T.StructField("component", T.LongType()),
+        ]
+    )
+    got = local_frame(spark, [(7, 7), (9, 7)], schema)
+    assert got.schema == schema
+    assert sorted(map(tuple, got.collect())) == [(7, 7), (9, 7)]
