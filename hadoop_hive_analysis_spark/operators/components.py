@@ -102,8 +102,12 @@ def connected_components(edges: DataFrame, src: str, dst: str) -> DataFrame:
     # action on top — measured 17 s vs ~2 s at sf0.1 over MinHash edges).
     # Per-iteration label checkpoints stop the plan growing with the
     # iteration count (the standard Spark iterative-algorithm pattern).
+    # Non-eager (r19): the labels-init distinct is the materializing
+    # action, so setup costs one job instead of two; the union's two
+    # branches land inside that same job and still read the one cached
+    # copy. Serialized level: same rationale as every corpus checkpoint.
     edges = edges.select(F.col(src).alias("eu"), F.col(dst).alias("ev"))
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     sym = edges.union(edges.select(F.col("ev").alias("eu"), F.col("eu").alias("ev")))
     labels = sym.select(F.col("eu").alias("node")).distinct().withColumn(
         "label", F.col("node")
@@ -123,7 +127,9 @@ def connected_components(edges: DataFrame, src: str, dst: str) -> DataFrame:
             F.col("label").alias("old_label"),
         )
         # Convergence from an aggregated scalar — no data to the driver.
-        updated = updated.localCheckpoint(eager=True)
+        # Non-eager (r19): the changed-count below is the materializing
+        # action, so each iteration costs one scheduled job, not two.
+        updated = updated.localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
         changed = updated.filter(F.col("new_label") < F.col("old_label")).count()
         labels = updated.select("node", F.col("new_label").alias("label"))
         if changed == 0:

@@ -73,22 +73,27 @@ def corpus_clean_staged(
     spark: SparkSession, sf_dir: str, workdir: str | None = None
 ) -> DataFrame:
     """Staged variant of :func:`corpus_clean`: materialize the hashed
-    shingle table once as parquet and feed the SAME MinHash-LSH core
-    (:func:`..operators.dedup.minhash_pairs_from_shingles`) from the
+    shingle-SET table once as parquet and feed the SAME MinHash-LSH core
+    (:func:`..operators.dedup.minhash_pairs_from_shingle_sets`) from the
     materialization instead of recomputing tokenize→shingle→hash per
     consumer.
 
     At 100 TB this is how the pipeline actually runs — expensive derived
-    tables (shingles, signatures) land in columnar storage and every
-    downstream stage scans them. Results are identical to the fused form
-    (asserted in tests, and both forms share the one DuckDB oracle).
+    tables (shingle sets + their hashes) land in columnar storage and
+    every downstream stage scans them. The set form (one row per doc,
+    array columns) replaced the exploded form in r19: same bytes in
+    ~50× fewer rows, and the core's signature/verify stages no longer
+    need a groupBy to reassemble per-doc state. Results are identical to
+    the fused form (asserted in tests, and both forms share the one
+    DuckDB oracle).
 
     ``workdir`` defaults to a fresh scratch directory (the registered
     driver form); pass an explicit path to keep the materialization.
     """
-    from ..functions.hashing import h31
-    from ..functions.text import with_shingles
-    from ..operators.dedup import minhash_pairs_from_shingles
+    from ..operators.dedup import (
+        minhash_pairs_from_shingle_sets,
+        shingle_sets,
+    )
     from ..sources.catalog import load_table
     from ..sources.sinks import write_parquet
 
@@ -108,17 +113,12 @@ def corpus_clean_staged(
         atexit.register(shutil.rmtree, workdir, ignore_errors=True)
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sh_path = f"{workdir}/shingles.parquet"
-    write_parquet(
-        with_shingles(docs, "text", 3)
-        .select("doc_id", "shingle")
-        .withColumn("h31", h31(F.col("shingle"))),
-        sh_path,
-    )
-    sh = spark.read.parquet(sh_path)
+    sets_path = f"{workdir}/shingle_sets.parquet"
+    write_parquet(shingle_sets(docs), sets_path)
+    sets = spark.read.parquet(sets_path)
 
     losers = (
-        minhash_pairs_from_shingles(sh)
+        minhash_pairs_from_shingle_sets(sets)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
