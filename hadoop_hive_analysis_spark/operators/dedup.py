@@ -386,30 +386,45 @@ DEDUP_MINHASH_LSH_SQL = f"""
 
 
 def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, simhash): 32-bit signature, one aggregation pass.
+    """(doc_id, simhash): 32-bit signature, computed per ROW.
 
     Features are 3-gram SHINGLES, not single tokens: on a small shared
     vocabulary token sets are near-identical across unrelated docs (measured:
     token-simhash put 21k of 125k possible pairs within radius 3), while
     shingle sets separate exactly like the Jaccard ground truth.
 
-    Per bit b: majority vote over feature hashes — computed as 32
-    SUM(CASE…) aggregates, NOT a 32× row explosion. At 100 TB this is a
-    single map+shuffle on doc_id with 32-long partial aggregates.
+    Per bit b the majority vote over a doc's feature hashes is a fact of
+    the doc's OWN shingle-hash array: ``v_b = 2·|{h : bit b set}| −
+    |harr|`` (each set bit votes +1, each clear bit −1). Restructured in
+    r19 from 32 SUM(CASE…) aggregates over the exploded shingle table to
+    row-wise ``size(filter(harr, …))`` folds on the set-form frame — the
+    groupBy(doc_id) SHUFFLE is gone; the votes are bit-identical (same
+    multiset of hashes per doc). At 100 TB the signature becomes a pure
+    map over the corpus scan.
     """
-    tok = _doc_shingles(spark, sf_dir)
-    tok = tok.withColumn("h", h31(F.col("shingle")))
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v_{b}")
-        for b in range(SIMHASH_BITS)
-    ]
-    agg = tok.groupBy("doc_id").agg(*votes)
+    from ..sources.catalog import spread_small_scan
+
+    sets = shingle_sets(
+        spread_small_scan(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        )
+    )
+
+    def _vote(b: int):  # v_b > 0  ⇔  2·n_set > size(harr)
+        n_set = F.size(
+            F.filter(
+                F.col("harr"),
+                lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
+            )
+        )
+        return F.when(n_set * 2 > F.size("harr"), F.lit(1 << b)).otherwise(
+            F.lit(0)
+        )
+
     sim = F.lit(0).cast("long")
     for b in range(SIMHASH_BITS):
-        sim = sim + F.when(F.col(f"v_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-    return agg.select("doc_id", sim.alias("simhash"))
+        sim = sim + _vote(b)
+    return sets.select("doc_id", sim.alias("simhash"))
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1106,73 +1121,110 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard. ⌈4n/5⌉ is exact integer arithmetic ((4n + 4) DIV 5), so
     prefix membership is engine-independent.
 
-    Scale shape: one df shuffle; the per-doc ranking window sorts each
-    document's OWN shingles (bounded by doc length, never corpus);
-    prefix self-join on shingle (posting lists bounded by the df cap
-    AND cut ~5x by prefixing); verify joins restricted to candidate
-    pairs. Completeness vs the full-join algorithm is pinned in tests
+    Scale shape: one df shuffle; the per-doc canonical ranking is a
+    row-wise ``array_sort`` over each document's OWN (df, shingle)
+    pairs (bounded by doc length, never corpus — r19 replaced the two
+    window passes this used to cost); prefix self-join on shingle
+    (posting lists bounded by the df cap AND cut ~5x by prefixing);
+    verify is an exact ``array_intersect`` per candidate pair.
+    Completeness vs the full-join algorithm is pinned in tests
     (identical pair sets), and the pruning ratio is measured there —
     the candidate count must be strictly smaller.
     """
-    sh = _informative_shingles(spark, sf_dir).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
-    dfs = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    ranked = (
+    # Set-form pipeline (r19): the global df ranking still needs one
+    # shuffle by shingle (a corpus-wide fact), but everything per-doc —
+    # the canonical ordering, the prefix cut, the set size, and the
+    # verify intersection — is a row-wise array operation once each
+    # doc's (df, shingle) pairs are reassembled. Replaced: the TWO
+    # window passes (row_number + count over doc_id), the exploded
+    # two-sided verify join with its pair-count aggregation, and the
+    # separate cardinality aggregate + two join-backs. The reassembly
+    # groupBy is the one doc_id shuffle the old window pass already
+    # paid; the verify now moves |candidates| array rows instead of
+    # |candidates| × |doc shingles| exploded rows.
+    # One shingle aggregation serves BOTH the df cut and the df attach
+    # (r19): the generic anti-join cut (_informative_shingles) plus a
+    # second df aggregation over its output would shuffle the shingle
+    # table twice for facts one pass produces — the inner join against
+    # the df ≤ cap side keeps exactly the informative rows AND carries
+    # their df. (The cut itself is unchanged: df over the raw table, cap
+    # STOP_SHINGLE_DF; the anti-join form lives on in the operators that
+    # only need membership.)
+    sh = _doc_shingles(spark, sf_dir).localCheckpoint(
+        eager=False, storageLevel=CKPT_LEVEL
+    )
+    dfs = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= STOP_SHINGLE_DF)
+    )
+    inf = (
         sh.join(dfs, "shingle")
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("df", "shingle")).alias("pairs"))
+        .withColumn("n", F.size("pairs"))
+        # canonical order = (df asc, shingle asc): struct ordering is
+        # field order, and (df, shingle) is unique within a doc, so the
+        # sorted array reproduces the old row_number ranking exactly
         .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("df", "shingle")
+            "pref",
+            F.expr(
+                "transform(slice(array_sort(pairs), 1, "
+                "n - ((4 * n + 4) DIV 5) + 1), x -> x.shingle)"
             ),
         )
-        .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
+        .withColumn("sarr", F.expr("transform(pairs, x -> x.shingle)"))
+        .select("doc_id", "n", "sarr", "pref")
+        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     )
-    pref = ranked.filter(
-        F.col("rk") <= F.col("n") - F.expr("(4 * n + 4) DIV 5") + 1
-    ).select("doc_id", "shingle", "n")
+    pref = inf.select("doc_id", "n", F.explode("pref").alias("shingle"))
     pa, pb = pref.alias("pa"), pref.alias("pb")
     # PPJoin's LENGTH filter rides along for free (n is already computed
     # for the prefix bound): J = ix/(na+nb−ix) ≤ min/max since ix ≤ min
     # and the union ≥ max, so J ≥ 4/5 forces 5·min(na,nb) ≥ 4·max(na,nb)
     # — exact integer arithmetic, engine-independent. Measured at sf0.1:
     # candidate pairs 118,826 → 43,543 (2.7×) before the verify joins.
-    cand = (
-        pa.join(
-            pb,
-            (F.col("pa.shingle") == F.col("pb.shingle"))
-            & (F.col("pa.doc_id") < F.col("pb.doc_id"))
-            & (
-                F.least(F.col("pa.n"), F.col("pb.n")) * 5
-                >= F.greatest(F.col("pa.n"), F.col("pb.n")) * 4
-            ),
-        )
-        .select(
-            F.col("pa.doc_id").alias("doc_a"),
-            F.col("pb.doc_id").alias("doc_b"),
-        )
-        .distinct()
+    # NO distinct before the verify (r19): a distinct here exchanges the
+    # candidate pairs into a tiny (AQE-coalesced) partition and the
+    # whole array-verify then runs single-task behind it — measured
+    # 1.3 s of one-core intersects at sf0.1. Verifying at prefix-join
+    # width (classic PPJoin verifies during enumeration) re-checks a
+    # pair once per shared prefix shingle (bounded by the prefix
+    # length) but keeps the intersects on the join's full parallelism;
+    # the final distinct collapses the (identical) verified rows of the
+    # tiny filtered result instead.
+    cand = pa.join(
+        pb,
+        (F.col("pa.shingle") == F.col("pb.shingle"))
+        & (F.col("pa.doc_id") < F.col("pb.doc_id"))
+        & (
+            F.least(F.col("pa.n"), F.col("pb.n")) * 5
+            >= F.greatest(F.col("pa.n"), F.col("pb.n")) * 4
+        ),
+    ).select(
+        F.col("pa.doc_id").alias("doc_a"),
+        F.col("pb.doc_id").alias("doc_b"),
     )
-    sa, sb = sh.alias("sa"), sh.alias("sb")
-    ix = (
-        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(
-            sb,
-            (F.col("doc_b") == F.col("sb.doc_id"))
-            & (F.col("sa.shingle") == F.col("sb.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("ix"))
+    sa = inf.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sarr").alias("sarr_a"),
+        F.col("n").alias("na"),
     )
-    card = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    ca = card.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    cb = card.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    sb = inf.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sarr").alias("sarr_b"),
+        F.col("n").alias("nb"),
+    )
     return (
-        ix.join(ca, "doc_a")
-        .join(cb, "doc_b")
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("ix", F.size(F.array_intersect("sarr_a", "sarr_b")))
         .withColumn(
             "jaccard", F.col("ix") / (F.col("na") + F.col("nb") - F.col("ix"))
         )
         .filter(F.col("jaccard") >= F.lit(JACCARD_THRESHOLD))
         .select("doc_a", "doc_b", "jaccard")
+        .distinct()
     )
 
 

@@ -1251,29 +1251,49 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     "First seen" is a min(doc_id) aggregate per shingle — the same
     partial-agg shape as document frequency, so the shuffle carries
-    distinct shingles, and the join back to the per-doc frame rides the
-    same shingle key. Novelty is an exact integer ppm (count DIV), so
-    the profile hashes identically across engines.
+    distinct shingles. Restructured in r19: a doc's novel-shingle count
+    IS the number of shingles whose first_doc equals it, so ``n_novel``
+    comes from re-aggregating the first-seen table by ``first_doc``
+    (distinct-shingle-sized) instead of joining it back onto the
+    exploded per-doc frame and re-shuffling that by doc_id — the two
+    corpus-sized exchanges of the join-back form are gone, and
+    ``n_shingles`` is a row-wise ``size(sarr)`` fact of the set-form
+    frame. Novelty is an exact integer ppm (count DIV), so the profile
+    hashes identically across engines.
     """
-    from ..operators.dedup import _doc_shingles
+    from ..operators.dedup import shingle_sets
+    from ..sources.catalog import spread_small_scan
 
-    sh = _doc_shingles(spark, sf_dir).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
-    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
-    per_doc = (
-        sh.join(first, "shingle")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_shingles"),
-            F.sum(
-                F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
-            ).alias("n_novel"),
+    # project harr away BEFORE the checkpoint: novelty never hashes, so
+    # the md5 transform is pruned out of the materialization entirely;
+    # the checkpoint exists because both branches (first-seen explode +
+    # per-doc sizes) read the set frame.
+    sets = (
+        shingle_sets(
+            spread_small_scan(
+                load_table(spark, sf_dir, "documents").select("doc_id", "text")
+            )
         )
+        .select("doc_id", "sarr")
+        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     )
+    sh = sets.select("doc_id", F.explode("sarr").alias("shingle"))
+    novel = (
+        sh.groupBy("shingle")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy(F.col("first_doc").alias("doc_id"))
+        .agg(F.count("*").alias("n_novel"))
+    )
+    per_doc = sets.select(
+        "doc_id", F.size("sarr").cast("long").alias("n_shingles")
+    ).join(novel, "doc_id", "left")
     return per_doc.select(
         "doc_id",
-        F.col("n_shingles").cast("long").alias("n_shingles"),
-        F.col("n_novel").cast("long").alias("n_novel"),
-        F.expr("n_novel * 1000000 DIV n_shingles")
+        "n_shingles",
+        F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
+        F.expr(
+            "coalesce(n_novel, 0) * 1000000 DIV n_shingles"
+        )
         .cast("long")
         .alias("novelty_ppm"),
     )

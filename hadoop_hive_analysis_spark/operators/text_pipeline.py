@@ -103,12 +103,17 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
     bench_pred = F.col("doc_id") % BENCH_MOD == 0
-    # corpus_sh feeds two branches (per-doc totals + the broadcast-probe
-    # hit counts); materialize it so the corpus shingle explode runs once
-    # (round-4 audit: the un-checkpointed form scanned documents 3x).
-    corpus_sh = (
-        with_shingles(d.filter(~bench_pred), "text")
-        .select("doc_id", "shingle")
+    # Set-form corpus side (r19): per-doc totals are a row-wise
+    # ``size(sarr)`` fact, so the exploded table no longer shuffles by
+    # doc_id for them — only the (much smaller) benchmark-hit rows do.
+    # The set frame feeds two branches (hit probe + totals); materialize
+    # it so the shingle build runs once (round-4 audit class). harr is
+    # projected away before the checkpoint — contamination never hashes.
+    from ..operators.dedup import shingle_sets
+
+    corpus_sets = (
+        shingle_sets(d.filter(~bench_pred))
+        .select("doc_id", "sarr")
         .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     )
     bench_sh = (
@@ -116,18 +121,22 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("shingle")
         .distinct()
     )
-    totals = corpus_sh.groupBy("doc_id").agg(
-        F.count("*").alias("n_shingles")
-    )
     hits = (
-        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        corpus_sets.select("doc_id", F.explode("sarr").alias("shingle"))
+        .join(F.broadcast(bench_sh), "shingle")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hit"))
     )
-    joined = totals.join(hits, "doc_id", "left").select(
-        "doc_id",
-        "n_shingles",
-        F.coalesce("n_hit", F.lit(0)).alias("n_overlap"),
+    joined = (
+        corpus_sets.select(
+            "doc_id", F.size("sarr").cast("long").alias("n_shingles")
+        )
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_hit", F.lit(0)).alias("n_overlap"),
+        )
     )
     return joined.select(
         "doc_id",
