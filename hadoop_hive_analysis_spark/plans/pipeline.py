@@ -112,7 +112,17 @@ def corpus_clean_staged(
         workdir = tempfile.mkdtemp(prefix="hha_corpus_clean_staged_")
         atexit.register(shutil.rmtree, workdir, ignore_errors=True)
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from ..sources.catalog import spread_small_scan
+
+    # spread before the set build (r19): the single-row-group fixture
+    # scans as one real task, so the tokenize→shingle→md5 pass that
+    # feeds the write ran single-core (2.34 → 1.88 s best-of-3 with the
+    # spread; an AQE REBALANCE write was also measured — 2.45 s, the
+    # extra exchange costs more than the small files save at this
+    # volume). No-op at real scale (see spread_small_scan's gate).
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     sets_path = f"{workdir}/shingle_sets.parquet"
     write_parquet(shingle_sets(docs), sets_path)
     sets = spark.read.parquet(sets_path)
