@@ -1244,56 +1244,84 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     side with the smaller informative-shingle set (ties broken by
     doc_id so the pair orientation is deterministic in both engines).
 
-    Scale shape: identical to the Jaccard path — df-capped posting
-    self-join, partial-agg intersection counts, broadcast-friendly
-    cardinality join-backs; only the final predicate differs (min
-    instead of union), so the same candidate bound applies. The
-    division is exact-integer cross-multiplied: ix·10 ≥ 9·min(na,nb),
-    so threshold membership is bit-identical across engines.
+    Scale shape (r19 — smaller-side prefix filtering): candidate pairs
+    come from joining the SMALLER side's canonical-order PREFIX against
+    the larger side's full posting lists, not the full×full self-join.
+    The SSJoin/PPJoin pigeonhole applies to containment too: ``ix ≥
+    ⌈0.9·n_small⌉`` forces the pair to share a shingle among the
+    smaller set's first ``n − ⌈0.9·n⌉ + 1`` shingles in ANY fixed
+    global order (else every shared shingle sits in its last
+    ``⌈0.9·n⌉ − 1`` positions — fewer than ix) — so prefix×full
+    enumerates a superset of the true pairs at ~1/10 of the pair
+    volume. Orientation at enumeration time ((n, doc_id) ordering)
+    IS the output's doc_small/doc_big orientation. The exact
+    ``array_intersect`` verify runs at join width (a pre-verify
+    distinct would serialize it into one AQE-coalesced task — the
+    prefix-filter measurement) and the final distinct collapses the
+    identical verified duplicates. The division is exact-integer
+    cross-multiplied: ix·10 ≥ 9·min(na,nb), so threshold membership is
+    bit-identical across engines; completeness vs the full self-join
+    enumeration is pinned in tests.
     """
-    sh = _informative_shingles(spark, sf_dir).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
-    card = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("ix"))
+    sh = _doc_shingles(spark, sf_dir).localCheckpoint(
+        eager=False, storageLevel=CKPT_LEVEL
     )
-    ca = card.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    cb = card.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    j = inter.join(ca, "doc_a").join(cb, "doc_b")
-    mn = F.least(F.col("na"), F.col("nb"))
-    oriented = j.select(
-        F.when(
-            (F.col("na") < F.col("nb"))
-            | ((F.col("na") == F.col("nb")) & (F.col("doc_a") < F.col("doc_b"))),
-            F.col("doc_a"),
+    dfs = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= STOP_SHINGLE_DF)
+    )
+    # ⌈0.9·n⌉ = (9n+9) DIV 10; prefix length L = n − ⌈0.9·n⌉ + 1.
+    inf = (
+        sh.join(dfs, "shingle")
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("df", "shingle")).alias("pairs"))
+        .withColumn("n", F.size("pairs"))
+        .withColumn(
+            "pref",
+            F.expr(
+                "transform(slice(array_sort(pairs), 1, "
+                "n - ((9 * n + 9) DIV 10) + 1), x -> x.shingle)"
+            ),
         )
-        .otherwise(F.col("doc_b"))
-        .alias("doc_small"),
-        F.when(
-            (F.col("na") < F.col("nb"))
-            | ((F.col("na") == F.col("nb")) & (F.col("doc_a") < F.col("doc_b"))),
-            F.col("doc_b"),
-        )
-        .otherwise(F.col("doc_a"))
-        .alias("doc_big"),
-        F.col("ix"),
-        mn.alias("mn"),
+        .withColumn("sarr", F.expr("transform(pairs, x -> x.shingle)"))
+        .select("doc_id", "n", "sarr", "pref")
+        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+    )
+    pa = inf.select(
+        F.col("doc_id").alias("doc_small"),
+        F.col("n").alias("na"),
+        F.explode("pref").alias("sh_a"),
+    )
+    pb = inf.select(
+        F.col("doc_id").alias("doc_big"),
+        F.col("n").alias("nb"),
+        F.explode("sarr").alias("sh_b"),
+    )
+    smaller = (F.col("na") < F.col("nb")) | (
+        (F.col("na") == F.col("nb")) & (F.col("doc_small") < F.col("doc_big"))
+    )
+    cand = pa.join(
+        pb, (F.col("sh_a") == F.col("sh_b")) & smaller
+    ).select("doc_small", "doc_big")
+    sa = inf.select(
+        F.col("doc_id").alias("doc_small"), F.col("sarr").alias("sarr_a")
+    )
+    sb = inf.select(
+        F.col("doc_id").alias("doc_big"), F.col("sarr").alias("sarr_b")
     )
     return (
-        oriented.filter(F.col("ix") * 10 >= F.col("mn") * 9)
+        cand.join(sa, "doc_small")
+        .join(sb, "doc_big")
+        .withColumn("ix", F.size(F.array_intersect("sarr_a", "sarr_b")))
+        .withColumn("mn", F.least(F.size("sarr_a"), F.size("sarr_b")))
+        .filter(F.col("ix") * 10 >= F.col("mn") * 9)
         .select(
             "doc_small",
             "doc_big",
             (F.col("ix").cast("double") / F.col("mn")).alias("containment"),
         )
+        .distinct()
     )
 
 

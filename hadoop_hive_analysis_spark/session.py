@@ -55,6 +55,16 @@ CKPT_LEVEL = StorageLevel.MEMORY_AND_DISK
 #    (store: 58 rows in the reference EDA; region/nation/supplier/part in
 #    the test schema) is far below it, so star joins become BroadcastHash.
 SCALE_CONF: dict[str, str] = {
+    # Kryo for everything the SparkEnv serializer touches — which in
+    # this engine is chiefly the serialized localCheckpoint blocks
+    # (CKPT_LEVEL) every multi-consumer operator materializes; SQL
+    # exchanges use UnsafeRow either way. The stock recommendation for
+    # any RDD-serialized state, local or cluster. Measured r19:
+    # interleaved 2×2 fresh-JVM A/B over the 8 checkpoint-heavy dedup
+    # queries — best-of-2 sums 12.91 → 12.04 s (ratio 0.933), 6/8
+    # queries faster, values bit-identical (serialization is
+    # representation, not arithmetic).
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
