@@ -45,7 +45,9 @@ def main() -> None:
 
     # Plan capture (fresh build, un-executed).
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    plan_dir = os.path.join(here, "plans", "r19")
+    plan_dir = os.path.join(
+        here, "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r20")
+    )
     os.makedirs(plan_dir, exist_ok=True)
     df = spec.fn(spark, sf_dir)
     plan = df._sc._jvm.PythonSQLUtils.explainString(
