@@ -491,54 +491,82 @@ def doc_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     final cosine is floating point, a fixed IEEE expression of exact
     integers — identical bits in both engines.
 
-    Scale shape: shingle df (one shuffle on shingle), pair enumeration
-    via the posting-list self-join with every list bounded by the df
-    cap (O(corpus x cap), never quadratic in a hot shingle), partial-agg
-    dot products, broadcast-friendly norms join.
+    Scale shape (r20 restructure, guide §2.3/§3): because tf is binary
+    the weight is GLOBAL per shingle, so ``dot(a,b) = Σ w_s²`` over
+    shared shingles — the pair enumeration does not need a join at all.
+    Aggregate each df-capped shingle's posting list once (one shuffle on
+    shingle; every list bounded by ``STOP_SHINGLE_DF``, so the per-list
+    combination count is ≤ cap·(cap−1)/2, never quadratic in a hot
+    shingle), then explode the C(df,2) ordered doc pairs ROW-WISE and
+    partial-aggregate the dots map-side. Versus the posting self-join
+    this removes the join's sort/hash of the exploded (doc, shingle, w)
+    table on the shingle STRING — the pair stream that shuffles is two
+    bigints + w with map-side combine, not string-keyed join probes.
+    The prior form (self-join of the weight frame on shingle) was
+    measured against this one interleaved at 10× fixture scale:
+    old 9.23/6.07 s vs new 7.75/5.41 s per cycle, output bit-identical
+    (197 rows at sf0.1, 1970 at 10×). A threshold-aware cosine prefix
+    filter (Bayardo all-pairs) was prototyped first and REJECTED on
+    measurements: near-uniform df≈1..4 weights put ~75% of each doc's
+    energy in the t=0.5 prefix (candidate cut only 1.5×) while the
+    struct-array verify cost 53 s — see OPTIMIZATION_r20.md.
 
-    The weight frame is checkpointed SERIALIZED (MEMORY_AND_DISK), not
-    the default deserialized level: the frame is the query's largest
-    intermediate (doc x shingle with the shingle STRING), and storing
-    millions of individual row objects on-heap both thrashes the GC
-    during the self-join's sort and — because localCheckpoint blocks
-    are freed asynchronously by the ContextCleaner — accumulates across
-    repeated runs in one JVM. The r7 scale audit's "10x data = 4.1x
-    wall" bend was exactly this: an interleaved A/B
-    (scripts/ab_tfidf_cosine.py) showed the posting self-join itself
-    scales sublinearly (CPU 1.4x per 2x) while back-to-back runs of
-    the deserialized-checkpoint query degraded 15.3s -> 8.7s -> 18.1s
-    in one 8 GiB JVM; serialized blocks (flat buffers, ~5x smaller,
-    not per-row objects) level the runs monotone and cut peak heap.
-    DISK_ONLY measures the same at 10x but pays a write at bench scale
-    where memory is free; MEMORY_AND_DISK spills only under pressure.
+    The posting-list frame is checkpointed SERIALIZED (CKPT_LEVEL,
+    MEMORY_AND_DISK): it feeds both the norms pass and the pair
+    enumeration, and serialized flat buffers avoid the per-row on-heap
+    object accumulation measured in the r7/r8 audits (back-to-back
+    deserialized runs degraded 15.3s -> 8.7s -> 18.1s in one 8 GiB JVM).
+    It is also ~50× smaller than the old checkpoint (one row per capped
+    shingle, docs array + weight, no per-doc duplication of the shingle
+    string).
     """
-    from pyspark import StorageLevel
-
     from ..operators.dedup import STOP_SHINGLE_DF, _doc_shingles
+    from ..session import CKPT_LEVEL
 
     sh = _doc_shingles(spark, sf_dir)
-    df = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    w = (
-        sh.join(df.filter(F.col("df") <= STOP_SHINGLE_DF), "shingle")
-        .withColumn("w", F.expr(f"{TFIDF_SIM_SCALE} DIV df"))
-        .select("doc_id", "shingle", "w")
-        .localCheckpoint(
-            eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
-        )
+    # df-cap BEFORE collecting posting lists: a stop-shingle's list is
+    # never materialized (at corpus scale a hot shingle may appear in
+    # millions of docs; the count-then-semi-join keeps every collected
+    # list ≤ STOP_SHINGLE_DF elements).
+    dfs = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= STOP_SHINGLE_DF)
+        .select("shingle")
     )
-    norms = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
-    a, b = w.alias("a"), w.alias("b")
+    posting = (
+        sh.join(dfs, "shingle")
+        .groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .withColumn("w", F.expr(f"{TFIDF_SIM_SCALE} DIV size(docs)"))
+        .select("docs", "w")
+        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+    )
+    norms = (
+        posting.select(F.explode("docs").alias("doc_id"), "w")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    )
+    # Row-wise C(df,2) enumeration: docs is sorted, so (x, y) with y
+    # strictly after x reproduces exactly the self-join's doc_a < doc_b
+    # pairs (doc_ids are distinct per shingle — shingles are
+    # distinct-per-doc and doc_id is the table key).
     dots = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        posting.select(
+            F.col("w"),
+            F.explode(
+                F.expr(
+                    "flatten(transform(docs, (x, i) -> "
+                    "transform(slice(docs, i + 2, size(docs) - i - 1), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("pair"),
         )
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("pair.a").alias("doc_a"), F.col("pair.b").alias("doc_b")
         )
         .agg(
-            F.sum(F.col("a.w") * F.col("b.w")).alias("dot"),
+            F.sum(F.col("w") * F.col("w")).alias("dot"),
             F.count("*").alias("n_shared"),
         )
         .filter(F.col("n_shared") >= MIN_SHARED_TERMS)

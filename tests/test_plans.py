@@ -251,12 +251,16 @@ def test_duplicated_spans_single_span_explode(plans):
 
 
 def test_tfidf_cosine_materializes_weight_frame(plans):
-    # The df-capped weight frame feeds three branches (norms + both
-    # self-join sides): it must be materialized, not re-derived from the
-    # corpus per branch.
+    # The df-capped posting-list frame feeds two branches (norms + the
+    # row-wise pair enumeration): it must be materialized, not
+    # re-derived from the corpus per branch. The r20 restructure also
+    # removed the posting self-join entirely (dot = Σ w² over shared
+    # shingles because the weight is global per shingle), so no join on
+    # the shingle string may reappear.
     p = plans("doc_tfidf_cosine_pairs")
     assert p.count("documents.parquet") == 0
     assert "Scan ExistingRDD" in p
+    assert "SortMergeJoin" not in p
 
 
 def test_span_scrub_single_corpus_scan_and_broadcast_starts(plans):

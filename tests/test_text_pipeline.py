@@ -466,6 +466,64 @@ def test_tfidf_cosine_ranks_planted_neardups_top(spark, sf_dir):
     assert {(r.doc_a, r.doc_b) for r in by_cos[: len(planted)]} == planted
 
 
+def test_tfidf_cosine_matches_posting_selfjoin_reference(spark, sf_dir):
+    """Completeness/equality pin for the r20 join-free restructure: the
+    row-wise C(df,2) enumeration must reproduce the posting SELF-JOIN
+    form bit-for-bit (same pairs, same exact-integer dot/n_shared, same
+    IEEE cosine). The reference below is the pre-r20 implementation."""
+    from hadoop_hive_analysis_spark.operators.dedup import (
+        STOP_SHINGLE_DF,
+        _doc_shingles,
+    )
+    from hadoop_hive_analysis_spark.operators.text_analysis import (
+        MIN_SHARED_TERMS,
+        SPARSE_COS_THRESHOLD,
+        TFIDF_SIM_SCALE,
+        doc_tfidf_cosine_pairs,
+    )
+
+    sh = _doc_shingles(spark, sf_dir)
+    dfc = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    w = (
+        sh.join(dfc.filter(F.col("df") <= STOP_SHINGLE_DF), "shingle")
+        .withColumn("w", F.expr(f"{TFIDF_SIM_SCALE} DIV df"))
+        .select("doc_id", "shingle", "w")
+    )
+    norms = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    a, b = w.alias("a"), w.alias("b")
+    ref = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.sum(F.col("a.w") * F.col("b.w")).alias("dot"),
+            F.count("*").alias("n_shared"),
+        )
+        .filter(F.col("n_shared") >= MIN_SHARED_TERMS)
+        .join(norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2")), "doc_a")
+        .join(norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2")), "doc_b")
+        .withColumn(
+            "cosine",
+            F.col("dot").cast("double")
+            / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))),
+        )
+        .filter(F.col("cosine") >= SPARSE_COS_THRESHOLD)
+        .select("doc_a", "doc_b", "n_shared", "dot", "cosine")
+    )
+    got = doc_tfidf_cosine_pairs(spark, sf_dir)
+    # simpleString: same names/types (nullability flags differ between
+    # join- and explode-derived columns and are not part of the contract)
+    assert got.schema.simpleString() == ref.schema.simpleString()
+    rows_got = sorted(tuple(r) for r in got.collect())
+    rows_ref = sorted(tuple(r) for r in ref.collect())
+    assert rows_got == rows_ref
+
+
 def test_token_rarity_orders_planted_outlier(spark, tmp_path):
     """A doc of corpus-unique gibberish must score minimal mean_df and
     rare_ratio 1.0; a doc repeating the corpus's commonest tokens scores
