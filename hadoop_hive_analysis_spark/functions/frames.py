@@ -52,11 +52,30 @@ def local_frame(
     struct = _as_struct_type(spark, schema)
     if not rows:
         return spark.createDataFrame([], struct)
+    # Timestamp columns take the plain path: pandas would route them
+    # through datetime64 + session-tz localization — a semantics risk
+    # this helper must not take for a marginal win (advisor r19; the
+    # stream-replay sentinel frames are exactly this shape).
+    if any(
+        isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType))
+        for f in struct.fields
+    ):
+        return spark.createDataFrame(rows, struct).coalesce(1)
     try:
         import pandas as pd
 
+        # dtype=object per column: pandas' default inference turns a
+        # null-mixed integer column into float64 (None -> NaN), which
+        # silently corrupts int64 values above 2^53 WITHOUT raising —
+        # so the except-fallback below could never catch it (advisor
+        # r19). Object columns keep Python ints exact; the Arrow
+        # conversion casts them to the declared schema type directly.
+        cols = list(zip(*[tuple(r) for r in rows], strict=True))
         pdf = pd.DataFrame(
-            [tuple(r) for r in rows], columns=[f.name for f in struct.fields]
+            {
+                f.name: pd.Series(list(vals), dtype=object)
+                for f, vals in zip(struct.fields, cols, strict=True)
+            }
         )
         # Arrow path: requires spark.sql.execution.arrow.pyspark.enabled
         # (set in SCALE_CONF); its own fallback config additionally

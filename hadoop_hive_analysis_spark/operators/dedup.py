@@ -528,13 +528,22 @@ SPAN_TOKENS = 8  # exact-substring window length (tokens), stride 1
 STOP_SPAN_DF = 64
 
 
-def _span_hashes(
+def _span_sets(
     spark: SparkSession, sf_dir: str, toks_df: DataFrame | None = None
 ) -> DataFrame:
-    """(doc_id, s, span_h) for every stride-1 SPAN_TOKENS window — the
-    shared frame under the whole span family (profile, top-K report,
-    scrub). ``s`` is the 1-based token index of the span start.
-    Materialized once (localCheckpoint) for multi-consumer plans.
+    """Per-doc span-hash ARRAY ``(doc_id, sarr)`` — ``sarr[i]`` is the
+    h64 of the stride-1 SPAN_TOKENS window starting at 1-based token
+    index ``i+1``, so positions stay implicit in array order. The
+    set-form base of the span family (r20, the same array-form
+    restructure the MinHash core took in r19): one row per doc bounded
+    by document length, checkpointed once for multi-consumer plans —
+    smaller than the old exploded (doc_id, s, span_h) checkpoint (no
+    repeated doc_id, no position column) and the df/bench-set
+    aggregations can explode ``array_distinct(sarr)`` alone, shuffling
+    ONE int64 column with a plain count instead of the exploded table's
+    two-phase count_distinct. Measured (duplicated_spans, interleaved
+    ×4): sf0.1 median 1.89 → 1.40 s, sf1 3.27/3.42 → 2.99/3.03 s,
+    bit-identical at both scales.
 
     ``toks_df`` (doc_id, toks), if given, replaces the parquet scan —
     span_scrub passes its own materialized tokenized corpus so the whole
@@ -546,27 +555,30 @@ def _span_hashes(
     if toks_df is None:
         from ..sources.catalog import spread_small_scan
 
-        # spread before tokenize+span explode (CPU ×tokens per row) — the
+        # spread before tokenize+span hashing (CPU ×tokens per row) — the
         # small-scan regime note in spread_small_scan applies here too;
         # spread the raw text so the shuffle moves strings, not arrays
         toks_df = spread_small_scan(
             load_table(spark, sf_dir, "documents").select("doc_id", "text")
         ).select("doc_id", tokens("text").alias("toks"))
     d = toks_df.filter(F.size("toks") >= SPAN_TOKENS)
-    return (
-        d.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, size(toks) - {SPAN_TOKENS} + 1), "
-                    f"s -> struct(s AS s, concat_ws(' ', slice(toks, s, "
-                    f"{SPAN_TOKENS})) AS span))"
-                )
-            ).alias("x"),
-        )
-        .select("doc_id", F.col("x.s").alias("s"), h64(F.col("x.span")).alias("span_h"))
-        .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
-    )
+    return d.select(
+        "doc_id",
+        F.transform(
+            F.expr(f"sequence(1, size(toks) - {SPAN_TOKENS} + 1)"),
+            lambda s: h64(F.concat_ws(" ", F.slice("toks", s, SPAN_TOKENS))),
+        ).alias("sarr"),
+    ).localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+
+
+def _span_hashes(sets: DataFrame) -> DataFrame:
+    """Exploded view ``(doc_id, s, span_h)`` of a :func:`_span_sets`
+    frame — ``s`` is the 1-based token index of the span start. A cheap
+    posexplode map over the checkpointed set table, for consumers that
+    need positions (scrub start-collection, top-K example pointers)."""
+    return sets.select(
+        "doc_id", F.posexplode("sarr").alias("p", "span_h")
+    ).select("doc_id", (F.col("p") + 1).alias("s"), "span_h")
 
 
 def duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -583,32 +595,42 @@ def duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio (the "fraction of text that is copied" signal a cleaning
     pipeline thresholds on).
 
-    Scale shape: the stride-1 explode is x(n_tokens - span + 1) input
-    amplification — that is the honest cost of EXACT substring coverage
-    (the suffix array pays the same linear blowup); spans carry only
-    (doc_id, span_h) int64 pairs after hashing, never the text. One
-    shuffle on span_h serves both the dup-set aggregation and the
-    mark-back join (same key, exchange reused); the dup set itself is
-    df-capped (boilerplate spans > STOP_SPAN_DF docs are excluded,
-    mirroring the Jaccard stop-shingle rationale) so its broadcast stays
-    bounded. Final per-doc rollup is one map-side-combined shuffle.
-    Sub-quadratic throughout: no pair enumeration anywhere.
+    Scale shape (r20 set form): the per-doc span-hash ARRAY is the
+    honest x(n_tokens - span + 1) amplification of EXACT substring
+    coverage, but it stays in array form — the dup-set aggregation
+    explodes ``array_distinct(sarr)`` (span_h ALONE shuffles, with a
+    plain map-side-combined count instead of the exploded table's
+    two-phase count_distinct), the dup set is df-capped (boilerplate
+    spans > STOP_SPAN_DF docs are excluded, mirroring the Jaccard
+    stop-shingle rationale), and the mark-back INNER-joins only the
+    occurrence stream against it — the old corpus-sized LEFT join +
+    full-occurrence rollup is now a dup-hits-only count joined back to
+    the doc-sized set table (``n_spans = size(sarr)`` is a map-side
+    fact). Sub-quadratic throughout: no pair enumeration anywhere.
+    Measured: sf0.1 median 1.89 → 1.40 s, sf1 3.27 → 2.99 s,
+    bit-identical.
     """
-    sp = _span_hashes(spark, sf_dir).select("doc_id", "span_h")
+    sets = _span_sets(spark, sf_dir)
     dup = (
-        sp.groupBy("span_h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
+        sets.select(F.explode(F.array_distinct("sarr")).alias("span_h"))
+        .groupBy("span_h")
+        .agg(F.count("*").alias("nd"))
         .filter((F.col("nd") > 1) & (F.col("nd") <= STOP_SPAN_DF))
-        .select("span_h", F.lit(1).alias("is_dup"))
+        .select("span_h")
+    )
+    hits = (
+        sets.select("doc_id", F.explode("sarr").alias("span_h"))
+        .join(dup, "span_h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup"))
     )
     return (
-        sp.join(dup, "span_h", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_spans"),
-            F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
-            .cast("long")
-            .alias("n_dup_spans"),
+        sets.select("doc_id", F.size("sarr").cast("long").alias("n_spans"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup_spans"),
         )
         .select(
             "doc_id",
@@ -671,7 +693,7 @@ def duplicated_spans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pointer (lexicographic struct-min picks the lowest (doc, start)
     occurrence).
     """
-    sp = _span_hashes(spark, sf_dir)
+    sp = _span_hashes(_span_sets(spark, sf_dir))
     return (
         sp.groupBy("span_h")
         .agg(
@@ -795,15 +817,20 @@ def span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", tokens("text").alias("toks"))
         .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     )
-    spd = _span_hashes(spark, sf_dir, toks_df=d)
+    sets = _span_sets(spark, sf_dir, toks_df=d)
+    # dup set from the array form: span_h alone shuffles with a plain
+    # count (per-doc distinctness moved into array_distinct) — see
+    # _span_sets for the measured win
     dup = (
-        spd.groupBy("span_h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
+        sets.select(F.explode(F.array_distinct("sarr")).alias("span_h"))
+        .groupBy("span_h")
+        .agg(F.count("*").alias("nd"))
         .filter((F.col("nd") > 1) & (F.col("nd") <= STOP_SPAN_DF))
         .select("span_h")
     )
     starts = (
-        spd.join(dup, "span_h")
+        _span_hashes(sets)
+        .join(dup, "span_h")
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("s")).alias("starts"))
     )
@@ -940,10 +967,16 @@ def decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     )
     bench_pred = F.col("doc_id") % BENCH_MOD == 0
-    spd = _span_hashes(spark, sf_dir, toks_df=d)
-    bench = spd.filter(bench_pred).select("span_h").distinct()
+    sets = _span_sets(spark, sf_dir, toks_df=d)
+    # the eval suite's hash set from the array form: per-doc
+    # array_distinct pre-shrinks the explode feeding the global distinct
+    bench = (
+        sets.filter(bench_pred)
+        .select(F.explode(F.array_distinct("sarr")).alias("span_h"))
+        .distinct()
+    )
     starts = (
-        spd.filter(~bench_pred)
+        _span_hashes(sets.filter(~bench_pred))
         .join(F.broadcast(bench), "span_h")
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("s")).alias("starts"))

@@ -161,9 +161,16 @@ def _bucket_explode(
 
     The shared signature kernel for multi-table ANN (groups = hash
     tables) and banded near-dup (groups = bands): one Arrow-batched numpy
-    matmul computes every plane sign per batch — a codegen CASE
-    expression over groups×bits×64 literal terms OOMs janino at compile
-    time (measured at 96 planes), and the matmul is faster anyway.
+    matmul computes every plane sign per batch. Re-measured r20 against a
+    native codegen CASE expression over groups×bits×64 literal terms
+    (guide §4.1, the deliberate-pandas-UDF re-audit): on Spark 4.1.2 the
+    native form now COMPILES even at 96 planes (the janino OOM this
+    docstring used to cite is gone), but it loses decisively — the
+    32-plane full query ran 1.50 → 2.25 s median (4 interleaved cycles,
+    bit-identical output) and the 96-plane form took 8.6 s for a bare
+    count (whole-stage codegen over 6144 literal terms). The matmul
+    stays: one C-speed (batch × DIM)·(DIM × planes) product per Arrow
+    batch beats per-row expression trees at every measured width.
     Closure is self-contained (plane signs embedded as a plain nested
     list).
     """
@@ -580,9 +587,10 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     1. one Arrow-batched ``mapInPandas`` scan computes the 32 plane signs
        per vector with a single numpy matmul and emits (vec_id, q,
-       band_key) — 8 rows per vector, one per band. (A codegen CASE
-       expression over 32×64 literal terms blows up janino compilation;
-       the matmul is both smaller and faster here.)
+       band_key) — 8 rows per vector, one per band. (Re-measured r20: a
+       native codegen CASE form over 32×64 literal terms compiles on
+       Spark 4.1.2 but runs 1.5× slower end-to-end; see
+       ``_bucket_explode``.)
     2. ``groupBy(band_key).applyInPandas`` shuffles each band bucket to
        one task, which runs the exact int64 matmul predicate WITHIN the
        bucket (quadratic only in bucket occupancy — the LSH contract;

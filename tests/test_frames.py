@@ -16,7 +16,32 @@ CASES = [
     ([(0, "x", "y", "xy", 5)], "rank long, left string, right string, merged string, freq long"),
     ([], "node bigint, component bigint"),
     ([(1, None), (None, "s")], "a int, b string"),
+    # null-mixed bigint ABOVE 2^53: pandas float64 inference would
+    # silently round these (no exception, so the fallback never fires);
+    # the object-dtype construction must keep them exact (advisor r19)
+    ([(2**53 + 1, 1), (None, 2), (2**63 - 1, 3)], "big bigint, k int"),
 ]
+
+
+def test_local_frame_timestamp_schema_takes_plain_path(spark):
+    """Timestamp columns route around pandas (datetime64 session-tz
+    localization risk — advisor r19): rows must round-trip exactly as
+    the plain createDataFrame path builds them."""
+    import datetime
+
+    rows = [
+        (1, datetime.datetime(2024, 3, 1, 12, 30, 15), None),
+        (2, None, datetime.datetime(1999, 12, 31, 23, 59, 59)),
+    ]
+    schema = "id bigint, click_ts timestamp, purchase_ts timestamp"
+    got = local_frame(spark, rows, schema)
+    want = spark.createDataFrame(rows, schema)
+    assert got.schema == want.schema
+    key = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
+    assert sorted(map(tuple, got.collect()), key=key) == sorted(
+        map(tuple, want.collect()), key=key
+    )
+    assert got.rdd.getNumPartitions() == 1
 
 
 @pytest.mark.parametrize("rows,schema", CASES, ids=range(len(CASES)))
