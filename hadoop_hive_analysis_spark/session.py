@@ -41,6 +41,13 @@ class ReleaseResult(NamedTuple):
 # are flat buffers ~5× smaller; MEMORY_AND_DISK spills only under
 # pressure. Deliberately-tiny checkpoints (1-row sketch rows, top-K+1
 # frames) keep the default — there is nothing to win.
+#
+# NB (advisor r19 adjudication): unlike Scala's MEMORY_AND_DISK,
+# *PySpark's* ``StorageLevel.MEMORY_AND_DISK`` is ``StorageLevel(True,
+# True, False, deserialized=False)`` — i.e. SERIALIZED in memory (it
+# prints "Disk Memory Serialized 1x Replicated"). The Kryo rationale in
+# SCALE_CONF therefore matches this level as configured: in-memory
+# checkpoint blocks are Kryo-serialized byte buffers, not on-heap rows.
 CKPT_LEVEL = StorageLevel.MEMORY_AND_DISK
 
 # Defaults chosen for the 100 TB design point, not for the local test rig:
