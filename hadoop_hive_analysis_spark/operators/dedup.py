@@ -233,7 +233,9 @@ def shingle_sets(docs: DataFrame) -> DataFrame:
     ).withColumn("harr", F.transform("sarr", lambda s: h31(s)))
 
 
-def minhash_pairs_from_shingle_sets(sets: DataFrame) -> DataFrame:
+def minhash_pairs_from_shingle_sets(
+    sets: DataFrame, checkpoint_input: bool = True
+) -> DataFrame:
     """MinHash-LSH verified near-dup pairs from a set-form shingle frame
     ``(doc_id, sarr, harr)`` — the shared core of the fused operator and
     the staged pipeline (which feeds it a MATERIALIZED set table).
@@ -258,8 +260,12 @@ def minhash_pairs_from_shingle_sets(sets: DataFrame) -> DataFrame:
     # Materialize the set table once: the band derivation and BOTH
     # verify sides reference it; without the checkpoint each branch
     # re-runs tokenize→shingle→md5 from the scan (the round-4
-    # re-execution class).
-    sets = sets.localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
+    # re-execution class). Callers whose input is ALREADY durable (the
+    # staged pipeline feeds a parquet materialization) pass
+    # ``checkpoint_input=False`` — re-caching a table every branch can
+    # cheaply re-scan is pure block-manager pressure (advisor r19).
+    if checkpoint_input:
+        sets = sets.localCheckpoint(eager=False, storageLevel=CKPT_LEVEL)
     params = minhash_params(NUM_HASHES)
 
     def _mh(a: int, b: int):  # unary lambda per hash (transform arity)
