@@ -79,15 +79,20 @@ _SHINGLE_SQL = r"""
 """
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _doc_shingles(
+    spark: SparkSession, sf_dir: str, bytes_per_task: int | None = None
+) -> DataFrame:
     from ..sources.catalog import spread_small_scan
 
     # spread BEFORE the explode: the shingle transform multiplies each
     # row's CPU ~50x, and a small single-row-group documents file scans
     # as 1-2 partitions (see spread_small_scan) — measured 9 s -> <2 s
-    # for the sf1 shingle pass.
+    # for the sf1 shingle pass. ``bytes_per_task`` passes through to the
+    # width rule for consumers that RECOMPUTE this frame per branch
+    # instead of checkpointing it (doc_tfidf_cosine_pairs).
     d = spread_small_scan(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        bytes_per_task=bytes_per_task,
     )
     return with_shingles(d, "text", 3).select("doc_id", "shingle")
 
@@ -408,11 +413,19 @@ def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiset of hashes per doc). At 100 TB the signature becomes a pure
     map over the corpus scan.
     """
-    from ..sources.catalog import spread_small_scan
+    from ..sources.catalog import SPREAD_BYTES_PER_TASK, spread_small_scan
 
+    # Full-width spread, NOT the r20 bytes-proportional default (÷32
+    # keeps every fixture SF at the core cap; identical from sf1 up):
+    # the byte-band self-join downstream broadcasts its build side, so
+    # the probe runs AT THIS WIDTH with work quadratic in band
+    # occupancy — the narrow default was measured 1.60× slower
+    # end-to-end at sf0.1 (2.57 → 4.11 s median, confirmed best-of-N in
+    # a second interleaved run), and a 19-wide middle ground still lost.
     sets = shingle_sets(
         spread_small_scan(
-            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+            load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+            bytes_per_task=SPREAD_BYTES_PER_TASK // 32,
         )
     )
 

@@ -143,6 +143,15 @@ _LOG = logging.getLogger(__name__)
 # ONLY for non-file sources. Monotonic counters — tests snapshot/diff.
 SPREAD_GATE_STATS: dict[str, int] = {"static": 0, "fallback": 0}
 
+# Bytes of (compressed parquet) input per spread task — sizes the spread
+# width so each task carries real work (~0.25 s CPU at the measured
+# ~1 s/MB of the tokenize→shingle→hash transforms) instead of always
+# fanning to the full core count. See spread_small_scan's docstring for
+# the measurements; env-overridable for cluster profiles.
+SPREAD_BYTES_PER_TASK = (
+    int(os.environ.get("SPARK_GRAFT_SPREAD_KB_PER_TASK", "64")) * 1024
+)
+
 _SPREAD_VERDICTS: dict[tuple, bool] = {}
 
 
@@ -182,7 +191,7 @@ def _scan_parallelism(files: list[str]) -> tuple[tuple, int, int]:
     return tuple(key), groups, total
 
 
-def spread_small_scan(df: DataFrame) -> DataFrame:
+def spread_small_scan(df: DataFrame, bytes_per_task: int | None = None) -> DataFrame:
     """Round-robin-repartition ``df`` up to the session's default
     parallelism — ONLY when the scan cannot split that far on its own.
 
@@ -211,6 +220,33 @@ def spread_small_scan(df: DataFrame) -> DataFrame:
     "32 partitions" while every row sat in one task. Row groups bound
     real parallelism from above; the static estimate is both cheaper
     and closer to what the scan actually does.
+
+    The spread WIDTH is bytes-proportional (r20): ``min(cores,
+    ceil(totalBytes / SPREAD_BYTES_PER_TASK))`` instead of always the
+    full core count. Rationale (guide §2.6/§1.2): a full-width spread
+    of a ~0.6 MB file schedules 32 tasks of ~50 ms compute each, whose
+    scheduling + GC + block-manager overhead dominates — and every
+    downstream checkpoint stage INHERITS the width. 64 KiB per task
+    keeps tasks at ~0.1-0.3 s of real work. Width sweep at sf0.1
+    (interleaved medians-of-3, widths 32/16/8): dedup_minhash_lsh
+    1.07/0.85/0.89, duplicated_spans 1.21/0.88/0.70; the committed
+    default (width ~10 at sf0.1) re-measured in a 6-cycle interleaved
+    A/B vs full width: contamination_ngram 1.75 → 1.24 s,
+    dedup_embedding_lsh 1.36 → 1.13, duplicated_spans 1.49 → 1.35,
+    dedup_minhash_lsh/dedup_collapse/corpus_clean ±5% (noise), family
+    total ratio 0.915. Scale-honest: at sf1 the table already hits the
+    core cap (width unchanged), and at real volume the gate itself is a
+    no-op. Env-tunable for cluster profiles via
+    ``SPARK_GRAFT_SPREAD_KB_PER_TASK``.
+
+    ``bytes_per_task`` overrides the default for call sites whose
+    DOWNSTREAM work per input byte is far above the family baseline —
+    a checkpoint that feeds a broadcast-probe self-join inherits this
+    width for the join itself (dedup_simhash: quadratic in band
+    occupancy — measured 1.60× slower under a narrow width), or a frame
+    recomputed by several consumers (doc_tfidf_cosine_pairs, 1.18×
+    slower narrow). Both pass ÷32, which keeps them at full width at
+    every fixture SF (identical to the pre-r20 behavior).
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
@@ -247,7 +283,9 @@ def spread_small_scan(df: DataFrame) -> DataFrame:
     open_cost = _byte_size(
         spark.conf.get("spark.sql.files.openCostInBytes", "4MB")
     )
-    key = (stat_key, target, max_part, open_cost)
+    bpt = SPREAD_BYTES_PER_TASK if bytes_per_task is None else bytes_per_task
+    width = min(target, max(1, -(-total_bytes // bpt)))
+    key = (stat_key, target, max_part, open_cost, width)
     verdict = _SPREAD_VERDICTS.get(key)
     if verdict is None:
         # FilePartition.maxSplitBytes (Spark source, public): splits are
@@ -257,9 +295,9 @@ def spread_small_scan(df: DataFrame) -> DataFrame:
         bytes_per_core = padded // max(target, 1)
         max_split = min(max_part, max(open_cost, bytes_per_core))
         splits = max(1, -(-padded // max(max_split, 1)))  # ceil
-        verdict = min(row_groups, splits) < target
+        verdict = min(row_groups, splits) < width
         _SPREAD_VERDICTS[key] = verdict
-    return df.repartition(target) if verdict else df
+    return df.repartition(width) if verdict else df
 
 
 def events_partitioned_path(spark: SparkSession, sf_dir: str) -> str:

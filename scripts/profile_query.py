@@ -62,7 +62,12 @@ def main() -> None:
     # Rebuild the query with localCheckpoint stubbed to identity — profile
     # tooling only, never the query path — so the dump shows the FULL
     # logical structure (exchanges, aggregates) that claims reference.
-    from pyspark.sql import DataFrame as _DF
+    # Spark 4 dispatches to the classic subclass's override — patching
+    # the abstract pyspark.sql.DataFrame would be a silent no-op.
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as _DF
+    except ImportError:  # pre-4.0 layout
+        from pyspark.sql import DataFrame as _DF
 
     _orig_ckpt = _DF.localCheckpoint
     _DF.localCheckpoint = lambda self, *a, **k: self  # type: ignore[assignment]

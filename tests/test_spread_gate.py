@@ -54,3 +54,25 @@ def test_non_file_source_takes_fallback(spark):
     spread_small_scan(df)
     assert SPREAD_GATE_STATS["fallback"] == before["fallback"] + 1
     assert SPREAD_GATE_STATS["static"] == before["static"]
+
+
+def test_spread_width_is_bytes_proportional(spark, sf_dir):
+    """r20: the spread width follows input bytes (SPREAD_BYTES_PER_TASK
+    per task, capped at the core count) — a tiny table must not fan out
+    to full width, where per-task fixed cost dominates the ~50 ms of
+    real work each task would carry."""
+    from hadoop_hive_analysis_spark.sources.catalog import (
+        SPREAD_BYTES_PER_TASK,
+        _scan_parallelism,
+    )
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    df = spark.read.parquet(path)
+    _, _, total_bytes = _scan_parallelism(df.inputFiles())
+    cores = spark.sparkContext.defaultParallelism
+    want = min(cores, max(1, -(-total_bytes // SPREAD_BYTES_PER_TASK)))
+    out = spread_small_scan(df)
+    assert out.rdd.getNumPartitions() == want
+    # scale-honest cap: a table of >= cores x SPREAD_BYTES_PER_TASK
+    # would spread to exactly the core count (the pre-r20 behavior)
+    assert want <= cores
