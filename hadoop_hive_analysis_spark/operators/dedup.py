@@ -341,10 +341,21 @@ def minhash_pairs_from_shingle_sets(
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs
     (see :func:`minhash_pairs_from_shingle_sets`)."""
-    from ..sources.catalog import spread_small_scan
+    from ..sources.catalog import SPREAD_BYTES_PER_TASK, spread_small_scan
 
+    # Full-width spread (÷32 ≡ core cap at every fixture SF; identical
+    # from sf1 up): the checkpoint width is inherited by the 16-fold
+    # minhash signature pass AND both array_intersect verify probes —
+    # CPU-per-byte far above the spread default's ~1 s/MB baseline. The
+    # r20 narrow default measured ~flat in dedicated-JVM interleaved
+    # A/Bs but regressed the whole core family IN-PACK (the driver's
+    # protocol): full-pack A/B same tree, env-toggled width —
+    # dedup_minhash_lsh 1.14 s at full width on a 1.17-factor host vs
+    # 1.66 s narrow on a 1.03-factor host; collapse 1.48 vs 1.97,
+    # clusters_bigstar 1.13 vs 1.75, family_profile 1.40 vs 1.86.
     docs = spread_small_scan(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        bytes_per_task=SPREAD_BYTES_PER_TASK // 32,
     )
     return minhash_pairs_from_shingle_sets(shingle_sets(docs))
 

@@ -70,3 +70,19 @@ def test_local_frame_struct_type_schema(spark):
     got = local_frame(spark, [(7, 7), (9, 7)], schema)
     assert got.schema == schema
     assert sorted(map(tuple, got.collect())) == [(7, 7), (9, 7)]
+
+
+def test_local_frame_over_cap_takes_parallel_path(spark):
+    """r20 boundedness guard: above LOCAL_FRAME_MAX_ROWS the helper must
+    NOT funnel the frame through one partition."""
+    from hadoop_hive_analysis_spark.functions import frames as fr
+
+    orig = fr.LOCAL_FRAME_MAX_ROWS
+    fr.LOCAL_FRAME_MAX_ROWS = 10
+    try:
+        rows = [(i, f"v{i}") for i in range(25)]
+        got = local_frame(spark, rows, "k bigint, v string")
+        assert got.rdd.getNumPartitions() > 1
+        assert sorted(map(tuple, got.collect())) == rows
+    finally:
+        fr.LOCAL_FRAME_MAX_ROWS = orig
